@@ -1,0 +1,636 @@
+"""Pallas TPU flash attention (forward + backward), the production kernel.
+
+This replaces the reference's entire external-backend set (FA2/FA3/FlashInfer/
+SageAttention/aiter/NPU adapters, `yunchang/kernels/attention.py`) with one
+kernel family that honors the same contract (SURVEY.md L2): forward returns
+``(out, lse)`` with out ``(b, s_q, h, d)`` and LSE ``(b, h, s_q)`` fp32, which
+is what makes the ring's online merge possible.
+
+Design points (TPU-first, not a translation):
+
+* **Position-aware masking.** Instead of the reference's per-schedule shape
+  tricks (zigzag half-slices `ring/zigzag_ring_flash_attn.py:51-67`, stripe
+  shift-by-one `ring/stripe_flash_attn.py:96-107`), the kernel takes *global*
+  token positions described compactly as ``offsets + stride * local_index``
+  per equal-size chunk (scalar-prefetched, so they may be traced values such
+  as ring ranks). Causal / sliding-window masks are evaluated against global
+  positions, so every ring schedule (basic / zigzag / stripe) uses this same
+  kernel and load balance emerges from tile skipping.
+* **Tile skipping.** Fully-masked (q-tile, kv-tile) pairs skip all compute via
+  ``pl.when`` on scalar position bounds — the causal-schedule "skip blocks
+  where step > rank" logic of `ring/ring_flash_attn.py:37-44`, pushed down to
+  MXU-tile granularity.
+* **Online softmax.** fp32 running (m, l, acc) in VMEM scratch across the kv
+  grid dimension; numerics identical to the merge invariant in ops/merge.py.
+* **Backward** recomputes scores (flash-style; the reference borrowed FA's
+  CUDA backward) with two kernels: dq (kv-inner) and dk/dv (q-inner, GQA group
+  folded into the grid so no h-sized temporaries).
+* **Layouts.** Mosaic requires the last two block dims to tile (8,128) or
+  equal the array dims, so the kernels run in BHSD internally; the public
+  wrapper keeps the reference's BSHD contract. LSE rides as (b*h, 1, s) so
+  its (1, block_q) tiles satisfy the same constraint without 128x padding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from long_context_attention_tpu.utils.config import (
+    NEG_INF,
+    BlockSizes,
+    default_interpret,
+)
+
+__all__ = ["flash_attention", "flash_attention_fwd", "flash_attention_bwd", "FlashConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class FlashConfig:
+    """Static kernel configuration (hashable: keys the compiled-op cache)."""
+
+    causal: bool
+    scale: float
+    window: Tuple[int, int]
+    softcap: float
+    q_stride: int
+    kv_stride: int
+    n_q_chunks: int
+    n_kv_chunks: int
+    block_q: int
+    block_kv: int
+    block_q_bwd: int
+    block_kv_bwd: int
+    interpret: bool
+
+    @property
+    def needs_mask(self) -> bool:
+        return self.causal or self.window != (-1, -1)
+
+    @property
+    def mask_right(self) -> int:
+        # flash-attn semantics: causal overrides the right window to 0
+        return 0 if self.causal else self.window[1]
+
+    @property
+    def mask_left(self) -> int:
+        return self.window[0]
+
+
+def _positions(off_ref, local_start, block, chunk_len, stride):
+    """Global position bounds for a tile of `block` tokens at `local_start`.
+
+    Requires the tile not to cross a chunk boundary (chunk_len % block == 0,
+    asserted by the wrapper). Returns scalar (first, last).
+    """
+    c = local_start // chunk_len
+    rem = local_start - c * chunk_len
+    first = off_ref[c] + rem * stride
+    last = first + (block - 1) * stride
+    return first, last
+
+
+def _tile_mask(cfg: FlashConfig, q_first, kv_first, bq, bkv):
+    """Boolean (block_q, block_kv) mask, True = drop.
+
+    Built from 2-D broadcasted_iota (the Mosaic-friendly form — 1-D position
+    vectors force lane<->sublane relayouts that blow up kernel stack VMEM).
+    """
+    rows = q_first + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0) * cfg.q_stride
+    cols = kv_first + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1) * cfg.kv_stride
+    mask = jnp.zeros((bq, bkv), dtype=jnp.bool_)
+    if cfg.mask_right >= 0:
+        mask = mask | (cols > rows + cfg.mask_right)
+    if cfg.mask_left >= 0:
+        mask = mask | (cols < rows - cfg.mask_left)
+    return mask
+
+
+def _tile_skip(cfg: FlashConfig, q_first, q_last, kv_first, kv_last):
+    """Scalar: True when the whole tile is masked out."""
+    skip = jnp.bool_(False)
+    if cfg.mask_right >= 0:
+        skip = skip | (kv_first > q_last + cfg.mask_right)
+    if cfg.mask_left >= 0:
+        skip = skip | (kv_last < q_first - cfg.mask_left)
+    return skip
+
+
+def _scores(cfg: FlashConfig, q, k):
+    """Raw scaled (+softcapped) scores in fp32; also returns tanh for bwd."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * cfg.scale
+    t = None
+    if cfg.softcap > 0.0:
+        t = jnp.tanh(s / cfg.softcap)
+        s = t * cfg.softcap
+    return s, t
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel (BHSD layout)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_off_ref, kv_off_ref,  # scalar prefetch (SMEM)
+    q_ref, k_ref, v_ref,  # inputs (VMEM tiles)
+    out_ref, lse_ref,  # outputs
+    m_scr, l_scr, acc_scr,  # scratch
+    *, cfg: FlashConfig, chunk_q: int, chunk_kv: int,
+):
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+    bq, bkv = cfg.block_q, cfg.block_kv
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    if cfg.needs_mask:
+        iq = pl.program_id(2)
+        q_first, q_last = _positions(q_off_ref, iq * bq, bq, chunk_q, cfg.q_stride)
+        kv_first, kv_last = _positions(kv_off_ref, ik * bkv, bkv, chunk_kv, cfg.kv_stride)
+        active = jnp.logical_not(_tile_skip(cfg, q_first, q_last, kv_first, kv_last))
+    else:
+        active = jnp.bool_(True)
+
+    @pl.when(active)
+    def _compute():
+        q = q_ref[0, 0, :, :]
+        k = k_ref[0, 0, :, :]
+        v = v_ref[0, 0, :, :]
+        s, _ = _scores(cfg, q, k)
+        if cfg.needs_mask:
+            mask = _tile_mask(cfg, q_first, kv_first, bq, bkv)
+            s = jnp.where(mask, NEG_INF, s)
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        if cfg.needs_mask:
+            p = jnp.where(mask, 0.0, p)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ik == nk - 1)
+    def _emit():
+        l = l_scr[:, :1]
+        m = m_scr[:, :1]
+        dead = l == 0.0
+        safe_l = jnp.where(dead, 1.0, l)
+        out = jnp.where(dead, 0.0, acc_scr[...] / safe_l)
+        out_ref[...] = out.astype(out_ref.dtype).reshape(out_ref.shape)
+        lse = jnp.where(dead, -jnp.inf, m + jnp.log(safe_l))
+        lse_ref[...] = lse.reshape(lse_ref.shape)
+
+
+def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig):
+    """q (b,h,s_q,d); k,v (b,h_kv,s_kv,d) -> out (b,h,s_q,d), lse (b,h,s_q)."""
+    b, h, s_q, d = q.shape
+    _, h_kv, s_kv, _ = k.shape
+    g = h // h_kv
+    bq, bkv = cfg.block_q, cfg.block_kv
+    nq, nk = s_q // bq, s_kv // bkv
+    chunk_q = s_q // cfg.n_q_chunks
+    chunk_kv = s_kv // cfg.n_kv_chunks
+
+    grid = (b, h, nq, nk)
+    kernel = functools.partial(_fwd_kernel, cfg=cfg, chunk_q=chunk_q, chunk_kv=chunk_kv)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, 1, bkv, d), lambda ib, ih, iq, ik, *_: (ib, ih // g, ik, 0)),
+            pl.BlockSpec((1, 1, bkv, d), lambda ib, ih, iq, ik, *_: (ib, ih // g, ik, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, 1, bq), lambda ib, ih, iq, ik, *_: (ib * h + ih, 0, iq)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )
+    flops = 4 * b * h * s_q * s_kv * d  # 2 matmuls; causal skip halves in practice
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s_q, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, s_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=q.size * 2 + k.size * 4,
+            transcendentals=b * h * s_q * s_kv,
+        ),
+        interpret=cfg.interpret,
+    )(q_off, kv_off, q, k, v)
+    return out, lse.reshape(b, h, s_q)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels (BHSD layout)
+# ---------------------------------------------------------------------------
+
+
+def _recompute_p(cfg, q, k, mask, lse_row):
+    """exp(scores - lse), zeroed on masked/dead entries. Returns (p, tanh)."""
+    s, t = _scores(cfg, q, k)
+    if mask is not None:
+        s = jnp.where(mask, NEG_INF, s)
+    dead = jnp.isneginf(lse_row)
+    lse_safe = jnp.where(dead, 0.0, lse_row)
+    p = jnp.exp(s - lse_safe)
+    bad = dead
+    if mask is not None:
+        bad = jnp.logical_or(mask, dead)
+    p = jnp.where(bad, 0.0, p)
+    return p, t
+
+
+def _ds_to_dqk(cfg, p, dp, delta_row, t):
+    """Chain rule from dP to d(raw qk) including softcap and scale."""
+    ds = p * (dp - delta_row)
+    if cfg.softcap > 0.0:
+        ds = ds * (1.0 - t * t)
+    return ds * cfg.scale
+
+
+def _dq_kernel(
+    q_off_ref, kv_off_ref,
+    q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_scr,
+    *, cfg: FlashConfig, chunk_q: int, chunk_kv: int,
+):
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+    bq, bkv = cfg.block_q_bwd, cfg.block_kv_bwd
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    if cfg.needs_mask:
+        iq = pl.program_id(2)
+        q_first, q_last = _positions(q_off_ref, iq * bq, bq, chunk_q, cfg.q_stride)
+        kv_first, kv_last = _positions(kv_off_ref, ik * bkv, bkv, chunk_kv, cfg.kv_stride)
+        active = jnp.logical_not(_tile_skip(cfg, q_first, q_last, kv_first, kv_last))
+    else:
+        active = jnp.bool_(True)
+
+    @pl.when(active)
+    def _compute():
+        q = q_ref[0, 0, :, :]
+        k = k_ref[0, 0, :, :]
+        v = v_ref[0, 0, :, :]
+        do = dout_ref[0, 0, :, :]
+        lse_row = lse_ref[...].reshape(bq, 1)
+        delta_row = delta_ref[...].reshape(bq, 1)
+        m = _tile_mask(cfg, q_first, kv_first, bq, bkv) if cfg.needs_mask else None
+        p, t = _recompute_p(cfg, q, k, m, lse_row)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dqk = _ds_to_dqk(cfg, p, dp, delta_row, t)
+        dq_scr[...] += jax.lax.dot(
+            dqk.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ik == nk - 1)
+    def _emit():
+        dq_ref[...] = dq_scr[...].reshape(dq_ref.shape)
+
+
+def _dkv_kernel(
+    q_off_ref, kv_off_ref,
+    q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, cfg: FlashConfig, chunk_q: int, chunk_kv: int, group: int,
+):
+    ig = pl.program_id(3)
+    iq = pl.program_id(4)
+    nq = pl.num_programs(4)
+    bq, bkv = cfg.block_q_bwd, cfg.block_kv_bwd
+
+    @pl.when(jnp.logical_and(ig == 0, iq == 0))
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    if cfg.needs_mask:
+        ik = pl.program_id(2)
+        q_first, q_last = _positions(q_off_ref, iq * bq, bq, chunk_q, cfg.q_stride)
+        kv_first, kv_last = _positions(kv_off_ref, ik * bkv, bkv, chunk_kv, cfg.kv_stride)
+        active = jnp.logical_not(_tile_skip(cfg, q_first, q_last, kv_first, kv_last))
+    else:
+        active = jnp.bool_(True)
+
+    @pl.when(active)
+    def _compute():
+        q = q_ref[0, 0, :, :]
+        k = k_ref[0, 0, :, :]
+        v = v_ref[0, 0, :, :]
+        do = dout_ref[0, 0, :, :]
+        lse_row = lse_ref[...].reshape(bq, 1)
+        delta_row = delta_ref[...].reshape(bq, 1)
+        m = _tile_mask(cfg, q_first, kv_first, bq, bkv) if cfg.needs_mask else None
+        p, t = _recompute_p(cfg, q, k, m, lse_row)
+        # dV += P^T @ dOut
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dqk = _ds_to_dqk(cfg, p, dp, delta_row, t)
+        # dK += dQK^T @ Q
+        dk_scr[...] += jax.lax.dot_general(
+            dqk.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(jnp.logical_and(ig == group - 1, iq == nq - 1))
+    def _emit():
+        dk_ref[...] = dk_scr[...].reshape(dk_ref.shape)
+        dv_ref[...] = dv_scr[...].reshape(dv_ref.shape)
+
+
+def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig):
+    """BHSD backward. Returns fp32 (dq, dk, dv). `lse` is (b, h, s_q) fp32."""
+    b, h, s_q, d = q.shape
+    _, h_kv, s_kv, _ = k.shape
+    g = h // h_kv
+    bq, bkv = cfg.block_q_bwd, cfg.block_kv_bwd
+    nq, nk = s_q // bq, s_kv // bkv
+    chunk_q = s_q // cfg.n_q_chunks
+    chunk_kv = s_kv // cfg.n_kv_chunks
+
+    # delta = rowsum(dout * out), fp32 — tiny elementwise pass, XLA fuses it.
+    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = delta.reshape(b * h, 1, s_q)
+    lse_r = lse.reshape(b * h, 1, s_q)
+
+    # --- dq: grid (b, h, q_tiles, kv_tiles), kv inner ---
+    dq_grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, 1, bkv, d), lambda ib, ih, iq, ik, *_: (ib, ih // g, ik, 0)),
+            pl.BlockSpec((1, 1, bkv, d), lambda ib, ih, iq, ik, *_: (ib, ih // g, ik, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, 1, bq), lambda ib, ih, iq, ik, *_: (ib * h + ih, 0, iq)),
+            pl.BlockSpec((1, 1, bq), lambda ib, ih, iq, ik, *_: (ib * h + ih, 0, iq)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+    )
+    (dq,) = pl.pallas_call(
+        functools.partial(_dq_kernel, cfg=cfg, chunk_q=chunk_q, chunk_kv=chunk_kv),
+        grid_spec=dq_grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, h, s_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=cfg.interpret,
+    )(q_off, kv_off, q, k, v, dout, lse_r, delta)
+
+    # --- dk/dv: grid (b, h_kv, kv_tiles, group, q_tiles), q inner ---
+    dkv_grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, h_kv, nk, g, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk * g + ig, iq, 0)),
+            pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
+            pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk * g + ig, iq, 0)),
+            pl.BlockSpec((1, 1, bq), lambda ib, ihk, ik, ig, iq, *_: (ib * (h_kv * g) + ihk * g + ig, 0, iq)),
+            pl.BlockSpec((1, 1, bq), lambda ib, ihk, ik, ig, iq, *_: (ib * (h_kv * g) + ihk * g + ig, 0, iq)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
+            pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv, d), jnp.float32),
+            pltpu.VMEM((bkv, d), jnp.float32),
+        ],
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, cfg=cfg, chunk_q=chunk_q, chunk_kv=chunk_kv, group=g),
+        grid_spec=dkv_grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h_kv, s_kv, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_kv, s_kv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=cfg.interpret,
+    )(q_off, kv_off, q, k, v, dout, lse_r, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper + public API (BSHD contract at the boundary)
+# ---------------------------------------------------------------------------
+
+
+def _to_bhsd(x):
+    return jnp.transpose(x, (0, 2, 1, 3))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_op(cfg: FlashConfig):
+    """custom_vjp op in the public BSHD layout."""
+
+    def fwd_impl(q, k, v, q_off, kv_off):
+        out, lse = _flash_fwd_bhsd(
+            _to_bhsd(q), _to_bhsd(k), _to_bhsd(v), q_off, kv_off, cfg
+        )
+        return _to_bhsd(out), lse
+
+    @jax.custom_vjp
+    def op(q, k, v, q_off, kv_off):
+        return fwd_impl(q, k, v, q_off, kv_off)
+
+    def op_fwd(q, k, v, q_off, kv_off):
+        out, lse = fwd_impl(q, k, v, q_off, kv_off)
+        return (out, lse), (q, k, v, q_off, kv_off, out, lse)
+
+    def op_bwd(res, cot):
+        dout, _dlse = cot  # gradient w.r.t. LSE is not propagated (like FA)
+        q, k, v, q_off, kv_off, out, lse = res
+        dq, dk, dv = _flash_bwd_bhsd(
+            _to_bhsd(q), _to_bhsd(k), _to_bhsd(v), q_off, kv_off,
+            _to_bhsd(out), lse, _to_bhsd(dout), cfg,
+        )
+        f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+        return (
+            _to_bhsd(dq).astype(q.dtype),
+            _to_bhsd(dk).astype(k.dtype),
+            _to_bhsd(dv).astype(v.dtype),
+            f0(q_off),
+            f0(kv_off),
+        )
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def _fit_block(block: int, limit: int) -> int:
+    block = min(block, limit)
+    while limit % block:
+        block //= 2
+    return max(block, 1)
+
+
+def _resolve_cfg(
+    h, h_kv, s_q, s_kv, d, *, causal, softmax_scale, window_size, softcap,
+    n_q_chunks, n_kv_chunks, q_stride, kv_stride, block_sizes, interpret,
+) -> FlashConfig:
+    assert h % h_kv == 0, f"GQA requires h ({h}) % h_kv ({h_kv}) == 0"
+    assert s_q % n_q_chunks == 0 and s_kv % n_kv_chunks == 0
+    bs = block_sizes or BlockSizes()
+    chunk_q = s_q // n_q_chunks
+    chunk_kv = s_kv // n_kv_chunks
+    scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(d)
+    return FlashConfig(
+        causal=bool(causal),
+        scale=float(scale),
+        window=(int(window_size[0]), int(window_size[1])),
+        softcap=float(softcap),
+        q_stride=int(q_stride),
+        kv_stride=int(kv_stride),
+        n_q_chunks=int(n_q_chunks),
+        n_kv_chunks=int(n_kv_chunks),
+        block_q=_fit_block(bs.block_q, chunk_q),
+        block_kv=_fit_block(bs.block_kv, chunk_kv),
+        block_q_bwd=_fit_block(bs.bq_bwd, chunk_q),
+        block_kv_bwd=_fit_block(bs.bkv_bwd, chunk_kv),
+        interpret=default_interpret() if interpret is None else bool(interpret),
+    )
+
+
+def _resolve_offsets(offsets, n_chunks):
+    if offsets is None:
+        assert n_chunks == 1
+        return jnp.zeros((1,), jnp.int32)
+    arr = jnp.asarray(offsets, jnp.int32)
+    assert arr.shape == (n_chunks,)
+    return arr
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    q_offsets=None,
+    kv_offsets=None,
+    q_stride: int = 1,
+    kv_stride: int = 1,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+    return_lse: bool = False,
+):
+    """Flash attention with flash-attn semantics and global-position masking.
+
+    Args:
+      q: (b, s_q, h, d); k, v: (b, s_kv, h_kv, d), h % h_kv == 0 (GQA).
+      q_offsets / kv_offsets: int32 (n_chunks,) global start positions of the
+        equal-size contiguous chunks making up the local sequence (may be
+        traced, e.g. functions of a ring rank). Token at local index l has
+        global position offsets[l // chunk] + (l % chunk) * stride.
+      q_stride / kv_stride: position stride within a chunk (stripe layouts).
+      return_lse: also return the (b, h, s_q) fp32 log-sum-exp.
+
+    Differentiable (custom VJP, flash-style recomputation backward).
+    """
+    b, s_q, h, d = q.shape
+    _, s_kv, h_kv, _ = k.shape
+    n_q_chunks = 1 if q_offsets is None else len(q_offsets)
+    n_kv_chunks = 1 if kv_offsets is None else len(kv_offsets)
+    cfg = _resolve_cfg(
+        h, h_kv, s_q, s_kv, d,
+        causal=causal, softmax_scale=softmax_scale, window_size=window_size,
+        softcap=softcap, n_q_chunks=n_q_chunks, n_kv_chunks=n_kv_chunks,
+        q_stride=q_stride, kv_stride=kv_stride, block_sizes=block_sizes,
+        interpret=interpret,
+    )
+    q_off = _resolve_offsets(q_offsets, n_q_chunks)
+    kv_off = _resolve_offsets(kv_offsets, n_kv_chunks)
+    out, lse = _make_op(cfg)(q, k, v, q_off, kv_off)
+    return (out, lse) if return_lse else out
+
+
+def flash_attention_fwd(q, k, v, **kwargs):
+    """fwd-only entry (the ring loop's per-step call): returns (out, lse)."""
+    kwargs["return_lse"] = True
+    return flash_attention(q, k, v, **kwargs)
+
+
+def flash_attention_bwd(
+    q, k, v, out, lse, dout, *,
+    causal=False, softmax_scale=None, window_size=(-1, -1), softcap=0.0,
+    q_offsets=None, kv_offsets=None, q_stride=1, kv_stride=1,
+    block_sizes=None, interpret=None,
+):
+    """bwd-only entry (the ring backward's per-step call). BSHD in/out.
+
+    Returns fp32 (dq, dk, dv) partials for this KV block — fp32 so the ring
+    can accumulate rotating partial sums without precision loss (the
+    reference's dq.to(bfloat16) bug at `ring/ring_flash_attn.py:147` is
+    exactly what this avoids).
+    """
+    b, s_q, h, d = q.shape
+    _, s_kv, h_kv, _ = k.shape
+    n_q_chunks = 1 if q_offsets is None else len(q_offsets)
+    n_kv_chunks = 1 if kv_offsets is None else len(kv_offsets)
+    cfg = _resolve_cfg(
+        h, h_kv, s_q, s_kv, d,
+        causal=causal, softmax_scale=softmax_scale, window_size=window_size,
+        softcap=softcap, n_q_chunks=n_q_chunks, n_kv_chunks=n_kv_chunks,
+        q_stride=q_stride, kv_stride=kv_stride, block_sizes=block_sizes,
+        interpret=interpret,
+    )
+    q_off = _resolve_offsets(q_offsets, n_q_chunks)
+    kv_off = _resolve_offsets(kv_offsets, n_kv_chunks)
+    dq, dk, dv = _flash_bwd_bhsd(
+        _to_bhsd(q), _to_bhsd(k), _to_bhsd(v), q_off, kv_off,
+        _to_bhsd(out), lse, _to_bhsd(dout), cfg,
+    )
+    return _to_bhsd(dq), _to_bhsd(dk), _to_bhsd(dv)

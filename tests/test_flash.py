@@ -1,0 +1,141 @@
+"""Pallas flash attention vs the XLA oracle (fwd + bwd), interpret mode on CPU.
+
+Mirrors the reference's oracle pattern (`test/test_hybrid_attn.py:336-420`):
+same inputs through the production kernel and the fp32 einsum oracle, compare
+out / lse / grads. Tolerances: fp32 single-kernel ~1e-4 (reference end-to-end
+gate is bf16 atol=1e-1)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from long_context_attention_tpu.ops.flash import flash_attention, flash_attention_bwd
+from long_context_attention_tpu.ops.reference import xla_attention
+from long_context_attention_tpu.utils.config import BlockSizes
+
+BS = BlockSizes(block_q=64, block_kv=64)
+
+
+def make_qkv(rng, b=1, s=256, h=2, hkv=None, d=64, dtype=np.float32):
+    hkv = hkv or h
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fwd_matches_oracle(rng, causal):
+    q, k, v = make_qkv(rng)
+    out, lse = flash_attention(q, k, v, causal=causal, block_sizes=BS, return_lse=True)
+    ref_out, ref_lse = xla_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), atol=2e-4, rtol=1e-4)
+
+
+def test_fwd_gqa_softcap_window(rng):
+    q, k, v = make_qkv(rng, h=4, hkv=2)
+    kw = dict(causal=True, softcap=8.0, window_size=(96, -1))
+    out, lse = flash_attention(q, k, v, block_sizes=BS, return_lse=True, **kw)
+    ref_out, ref_lse = xla_attention(q, k, v, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("gqa", [1, 2])
+def test_grads_match_oracle(rng, causal, gqa):
+    q, k, v = make_qkv(rng, s=128, h=2 * gqa, hkv=2)
+    dout = jnp.asarray(rng.standard_normal(q.shape), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal, block_sizes=BS) * dout)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, causal=causal)[0] * dout)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3,
+            err_msg=f"d{name} mismatch (causal={causal}, gqa={gqa})",
+        )
+
+
+def test_grads_softcap(rng):
+    q, k, v = make_qkv(rng, s=128)
+    dout = jnp.asarray(rng.standard_normal(q.shape), jnp.float32)
+    kw = dict(causal=True, softcap=4.0)
+    g1 = jax.grad(lambda *a: jnp.sum(flash_attention(*a, block_sizes=BS, **kw) * dout), (0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: jnp.sum(xla_attention(*a, **kw)[0] * dout), (0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3)
+
+
+def test_chunked_offsets_match_slices(rng):
+    """Zigzag-style local q: chunks [64:128) and [384:448) of a 512 seq."""
+    b, s, h, d = 1, 512, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    full, full_lse = flash_attention(q, k, v, causal=True, block_sizes=BS, return_lse=True)
+
+    q_local = jnp.concatenate([q[:, 64:128], q[:, 384:448]], axis=1)
+    out, lse = flash_attention(
+        q_local, k, v, causal=True, block_sizes=BS, return_lse=True,
+        q_offsets=jnp.asarray([64, 384], jnp.int32),
+    )
+    expect = jnp.concatenate([full[:, 64:128], full[:, 384:448]], axis=1)
+    expect_lse = jnp.concatenate([full_lse[:, :, 64:128], full_lse[:, :, 384:448]], axis=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(expect_lse), atol=2e-4, rtol=1e-4)
+
+
+def test_strided_positions_stripe_layout(rng):
+    """Stripe-style: local tokens are global [j::4] — stride-4 positions."""
+    b, s, h, d = 1, 256, 2, 64
+    stride, j = 4, 1
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    full, _ = flash_attention(q, k, v, causal=True, block_sizes=BS, return_lse=True)
+
+    out = flash_attention(
+        q[:, j::stride], k, v, causal=True, block_sizes=BS,
+        q_offsets=jnp.asarray([j], jnp.int32), q_stride=stride,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(full[:, j::stride]), atol=2e-4, rtol=1e-4
+    )
+
+
+def test_fully_masked_block_pair(rng):
+    """kv strictly in the future of every q: zero out, -inf lse, zero grads."""
+    b, s, h, d = 1, 128, 1, 64
+    q, k, v = make_qkv(rng, s=s, h=h, d=d)
+    out, lse = flash_attention(
+        q, k, v, causal=True, block_sizes=BS, return_lse=True,
+        q_offsets=jnp.asarray([0], jnp.int32),
+        kv_offsets=jnp.asarray([100000], jnp.int32),
+    )
+    assert np.all(np.asarray(out) == 0.0)
+    assert np.all(np.isneginf(np.asarray(lse)))
+    g = jax.grad(lambda q: jnp.sum(flash_attention(
+        q, k, v, causal=True, block_sizes=BS,
+        q_offsets=jnp.asarray([0], jnp.int32),
+        kv_offsets=jnp.asarray([100000], jnp.int32))))(q)
+    assert np.all(np.asarray(g) == 0.0)
+    assert not np.any(np.isnan(np.asarray(g)))
+
+
+def test_bwd_only_entry_matches_autodiff(rng):
+    q, k, v = make_qkv(rng, s=128)
+    dout = jnp.asarray(rng.standard_normal(q.shape), jnp.float32)
+    out, lse = flash_attention(q, k, v, causal=True, block_sizes=BS, return_lse=True)
+    dq, dk, dv = flash_attention_bwd(q, k, v, out, lse, dout, causal=True, block_sizes=BS)
+    g = jax.grad(lambda q, k, v: jnp.sum(flash_attention(q, k, v, causal=True, block_sizes=BS) * dout), (0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(g[0]), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(g[1]), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(g[2]), atol=1e-5, rtol=1e-5)
