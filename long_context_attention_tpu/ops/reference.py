@@ -25,7 +25,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["xla_attention"]
+__all__ = ["xla_attention", "xla_attention_bwd"]
 
 
 def _build_mask(
@@ -123,3 +123,77 @@ def xla_attention(
     out = out / jnp.maximum(denom, 1e-37).transpose(0, 2, 1)[..., None]
     out = jnp.where(dead.transpose(0, 2, 1)[..., None], 0.0, out)
     return out.astype(dtype_out), lse
+
+
+def xla_attention_bwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    out: jnp.ndarray,
+    lse: jnp.ndarray,
+    dout: jnp.ndarray,
+    *,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    q_positions: Optional[jnp.ndarray] = None,
+    kv_positions: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Flash-decomposition backward in pure XLA (the bwd-stage analog of the
+    reference's ``flash_attn_backward`` adapter, `kernels/attention.py:205`).
+
+    Given the *final merged* ``out``/``lse`` (softmax over the full KV set) and
+    this call's KV block, returns this block's exact fp32 partial gradients:
+    ``p = exp(s - lse)`` is the true softmax restricted to these columns, and
+    ``ds = p * (dp - rowsum(dout * out))`` — so summing the returned dq (and
+    ring-accumulating dk/dv) over all blocks reproduces full-attention grads.
+    Used as the numerical oracle for the Pallas backward and as the ring's
+    CPU-path bwd impl.
+    """
+    b, s_q, h, d = q.shape
+    _, s_kv, h_kv, _ = k.shape
+    group = h // h_kv
+    scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(d)
+
+    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    if group > 1:
+        kf = jnp.repeat(kf, group, axis=2)
+        vf = jnp.repeat(vf, group, axis=2)
+    dof = dout.astype(jnp.float32)
+    outf = out.astype(jnp.float32)
+
+    s = jnp.einsum("bthd,bshd->bhts", qf * scale, kf)
+    t = None
+    if softcap and softcap > 0.0:
+        t = jnp.tanh(s / softcap)
+        s = t * softcap
+
+    if q_positions is None:
+        q_positions = jnp.arange(s_q, dtype=jnp.int32) + (s_kv - s_q)
+    if kv_positions is None:
+        kv_positions = jnp.arange(s_kv, dtype=jnp.int32)
+    mask = _build_mask(q_positions, kv_positions, causal, window_size)
+
+    lse_b = lse.astype(jnp.float32)[..., None]  # (b, h, s_q, 1)
+    dead = jnp.isneginf(lse_b)
+    p = jnp.exp(s - jnp.where(dead, 0.0, lse_b))
+    bad = dead
+    if mask is not None:
+        bad = bad | mask[None, None]
+    p = jnp.where(bad, 0.0, p)
+
+    delta = jnp.sum(dof * outf, axis=-1).transpose(0, 2, 1)[..., None]  # (b,h,s_q,1)
+    dp = jnp.einsum("bthd,bshd->bhts", dof, vf)
+    ds = p * (dp - delta)
+    if t is not None:
+        ds = ds * (1.0 - t * t)
+    ds = ds * scale
+
+    dq = jnp.einsum("bhts,bshd->bthd", ds, kf)
+    dk = jnp.einsum("bhts,bthd->bshd", ds, qf)
+    dv = jnp.einsum("bhts,bthd->bshd", p, dof)
+    if group > 1:
+        dk = dk.reshape(b, s_kv, h_kv, group, d).sum(axis=3)
+        dv = dv.reshape(b, s_kv, h_kv, group, d).sum(axis=3)
+    return dq, dk, dv

@@ -1,0 +1,53 @@
+"""Parallelism layer: mesh, sequence layouts, Ulysses a2a, ring, USP hybrid.
+
+TPU-native replacement for the reference's `yunchang/globals.py` (process
+groups), `yunchang/comm/` (all-to-all + extract), `yunchang/ring/` (ring
+schedules) and `yunchang/hybrid/` (USP composition) — see SURVEY.md §1.
+"""
+
+from long_context_attention_tpu.parallel.mesh import (
+    MeshAxes,
+    make_usp_mesh,
+    seq_sharding,
+)
+from long_context_attention_tpu.parallel.layouts import (
+    LAYOUTS,
+    extract_local,
+    layout_permutation,
+    permute_for_layout,
+    position_descriptor,
+    positions_from_descriptor,
+    unpermute_from_layout,
+)
+from long_context_attention_tpu.parallel.ulysses import (
+    gather_heads,
+    scatter_heads,
+    ulysses_attention_local,
+)
+from long_context_attention_tpu.parallel.ring import RingConfig, ring_attention_local
+from long_context_attention_tpu.parallel.usp import (
+    LongContextAttention,
+    UlyssesAttention,
+    usp_attention_local,
+)
+
+__all__ = [
+    "MeshAxes",
+    "make_usp_mesh",
+    "seq_sharding",
+    "LAYOUTS",
+    "extract_local",
+    "layout_permutation",
+    "permute_for_layout",
+    "position_descriptor",
+    "positions_from_descriptor",
+    "unpermute_from_layout",
+    "gather_heads",
+    "scatter_heads",
+    "ulysses_attention_local",
+    "RingConfig",
+    "ring_attention_local",
+    "LongContextAttention",
+    "UlyssesAttention",
+    "usp_attention_local",
+]

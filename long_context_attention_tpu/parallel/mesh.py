@@ -1,0 +1,83 @@
+"""USP device mesh construction.
+
+TPU-native replacement for the reference's process-group factory
+(`yunchang/globals.py:22-81` ``set_seq_parallel_pg``): instead of a singleton
+holding per-rank NCCL groups built with an all-ranks ``new_group`` loop, a
+single ``jax.sharding.Mesh`` with named axes ``('dp', 'ring', 'ulysses')``
+describes the whole 3-D topology; XLA derives every collective's participant
+set from the axis name.
+
+Axis placement == the reference's ``use_ulysses_low`` (`globals.py:39-78`):
+the *last* mesh axis gets contiguous device ids, i.e. the best-connected ICI
+neighbors. Default ``ulysses_low=True`` puts the all-to-all-heavy ulysses
+axis innermost (the reference's default and recommendation for NVLink; on TPU
+the analog is keeping the a2a on the shortest ICI paths). ``ulysses_low=False``
+puts the ring innermost so the per-step ``ppermute`` rides adjacent links.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["MeshAxes", "make_usp_mesh", "seq_sharding", "SEQ_AXES"]
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshAxes:
+    """Axis names of a USP mesh (override to embed in a larger mesh)."""
+
+    dp: str = "dp"
+    ring: str = "ring"
+    ulysses: str = "ulysses"
+
+    @property
+    def seq(self):
+        """Sequence is sharded jointly over (ring, ulysses), ring-major —
+        matching the reference's rank = ring_idx * ud + ulysses_idx ordering
+        under ``use_ulysses_low=True`` (`globals.py:40-57`)."""
+        return (self.ring, self.ulysses)
+
+
+SEQ_AXES = MeshAxes().seq
+
+
+def make_usp_mesh(
+    dp: int = 1,
+    ulysses: int = 1,
+    ring: int = 1,
+    *,
+    devices: Optional[Sequence[jax.Device]] = None,
+    ulysses_low: bool = True,
+    axes: MeshAxes = MeshAxes(),
+) -> Mesh:
+    """Build the ``(dp, ring, ulysses)`` mesh.
+
+    ``dp * ulysses * ring`` must equal the device count (the reference derives
+    ``dp = world_size // (ud * rd)`` the same way, `globals.py:29-30`).
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    n = dp * ulysses * ring
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices (dp={dp} x ring={ring} x ulysses={ulysses}), "
+                         f"have {len(devs)}")
+    devs = np.asarray(devs[:n], dtype=object)
+    if ulysses_low:
+        grid = devs.reshape(dp, ring, ulysses)
+    else:
+        grid = devs.reshape(dp, ulysses, ring).transpose(0, 2, 1)
+    return Mesh(grid, axis_names=(axes.dp, axes.ring, axes.ulysses))
+
+
+def seq_sharding(mesh: Mesh, axes: MeshAxes = MeshAxes(), *, batch_axis: int = 0,
+                 seq_axis: int = 1, ndim: int = 4) -> NamedSharding:
+    """Sharding of a (b, s, h, d)-like global array: batch over dp, sequence
+    over (ring, ulysses), heads/dim replicated — the USP input layout."""
+    spec = [None] * ndim
+    spec[batch_axis] = axes.dp
+    spec[seq_axis] = axes.seq
+    return NamedSharding(mesh, P(*spec))

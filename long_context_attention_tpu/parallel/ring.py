@@ -1,0 +1,194 @@
+"""Ring attention over a mesh axis: KV rotation with online LSE merging.
+
+TPU-native redesign of the reference's entire `yunchang/ring/` package (six
+schedule families × ~2.3k LoC). The reference hand-rolls one autograd.Function
+per schedule because each schedule changes *tensor shapes* per ring step
+(zigzag half-slices `ring/zigzag_ring_flash_attn.py:51-67`, stripe shift-by-one
+`ring/stripe_flash_attn.py:96-107`). Here all schedules share **one** SPMD
+loop: shapes are static, and a schedule is nothing but a global-position
+descriptor (parallel/layouts.py) fed to the position-aware kernel, whose
+tile skipping recovers the causal load balance at MXU-tile granularity.
+
+Mapping to the reference:
+
+* ``RingComm`` P2P (`ring/utils.py:118-161`) → ``lax.ppermute`` on the ring
+  mesh axis. The loop is unrolled over the (static) ring size so XLA's async
+  collectives overlap the next step's permute with the current step's kernel —
+  the double-buffered prefetch of `ring_flash_attn.py:29-57` without manual
+  commit/wait.
+* fwd loop (`ring_flash_attn_forward:7`) → unrolled merge of per-step
+  ``(out, lse)`` via ops/merge.py in fp32.
+* the two-ring backward (`ring_flash_attn_backward:65-147`: KV ring + rotating
+  dk/dv partial-sum ring) → ``jax.custom_vjp`` whose bwd replays the KV
+  rotation and ppermutes the fp32 dk/dv accumulators one extra step so they
+  land on their owner rank (the ``next_dk`` return of
+  `zigzag_ring_flash_attn.py:183`). dq/dk/dv accumulate in fp32 end-to-end —
+  the reference's ``dq.to(bfloat16)`` precision bug
+  (`ring/ring_flash_attn.py:147`) is structurally impossible here.
+
+Functions here run *inside* ``shard_map``; arrays are device-local shards.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from long_context_attention_tpu.ops.merge import merge_attn_blocks
+from long_context_attention_tpu.ops.registry import get_attn_impl
+from long_context_attention_tpu.parallel.layouts import LAYOUTS, position_descriptor
+from long_context_attention_tpu.utils.config import BlockSizes
+
+__all__ = ["RingConfig", "ring_attention_local"]
+
+
+@dataclasses.dataclass(frozen=True)
+class RingConfig:
+    """Static ring-attention configuration (hashable: custom_vjp nondiff arg)."""
+
+    axis_name: str
+    ring_size: int
+    layout: str = "zigzag"
+    causal: bool = False
+    softmax_scale: Optional[float] = None
+    window: Tuple[int, int] = (-1, -1)
+    softcap: float = 0.0
+    impl: str = "pallas"
+    block_sizes: Optional[BlockSizes] = None
+    interpret: Optional[bool] = None
+
+    def __post_init__(self):
+        if self.layout not in LAYOUTS:
+            raise ValueError(f"unknown layout {self.layout!r}")
+
+    def attn_kwargs(self, q_off, kv_off, q_stride, kv_stride):
+        kw = dict(
+            causal=self.causal,
+            softmax_scale=self.softmax_scale,
+            window_size=self.window,
+            softcap=self.softcap,
+            q_offsets=q_off,
+            kv_offsets=kv_off,
+            q_stride=q_stride,
+            kv_stride=kv_stride,
+        )
+        if self.impl == "pallas":
+            kw["block_sizes"] = self.block_sizes
+            kw["interpret"] = self.interpret
+        return kw
+
+
+def _rotate(x, axis_name: str, n: int):
+    """Send to rank+1 on the ring (the `RingComm.send_recv` direction,
+    `ring/utils.py:133`)."""
+    return lax.ppermute(x, axis_name, [(j, (j + 1) % n) for j in range(n)])
+
+
+def _ring_fwd_impl(cfg: RingConfig, q, k, v):
+    impl = get_attn_impl(cfg.impl)
+    n = cfg.ring_size
+    rank = lax.axis_index(cfg.axis_name)
+    b, s_q, h, d = q.shape
+    s_kv = k.shape[1]
+    q_off, q_stride = position_descriptor(cfg.layout, rank, n, s_q)
+
+    acc_out = jnp.zeros((b, s_q, h, d), jnp.float32)
+    acc_lse = jnp.full((b, h, s_q), -jnp.inf, jnp.float32)
+    k_cur, v_cur = k, v
+    for step in range(n):
+        src = jax.lax.rem(rank - step + n, n)  # whose KV we hold this step
+        kv_off, kv_stride = position_descriptor(cfg.layout, src, n, s_kv)
+        blk_out, blk_lse = impl.fwd(
+            q, k_cur, v_cur, **cfg.attn_kwargs(q_off, kv_off, q_stride, kv_stride)
+        )
+        acc_out, acc_lse = merge_attn_blocks(acc_out, acc_lse, blk_out, blk_lse)
+        if step < n - 1:
+            k_cur = _rotate(k_cur, cfg.axis_name, n)
+            v_cur = _rotate(v_cur, cfg.axis_name, n)
+    return acc_out.astype(q.dtype), acc_lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ring(cfg: RingConfig, q, k, v):
+    return _ring_fwd_impl(cfg, q, k, v)
+
+
+def _ring_vjp_fwd(cfg, q, k, v):
+    out, lse = _ring_fwd_impl(cfg, q, k, v)
+    return (out, lse), (q, k, v, out, lse)
+
+
+def _ring_vjp_bwd(cfg, res, cot):
+    q, k, v, out, lse = res
+    dout, _dlse = cot  # LSE cotangent not propagated (flash-attn convention)
+    impl = get_attn_impl(cfg.impl)
+    n = cfg.ring_size
+    rank = lax.axis_index(cfg.axis_name)
+    s_q, s_kv = q.shape[1], k.shape[1]
+    q_off, q_stride = position_descriptor(cfg.layout, rank, n, s_q)
+
+    dq = jnp.zeros(q.shape, jnp.float32)
+    dk = jnp.zeros(k.shape, jnp.float32)
+    dv = jnp.zeros(v.shape, jnp.float32)
+    k_cur, v_cur = k, v
+    for step in range(n):
+        src = jax.lax.rem(rank - step + n, n)
+        kv_off, kv_stride = position_descriptor(cfg.layout, src, n, s_kv)
+        dq_p, dk_p, dv_p = impl.bwd(
+            q, k_cur, v_cur, out, lse, dout,
+            **cfg.attn_kwargs(q_off, kv_off, q_stride, kv_stride),
+        )
+        dq = dq + dq_p
+        dk = dk + dk_p
+        dv = dv + dv_p
+        # dk/dv ride the ring every step (n total hops) so each partial sum
+        # lands back on its KV's owner; the KV ring skips the final hop.
+        dk = _rotate(dk, cfg.axis_name, n)
+        dv = _rotate(dv, cfg.axis_name, n)
+        if step < n - 1:
+            k_cur = _rotate(k_cur, cfg.axis_name, n)
+            v_cur = _rotate(v_cur, cfg.axis_name, n)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_ring.defvjp(_ring_vjp_fwd, _ring_vjp_bwd)
+
+
+def ring_attention_local(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    axis_name: str,
+    ring_size: Optional[int] = None,
+    layout: str = "zigzag",
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    impl: str = "pallas",
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+    return_lse: bool = False,
+):
+    """Ring attention on device-local shards, inside ``shard_map``.
+
+    q (b, s/W, h, d); k, v (b, s/W, h_kv, d) laid out per ``layout``
+    (see parallel/layouts.py — use ``permute_for_layout`` on the global
+    sequence, or ``extract_local`` per rank). Differentiable; the public
+    analog of the reference's ``*_ring_flash_attn_func`` family
+    (`ring/__init__.py:1-39`), with the schedule as data instead of code.
+    """
+    n = ring_size if ring_size is not None else lax.axis_size(axis_name)
+    cfg = RingConfig(
+        axis_name=axis_name, ring_size=n, layout=layout, causal=causal,
+        softmax_scale=softmax_scale, window=(int(window_size[0]), int(window_size[1])),
+        softcap=softcap, impl=impl, block_sizes=block_sizes, interpret=interpret,
+    )
+    out, lse = _ring(cfg, q, k, v)
+    return (out, lse) if return_lse else out

@@ -1,0 +1,164 @@
+"""USP: the 2-D hybrid of Ulysses and Ring sequence parallelism.
+
+TPU-native flagship, replacing `yunchang/hybrid/attn_layer.py` (the product,
+SURVEY.md #27-29). Composition is the reference's
+``a2a(ulysses) ∘ ring(ring) ∘ a2a⁻¹(ulysses)``
+(`hybrid/attn_layer.py:57-161`) expressed as pure functions:
+
+* :func:`usp_attention_local` — the device-local body, for users already
+  inside their own ``shard_map`` (how Megatron embeds the reference via
+  `patches/Megatron-DeepSpeed.patch`).
+* :class:`LongContextAttention` — binds a mesh and jits a ``shard_map`` over
+  it; takes globally-sharded ``jax.Array``s (b, s, h, d). Also provides the
+  packed-QKV entry (`hybrid/attn_layer.py:164-259`) and the Ulysses-only
+  layer (`ulysses/attn_layer.py:15-126`).
+
+The sequence must be in *layout order* (parallel/layouts.py
+``permute_for_layout``) — the analog of the reference tests' rank-side
+``EXTRACT_FUNC_DICT`` sharding (`test/test_hybrid_attn.py:201-223`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from long_context_attention_tpu.parallel.mesh import MeshAxes
+from long_context_attention_tpu.parallel.ring import ring_attention_local
+from long_context_attention_tpu.parallel.ulysses import gather_heads, scatter_heads
+from long_context_attention_tpu.utils.config import BlockSizes
+
+__all__ = ["usp_attention_local", "LongContextAttention", "UlyssesAttention"]
+
+
+def usp_attention_local(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    ulysses_axis: str,
+    ring_axis: str,
+    layout: str = "zigzag",
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    impl: str = "pallas",
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """USP attention on device-local shards (b, s/(U*R), h, d) → same shape.
+
+    Head-scatter/seq-gather a2a over the ulysses axis, ring attention over the
+    ring axis, inverse a2a — `LongContextAttention.forward`
+    (`hybrid/attn_layer.py:57-161`). Requires h (and h_kv for GQA) divisible
+    by the ulysses degree, like the reference (`README.md:18-21`).
+    """
+    q = scatter_heads(q, ulysses_axis)
+    k = scatter_heads(k, ulysses_axis)
+    v = scatter_heads(v, ulysses_axis)
+    out = ring_attention_local(
+        q, k, v,
+        axis_name=ring_axis, layout=layout, causal=causal,
+        softmax_scale=softmax_scale, window_size=window_size, softcap=softcap,
+        impl=impl, block_sizes=block_sizes, interpret=interpret,
+    )
+    return gather_heads(out, ulysses_axis)
+
+
+@dataclasses.dataclass(frozen=True)
+class _LayerBase:
+    """Shared mesh-bound machinery for the public attention layers."""
+
+    mesh: Mesh
+    axes: MeshAxes = MeshAxes()
+    layout: str = "zigzag"
+    impl: str = "pallas"
+    block_sizes: Optional[BlockSizes] = None
+    interpret: Optional[bool] = None
+
+    def _spec(self):
+        return P(self.axes.dp, self.axes.seq, None, None)
+
+    def _shard_map(self, fn, n_in):
+        # check_vma=False: pallas_call does not declare varying-mesh-axis info,
+        # the standard setting for custom kernels under shard_map.
+        return jax.jit(jax.shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(self._spec(),) * n_in,
+            out_specs=self._spec(),
+            check_vma=False,
+        ))
+
+
+@dataclasses.dataclass(frozen=True)
+class LongContextAttention(_LayerBase):
+    """The USP layer over globally-sharded arrays (`hybrid/attn_layer.py:14`).
+
+    ``__call__(q, k, v)`` with q (b, s, h, d), k/v (b, s, h_kv, d) sharded (or
+    shardable) as batch→dp, sequence→(ring, ulysses); sequence already in
+    layout order. Returns out (b, s, h, d) with the same sharding.
+
+    ``packed(qkv)`` takes (b, s, 3, h, d) — the QKVPacked variant
+    (`hybrid/attn_layer.py:164-259`); one logical a2a for all three (XLA fuses
+    the three collectives; and unlike the reference, this path works —
+    cf. the ``.continous()`` crash at `hybrid/attn_layer.py:88`).
+    """
+
+    def __call__(self, q, k, v, *, causal: bool = False,
+                 softmax_scale: Optional[float] = None,
+                 window_size: Tuple[int, int] = (-1, -1),
+                 softcap: float = 0.0) -> jnp.ndarray:
+        fn = functools.partial(
+            usp_attention_local,
+            ulysses_axis=self.axes.ulysses, ring_axis=self.axes.ring,
+            layout=self.layout, causal=causal, softmax_scale=softmax_scale,
+            window_size=window_size, softcap=softcap, impl=self.impl,
+            block_sizes=self.block_sizes, interpret=self.interpret,
+        )
+        return self._shard_map(fn, 3)(q, k, v)
+
+    def packed(self, qkv, *, causal: bool = False,
+               softmax_scale: Optional[float] = None,
+               window_size: Tuple[int, int] = (-1, -1),
+               softcap: float = 0.0) -> jnp.ndarray:
+        def fn(qkv_local):
+            q, k, v = qkv_local[:, :, 0], qkv_local[:, :, 1], qkv_local[:, :, 2]
+            return usp_attention_local(
+                q, k, v,
+                ulysses_axis=self.axes.ulysses, ring_axis=self.axes.ring,
+                layout=self.layout, causal=causal, softmax_scale=softmax_scale,
+                window_size=window_size, softcap=softcap, impl=self.impl,
+                block_sizes=self.block_sizes, interpret=self.interpret,
+            )
+
+        spec5 = P(self.axes.dp, self.axes.seq, None, None, None)
+        return jax.jit(jax.shard_map(
+            fn, mesh=self.mesh, in_specs=(spec5,), out_specs=self._spec(),
+            check_vma=False,
+        ))(qkv)
+
+
+@dataclasses.dataclass(frozen=True)
+class UlyssesAttention(_LayerBase):
+    """Standalone SP-Ulysses layer (`ulysses/attn_layer.py:15-126`):
+    ring degree 1, sequence sharded over the ulysses axis only."""
+
+    def __call__(self, q, k, v, *, causal: bool = False,
+                 softmax_scale: Optional[float] = None,
+                 window_size: Tuple[int, int] = (-1, -1),
+                 softcap: float = 0.0) -> jnp.ndarray:
+        fn = functools.partial(
+            usp_attention_local,
+            ulysses_axis=self.axes.ulysses, ring_axis=self.axes.ring,
+            layout="basic", causal=causal, softmax_scale=softmax_scale,
+            window_size=window_size, softcap=softcap, impl=self.impl,
+            block_sizes=self.block_sizes, interpret=self.interpret,
+        )
+        return self._shard_map(fn, 3)(q, k, v)
