@@ -1,0 +1,129 @@
+"""Headline benchmark: Pallas flash attention TFLOPs/chip at 128K, causal GQA.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numeric tables (BASELINE.md) — its harness metric is
+iter/s on 8xA100 (`benchmark/benchmark_longctx.py:255`). Our recorded metric is
+the BASELINE.json north star: attention TFLOPs/chip at 128K sequence on the
+real chip (Llama-3-8B attention shapes: 32 q-heads / 8 kv-heads, head_dim 128,
+causal). ``vs_baseline`` is the fraction of the chip's bf16 matmul peak
+(speed-of-light): v5e = 197 TFLOP/s, v5p = 459 TFLOP/s.
+
+Usage: python bench.py [--seq N] [--fwd-bwd] [--iters N] [--sweep]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def chip_peak_tflops() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind or "v5lite" in kind:
+        return 197.0
+    if "v5p" in kind or "v5" in kind:
+        return 459.0
+    if "v4" in kind:
+        return 275.0
+    if "v6" in kind or "trillium" in kind:
+        return 918.0
+    return 197.0
+
+
+def bench_attention(seq: int, fwd_bwd: bool, iters: int, warmup: int = 1,
+                    heads: int = 32, kv_heads: int = 8, head_dim: int = 128,
+                    causal: bool = True):
+    """Per-call kernel time, amortized over ``iters`` on-device-chained calls.
+
+    The axon tunnel adds ~30ms per host round-trip, so iterations are chained
+    inside ONE jit (each call consumes the previous output) and synced once
+    via a host transfer of a reduction (`block_until_ready` alone does not
+    reliably fence the experimental axon platform).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from long_context_attention_tpu.ops.flash import flash_attention
+
+    b = 1
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv, kd = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, seq, heads, head_dim), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, seq, kv_heads, head_dim), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, seq, kv_heads, head_dim), jnp.bfloat16)
+
+    if fwd_bwd:
+        dout = jax.random.normal(kd, (b, seq, heads, head_dim), jnp.bfloat16)
+
+        def loss(q, k, v):
+            out = flash_attention(q, k, v, causal=causal)
+            return jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32))
+
+        grad = jax.grad(loss, argnums=(0, 1, 2))
+
+        @jax.jit
+        def chained(q, k, v):
+            def body(_, qkv):
+                dq, dk, dv = grad(*qkv)
+                return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
+            r = lax.fori_loop(0, iters, body, (q, k, v))
+            return jnp.sum(r[0].astype(jnp.float32))
+    else:
+
+        @jax.jit
+        def chained(q, k, v):
+            def body(_, qq):
+                return flash_attention(qq, k, v, causal=causal).astype(q.dtype)
+            return jnp.sum(lax.fori_loop(0, iters, body, q).astype(jnp.float32))
+
+    def sync(x):
+        return float(x)
+
+    sync(chained(q, k, v))  # compile + warm
+    for _ in range(warmup):
+        sync(chained(q, k, v))
+    t0 = time.perf_counter()
+    sync(chained(q, k, v))
+    dt = (time.perf_counter() - t0) / iters
+
+    # causal matmul flops: fwd = 2 matmuls, bwd = +5 (recompute + dq/dk/dv/dp)
+    frac = 0.5 if causal else 1.0
+    mm = 7 if fwd_bwd else 2
+    flops = mm * 2 * b * heads * seq * seq * head_dim * frac
+    return flops / dt / 1e12, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", type=int, default=131072)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--fwd-bwd", action="store_true")
+    ap.add_argument("--sweep", action="store_true",
+                    help="print a seq-length sweep table to stderr first")
+    args = ap.parse_args()
+
+    if args.sweep:
+        for s in (8192, 32768, 131072):
+            for fb in (False, True):
+                tf, dt = bench_attention(s, fb, args.iters)
+                print(f"seq={s:7d} {'fwd+bwd' if fb else 'fwd    '} "
+                      f"{tf:7.1f} TFLOP/s  {dt * 1e3:8.2f} ms", file=sys.stderr)
+
+    tflops, dt = bench_attention(args.seq, args.fwd_bwd, args.iters)
+    name = "attn_tflops_per_chip_{}_{}k_causal_gqa".format(
+        "fwdbwd" if args.fwd_bwd else "fwd", args.seq // 1024)
+    print(json.dumps({
+        "metric": name,
+        "value": round(tflops, 2),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(tflops / chip_peak_tflops(), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

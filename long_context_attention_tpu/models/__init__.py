@@ -1,0 +1,26 @@
+"""Model layer: host-framework role the reference delegates to Megatron.
+
+The reference integrates into trainers via `patches/Megatron-DeepSpeed.patch`;
+here the flagship Llama-family decoder (models/llama.py) ships in-package,
+with USP attention, sequence-sharded activations, and a jitted train step.
+"""
+
+from long_context_attention_tpu.models.llama import (
+    ModelConfig,
+    forward_local,
+    init_params,
+    local_positions,
+    loss_local,
+    make_forward,
+    make_train_step,
+)
+
+__all__ = [
+    "ModelConfig",
+    "forward_local",
+    "init_params",
+    "local_positions",
+    "loss_local",
+    "make_forward",
+    "make_train_step",
+]

@@ -1,0 +1,255 @@
+"""Flagship model: Llama-style GQA decoder trained with USP attention.
+
+The reference ships no model — it patches USP into Megatron's transformer
+(`patches/Megatron-DeepSpeed.patch`, swapping ``DistributedAttention`` for
+``LongContextAttention``). Here the host framework is part of the package: a
+functional, pytree-parameter Llama-family decoder whose attention is
+``usp_attention_local`` and whose activations are sequence-sharded end to end
+(embeddings, norms, MLP are token-local, so only attention communicates).
+
+TPU-first design notes:
+
+* Everything runs inside one ``shard_map`` over the (dp, ring, ulysses) mesh;
+  weights are replicated (DP gradient sync = the psum shard_map inserts when
+  transposing the broadcast; ZeRO-style optimizer sharding is the optimizer's
+  business, as in the reference's DeepSpeed delegation `README.md:210`).
+* RoPE needs *global* token positions, which under zigzag/stripe layouts are
+  not ``arange``: they come from the same position descriptor that drives the
+  kernel masking (parallel/layouts.py) sliced to this device's ulysses
+  sub-chunk. One mechanism, two consumers.
+* bf16 params/activations, fp32 RMSNorm accumulation and logits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from long_context_attention_tpu.parallel.layouts import (
+    position_descriptor,
+    positions_from_descriptor,
+)
+from long_context_attention_tpu.parallel.mesh import MeshAxes
+from long_context_attention_tpu.parallel.usp import usp_attention_local
+from long_context_attention_tpu.utils.config import BlockSizes
+
+__all__ = ["ModelConfig", "init_params", "forward_local", "make_forward",
+           "make_train_step", "local_positions"]
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Llama-family hyperparameters (defaults: a tiny test model)."""
+
+    vocab: int = 256
+    dim: int = 128
+    n_layers: int = 2
+    n_heads: int = 4
+    n_kv_heads: int = 2
+    head_dim: int = 32
+    ffn_hidden: int = 256
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    # parallelism
+    layout: str = "zigzag"
+    attn_impl: str = "pallas"
+    block_sizes: Optional[BlockSizes] = None
+
+    @property
+    def q_dim(self) -> int:
+        return self.n_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.n_kv_heads * self.head_dim
+
+
+def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
+    """He-style init, bf16 storage. Layers stacked on a leading axis so the
+    decoder is a ``lax.scan`` over one compiled layer body."""
+    k_embed, k_layers, k_out = jax.random.split(key, 3)
+
+    def dense(k, fan_in, shape):
+        return (jax.random.normal(k, shape, jnp.float32) / jnp.sqrt(fan_in)).astype(cfg.dtype)
+
+    def layer(k):
+        ks = jax.random.split(k, 7)
+        return {
+            "attn_norm": jnp.ones((cfg.dim,), jnp.float32),
+            "wq": dense(ks[0], cfg.dim, (cfg.dim, cfg.q_dim)),
+            "wk": dense(ks[1], cfg.dim, (cfg.dim, cfg.kv_dim)),
+            "wv": dense(ks[2], cfg.dim, (cfg.dim, cfg.kv_dim)),
+            "wo": dense(ks[3], cfg.q_dim, (cfg.q_dim, cfg.dim)),
+            "mlp_norm": jnp.ones((cfg.dim,), jnp.float32),
+            "w_gate": dense(ks[4], cfg.dim, (cfg.dim, cfg.ffn_hidden)),
+            "w_up": dense(ks[5], cfg.dim, (cfg.dim, cfg.ffn_hidden)),
+            "w_down": dense(ks[6], cfg.ffn_hidden, (cfg.ffn_hidden, cfg.dim)),
+        }
+
+    layers = jax.vmap(layer)(jax.random.split(k_layers, cfg.n_layers))
+    return {
+        "embed": dense(k_embed, 1.0, (cfg.vocab, cfg.dim)),
+        "layers": layers,
+        "final_norm": jnp.ones((cfg.dim,), jnp.float32),
+        "lm_head": dense(k_out, cfg.dim, (cfg.dim, cfg.vocab)),
+    }
+
+
+def rmsnorm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    scale = lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * scale * w).astype(x.dtype)
+
+
+def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotary embedding over *global* positions. x (b, s, h, d), positions (s,)."""
+    d = x.shape[-1]
+    freqs = theta ** (-jnp.arange(0, d // 2, dtype=jnp.float32) / (d // 2))
+    ang = positions.astype(jnp.float32)[:, None] * freqs[None, :]  # (s, d/2)
+    cos = jnp.cos(ang)[None, :, None, :]
+    sin = jnp.sin(ang)[None, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos],
+                           axis=-1).astype(x.dtype)
+
+
+def local_positions(cfg: ModelConfig, s_local: int, *, ulysses_axis: str,
+                    ring_axis: str) -> jnp.ndarray:
+    """Global positions of this device's tokens: ring rank's layout descriptor
+    expanded, then sliced to this ulysses sub-chunk (sequence is sharded
+    (ring, ulysses) ring-major, parallel/mesh.py)."""
+    ring = lax.axis_size(ring_axis)
+    uly = lax.axis_size(ulysses_axis)
+    r = lax.axis_index(ring_axis)
+    u = lax.axis_index(ulysses_axis)
+    s_ring = s_local * uly
+    off, stride = position_descriptor(cfg.layout, r, ring, s_ring)
+    ring_pos = positions_from_descriptor(off, stride, s_ring)
+    return lax.dynamic_slice(ring_pos, (u * s_local,), (s_local,))
+
+
+def _layer(cfg: ModelConfig, x, lp, positions, *, ulysses_axis, ring_axis,
+           interpret):
+    b, s, _ = x.shape
+    h = rmsnorm(x, lp["attn_norm"], cfg.norm_eps)
+    q = (h @ lp["wq"]).reshape(b, s, cfg.n_heads, cfg.head_dim)
+    k = (h @ lp["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    v = (h @ lp["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+    attn = usp_attention_local(
+        q, k, v,
+        ulysses_axis=ulysses_axis, ring_axis=ring_axis, layout=cfg.layout,
+        causal=True, impl=cfg.attn_impl, block_sizes=cfg.block_sizes,
+        interpret=interpret,
+    )
+    x = x + (attn.reshape(b, s, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
+    h = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
+    gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+    x = x + ((gate * (h @ lp["w_up"])) @ lp["w_down"]).astype(x.dtype)
+    return x
+
+
+def forward_local(params: Params, tokens: jnp.ndarray, cfg: ModelConfig, *,
+                  ulysses_axis: str, ring_axis: str,
+                  interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Device-local forward: tokens (b, s_local) int32 -> logits fp32
+    (b, s_local, vocab). Call inside shard_map over the USP mesh."""
+    b, s = tokens.shape
+    positions = local_positions(cfg, s, ulysses_axis=ulysses_axis,
+                                ring_axis=ring_axis)
+    x = params["embed"][tokens]
+
+    def body(x, lp):
+        return _layer(cfg, x, lp, positions, ulysses_axis=ulysses_axis,
+                      ring_axis=ring_axis, interpret=interpret), None
+
+    x, _ = lax.scan(body, x, params["layers"])
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    return (x @ params["lm_head"]).astype(jnp.float32)
+
+
+def _replicated(mesh: Mesh, tree):
+    return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+
+
+def make_forward(cfg: ModelConfig, mesh: Mesh, axes: MeshAxes = MeshAxes(), *,
+                 interpret: Optional[bool] = None):
+    """Jitted global forward: (params, tokens (b, s) sharded dp x seq) -> logits."""
+    tok_spec = P(axes.dp, axes.seq)
+    out_spec = P(axes.dp, axes.seq, None)
+
+    def fwd(params, tokens):
+        return forward_local(params, tokens, cfg, ulysses_axis=axes.ulysses,
+                             ring_axis=axes.ring, interpret=interpret)
+
+    mapped = jax.shard_map(fwd, mesh=mesh, in_specs=(P(), tok_spec),
+                           out_specs=out_spec, check_vma=False)
+    return jax.jit(mapped)
+
+
+def loss_local(params: Params, tokens, labels, mask, cfg: ModelConfig, *,
+               ulysses_axis: str, ring_axis: str, dp_axis: Optional[str] = None,
+               interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Global-mean next-token cross-entropy (psum-reduced scalar).
+
+    labels/mask are sharded alongside tokens; the caller builds them in global
+    original order (labels[i] = tokens[i+1]) *before* layout permutation so the
+    shift never crosses shard boundaries.
+    """
+    logits = forward_local(params, tokens, cfg, ulysses_axis=ulysses_axis,
+                           ring_axis=ring_axis, interpret=interpret)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    maskf = mask.astype(jnp.float32)
+    num = jnp.sum(ll * maskf)
+    den = jnp.sum(maskf)
+    axes = (ulysses_axis, ring_axis) + ((dp_axis,) if dp_axis else ())
+    num = lax.psum(num, axes)
+    den = lax.psum(den, axes)
+    return -num / jnp.maximum(den, 1.0)
+
+
+def make_train_step(cfg: ModelConfig, mesh: Mesh, optimizer,
+                    axes: MeshAxes = MeshAxes(), *,
+                    interpret: Optional[bool] = None):
+    """Jitted USP+DP train step: (params, opt_state, tokens, labels, mask) ->
+    (params, opt_state, loss). ``optimizer`` is an optax GradientTransformation.
+
+    Weights are replicated; each device's value_and_grad yields only its local
+    shard's contribution to the global-mean loss, so the gradient all-reduce is
+    one explicit psum over all three mesh axes (the DP sync the reference
+    delegates to DeepSpeed, `README.md:210`, plus the sequence-axis reduction
+    Megatron's sequence parallelism does for shared weights).
+    """
+    tok_spec = P(axes.dp, axes.seq)
+    all_axes = (axes.dp, axes.ring, axes.ulysses)
+
+    def local_step(params, opt_state, tokens, labels, mask):
+        def lf(p):
+            return loss_local(p, tokens, labels, mask, cfg,
+                              ulysses_axis=axes.ulysses, ring_axis=axes.ring,
+                              dp_axis=axes.dp, interpret=interpret)
+
+        loss, grads = jax.value_and_grad(lf)(params)
+        grads = jax.tree.map(lambda g: lax.psum(g, all_axes), grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype), params, updates)
+        return params, opt_state, loss
+
+    mapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), tok_spec, tok_spec, tok_spec),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1))
