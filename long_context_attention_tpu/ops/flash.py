@@ -124,6 +124,18 @@ def _tile_skip(cfg: FlashConfig, q_first, q_last, kv_first, kv_last):
     return skip
 
 
+def _tile_interior(cfg: FlashConfig, q_first, q_last, kv_first, kv_last):
+    """Scalar: True when NO element of the tile is masked — such tiles take
+    the mask-free fast path (no iota/compare/select VPU work). For causal at
+    1024x1024 tiles only ~6% of active tiles straddle the diagonal."""
+    ok = jnp.bool_(True)
+    if cfg.mask_right >= 0:
+        ok = ok & (kv_last <= q_first + cfg.mask_right)
+    if cfg.mask_left >= 0:
+        ok = ok & (kv_first >= q_last - cfg.mask_left)
+    return ok
+
+
 def _scores(cfg: FlashConfig, q, k):
     """Raw scaled (+softcapped) scores in fp32; also returns tanh for bwd."""
     s = jax.lax.dot_general(
@@ -164,22 +176,23 @@ def _fwd_kernel(
         q_first, q_last = _positions(q_off_ref, iq * bq, bq, chunk_q, cfg.q_stride)
         kv_first, kv_last = _positions(kv_off_ref, ik * bkv, bkv, chunk_kv, cfg.kv_stride)
         active = jnp.logical_not(_tile_skip(cfg, q_first, q_last, kv_first, kv_last))
+        interior = _tile_interior(cfg, q_first, q_last, kv_first, kv_last)
     else:
         active = jnp.bool_(True)
+        interior = jnp.bool_(True)
 
-    @pl.when(active)
-    def _compute():
+    def _compute(masked: bool):
         q = q_ref[0, 0, :, :]
         k = k_ref[0, 0, :, :]
         v = v_ref[0, 0, :, :]
         s, _ = _scores(cfg, q, k)
-        if cfg.needs_mask:
+        if masked:
             mask = _tile_mask(cfg, q_first, kv_first, bq, bkv)
             s = jnp.where(mask, NEG_INF, s)
         m_prev = m_scr[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
-        if cfg.needs_mask:
+        if masked:
             p = jnp.where(mask, 0.0, p)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
@@ -188,6 +201,19 @@ def _fwd_kernel(
         )
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    if cfg.needs_mask:
+        # Fast path for tiles fully inside the allowed region (no mask VPU
+        # work); the boundary path only runs on diagonal-straddling tiles.
+        @pl.when(active & interior)
+        def _():
+            _compute(masked=False)
+
+        @pl.when(active & jnp.logical_not(interior))
+        def _():
+            _compute(masked=True)
+    else:
+        _compute(masked=False)
 
     @pl.when(ik == nk - 1)
     def _emit():
@@ -201,6 +227,36 @@ def _fwd_kernel(
         lse_ref[...] = lse.reshape(lse_ref.shape)
 
 
+def _kv_clamp_index_map(cfg: FlashConfig, g: int, chunk_q: int, nk: int):
+    """KV-tile index map that *clamps* the kv grid index into this q-tile's
+    active [lo, hi] band, so fully-masked tiles map to an already-resident
+    block and Mosaic elides their DMA entirely (causal halves KV traffic).
+
+    Only valid when the kv side is one contiguous chunk (kv_stride 1): then
+    the active tiles per q row form one contiguous run. The q side may be
+    chunked/strided (zigzag/stripe q works — bounds use exact tile positions).
+    Skipped tiles still run their (no-op) grid step; `pl.when` gates compute.
+    """
+    bq, bkv = cfg.block_q, cfg.block_kv
+
+    def index_map(ib, ih, iq, ik, q_off, kv_off):
+        local_start = iq * bq
+        c = local_start // chunk_q
+        q_first = q_off[c] + (local_start - c * chunk_q) * cfg.q_stride
+        q_last = q_first + (bq - 1) * cfg.q_stride
+        kv0 = kv_off[0]
+        ikc = ik
+        if cfg.mask_right >= 0:
+            hi = (q_last + cfg.mask_right - kv0) // bkv
+            ikc = jnp.minimum(ikc, jnp.clip(hi, 0, nk - 1))
+        if cfg.mask_left >= 0:
+            lo = (q_first - cfg.mask_left - kv0) // bkv
+            ikc = jnp.maximum(ikc, jnp.clip(lo, 0, nk - 1))
+        return (ib, ih // g, ikc, 0)
+
+    return index_map
+
+
 def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig):
     """q (b,h,s_q,d); k,v (b,h_kv,s_kv,d) -> out (b,h,s_q,d), lse (b,h,s_q)."""
     b, h, s_q, d = q.shape
@@ -211,6 +267,11 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig):
     chunk_q = s_q // cfg.n_q_chunks
     chunk_kv = s_kv // cfg.n_kv_chunks
 
+    if cfg.needs_mask and cfg.n_kv_chunks == 1 and cfg.kv_stride == 1:
+        kv_index_map = _kv_clamp_index_map(cfg, g, chunk_q, nk)
+    else:
+        kv_index_map = lambda ib, ih, iq, ik, *_: (ib, ih // g, ik, 0)
+
     grid = (b, h, nq, nk)
     kernel = functools.partial(_fwd_kernel, cfg=cfg, chunk_q=chunk_q, chunk_kv=chunk_kv)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -218,8 +279,8 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, 1, bkv, d), lambda ib, ih, iq, ik, *_: (ib, ih // g, ik, 0)),
-            pl.BlockSpec((1, 1, bkv, d), lambda ib, ih, iq, ik, *_: (ib, ih // g, ik, 0)),
+            pl.BlockSpec((1, 1, bkv, d), kv_index_map),
+            pl.BlockSpec((1, 1, bkv, d), kv_index_map),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
@@ -300,18 +361,19 @@ def _dq_kernel(
         q_first, q_last = _positions(q_off_ref, iq * bq, bq, chunk_q, cfg.q_stride)
         kv_first, kv_last = _positions(kv_off_ref, ik * bkv, bkv, chunk_kv, cfg.kv_stride)
         active = jnp.logical_not(_tile_skip(cfg, q_first, q_last, kv_first, kv_last))
+        interior = _tile_interior(cfg, q_first, q_last, kv_first, kv_last)
     else:
         active = jnp.bool_(True)
+        interior = jnp.bool_(True)
 
-    @pl.when(active)
-    def _compute():
+    def _compute(masked: bool):
         q = q_ref[0, 0, :, :]
         k = k_ref[0, 0, :, :]
         v = v_ref[0, 0, :, :]
         do = dout_ref[0, 0, :, :]
         lse_row = lse_ref[...].reshape(bq, 1)
         delta_row = delta_ref[...].reshape(bq, 1)
-        m = _tile_mask(cfg, q_first, kv_first, bq, bkv) if cfg.needs_mask else None
+        m = _tile_mask(cfg, q_first, kv_first, bq, bkv) if masked else None
         p, t = _recompute_p(cfg, q, k, m, lse_row)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -320,6 +382,17 @@ def _dq_kernel(
         dq_scr[...] += jax.lax.dot(
             dqk.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
+
+    if cfg.needs_mask:
+        @pl.when(active & interior)
+        def _():
+            _compute(masked=False)
+
+        @pl.when(active & jnp.logical_not(interior))
+        def _():
+            _compute(masked=True)
+    else:
+        _compute(masked=False)
 
     @pl.when(ik == nk - 1)
     def _emit():
@@ -348,18 +421,19 @@ def _dkv_kernel(
         q_first, q_last = _positions(q_off_ref, iq * bq, bq, chunk_q, cfg.q_stride)
         kv_first, kv_last = _positions(kv_off_ref, ik * bkv, bkv, chunk_kv, cfg.kv_stride)
         active = jnp.logical_not(_tile_skip(cfg, q_first, q_last, kv_first, kv_last))
+        interior = _tile_interior(cfg, q_first, q_last, kv_first, kv_last)
     else:
         active = jnp.bool_(True)
+        interior = jnp.bool_(True)
 
-    @pl.when(active)
-    def _compute():
+    def _compute(masked: bool):
         q = q_ref[0, 0, :, :]
         k = k_ref[0, 0, :, :]
         v = v_ref[0, 0, :, :]
         do = dout_ref[0, 0, :, :]
         lse_row = lse_ref[...].reshape(bq, 1)
         delta_row = delta_ref[...].reshape(bq, 1)
-        m = _tile_mask(cfg, q_first, kv_first, bq, bkv) if cfg.needs_mask else None
+        m = _tile_mask(cfg, q_first, kv_first, bq, bkv) if masked else None
         p, t = _recompute_p(cfg, q, k, m, lse_row)
         # dV += P^T @ dOut
         dv_scr[...] += jax.lax.dot_general(
@@ -375,6 +449,17 @@ def _dkv_kernel(
             dqk.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    if cfg.needs_mask:
+        @pl.when(active & interior)
+        def _():
+            _compute(masked=False)
+
+        @pl.when(active & jnp.logical_not(interior))
+        def _():
+            _compute(masked=True)
+    else:
+        _compute(masked=False)
 
     @pl.when(jnp.logical_and(ig == group - 1, iq == nq - 1))
     def _emit():
@@ -397,14 +482,22 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig):
     delta = delta.reshape(b * h, 1, s_q)
     lse_r = lse.reshape(b * h, 1, s_q)
 
+    # DMA-eliding clamped index maps (see _kv_clamp_index_map) for the
+    # streamed operand of each backward kernel.
+    bwd_cfg = dataclasses.replace(cfg, block_q=bq, block_kv=bkv)
+    if cfg.needs_mask and cfg.n_kv_chunks == 1 and cfg.kv_stride == 1:
+        kv_index_map = _kv_clamp_index_map(bwd_cfg, g, chunk_q, nk)
+    else:
+        kv_index_map = lambda ib, ih, iq, ik, *_: (ib, ih // g, ik, 0)
+
     # --- dq: grid (b, h, q_tiles, kv_tiles), kv inner ---
     dq_grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, h, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, 1, bkv, d), lambda ib, ih, iq, ik, *_: (ib, ih // g, ik, 0)),
-            pl.BlockSpec((1, 1, bkv, d), lambda ib, ih, iq, ik, *_: (ib, ih // g, ik, 0)),
+            pl.BlockSpec((1, 1, bkv, d), kv_index_map),
+            pl.BlockSpec((1, 1, bkv, d), kv_index_map),
             pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
             pl.BlockSpec((1, 1, bq), lambda ib, ih, iq, ik, *_: (ib * h + ih, 0, iq)),
             pl.BlockSpec((1, 1, bq), lambda ib, ih, iq, ik, *_: (ib * h + ih, 0, iq)),
@@ -425,16 +518,45 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig):
     )(q_off, kv_off, q, k, v, dout, lse_r, delta)
 
     # --- dk/dv: grid (b, h_kv, kv_tiles, group, q_tiles), q inner ---
+    # Clamp the q-tile stream into the kv tile's active band (transpose of the
+    # kv clamp): valid when the q side is one contiguous chunk.
+    if cfg.needs_mask and cfg.n_q_chunks == 1 and cfg.q_stride == 1:
+
+        def _q_clamped(iq, ik, q_off, kv_off):
+            kv_c = (ik * bkv) // chunk_kv
+            kv_first = kv_off[kv_c] + (ik * bkv - kv_c * chunk_kv) * cfg.kv_stride
+            kv_last = kv_first + (bkv - 1) * cfg.kv_stride
+            q0 = q_off[0]
+            iqc = iq
+            if cfg.mask_right >= 0:
+                lo = (kv_first - cfg.mask_right - q0) // bq
+                iqc = jnp.maximum(iqc, jnp.clip(lo, 0, nq - 1))
+            if cfg.mask_left >= 0:
+                hi = (kv_last + cfg.mask_left - q0) // bq
+                iqc = jnp.minimum(iqc, jnp.clip(hi, 0, nq - 1))
+            return iqc
+    else:
+
+        def _q_clamped(iq, ik, q_off, kv_off):
+            return iq
+
+    def _q_im(ib, ihk, ik, ig, iq, q_off, kv_off):
+        return (ib, ihk * g + ig, _q_clamped(iq, ik, q_off, kv_off), 0)
+
+    def _row_im(ib, ihk, ik, ig, iq, q_off, kv_off):
+        return (ib * (h_kv * g) + ihk * g + ig, 0,
+                _q_clamped(iq, ik, q_off, kv_off))
+
     dkv_grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, h_kv, nk, g, nq),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk * g + ig, iq, 0)),
+            pl.BlockSpec((1, 1, bq, d), _q_im),
             pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
             pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
-            pl.BlockSpec((1, 1, bq, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk * g + ig, iq, 0)),
-            pl.BlockSpec((1, 1, bq), lambda ib, ihk, ik, ig, iq, *_: (ib * (h_kv * g) + ihk * g + ig, 0, iq)),
-            pl.BlockSpec((1, 1, bq), lambda ib, ihk, ik, ig, iq, *_: (ib * (h_kv * g) + ihk * g + ig, 0, iq)),
+            pl.BlockSpec((1, 1, bq, d), _q_im),
+            pl.BlockSpec((1, 1, bq), _row_im),
+            pl.BlockSpec((1, 1, bq), _row_im),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),

@@ -40,18 +40,18 @@ class BlockSizes:
     overrides are set.
     """
 
-    block_q: int = 256
-    block_kv: int = 512
+    block_q: int = 1024
+    block_kv: int = 1024
     block_q_bwd: Optional[int] = None
     block_kv_bwd: Optional[int] = None
 
     @property
     def bq_bwd(self) -> int:
-        return self.block_q_bwd or min(self.block_q, 256)
+        return self.block_q_bwd or self.block_q
 
     @property
     def bkv_bwd(self) -> int:
-        return self.block_kv_bwd or min(self.block_kv, 256)
+        return self.block_kv_bwd or self.block_kv
 
     def clamp(self, seq_q: int, seq_kv: int) -> "BlockSizes":
         """Shrink blocks so they never exceed (and always divide) the seqlens."""
