@@ -70,6 +70,11 @@ class FlashConfig:
     block_q_bwd: int
     block_kv_bwd: int
     interpret: bool
+    # varlen / packed-batch support: tokens carry an int32 segment id and may
+    # only attend within their segment (the TPU-idiomatic replacement for the
+    # reference's cu_seqlens varlen rings, `ring/ring_flash_attn_varlen.py`,
+    # `ring/zigzag_ring_flash_attn_varlen.py`).
+    segmented: bool = False
 
     @property
     def needs_mask(self) -> bool:
@@ -154,13 +159,27 @@ def _scores(cfg: FlashConfig, q, k):
 # ---------------------------------------------------------------------------
 
 
+def _seg_mask(qseg_ref, kseg_ref):
+    """(bq, bkv) True-=-drop mask from segment-id tiles.
+
+    qseg rides as a (1, bq, 1) block (sublane-oriented) and kseg as a
+    (1, 1, bkv) block (lane-oriented) of the same (b, s) array, so the
+    broadcasted compare needs no in-kernel transpose/relayout.
+    """
+    return qseg_ref[0, :, :] != kseg_ref[0, :, :]
+
+
 def _fwd_kernel(
     q_off_ref, kv_off_ref,  # scalar prefetch (SMEM)
-    q_ref, k_ref, v_ref,  # inputs (VMEM tiles)
-    out_ref, lse_ref,  # outputs
-    m_scr, l_scr, acc_scr,  # scratch
-    *, cfg: FlashConfig, chunk_q: int, chunk_kv: int,
+    *refs,  # inputs / outputs / scratch, arity depends on cfg.segmented
+    cfg: FlashConfig, chunk_q: int, chunk_kv: int,
 ):
+    if cfg.segmented:
+        (q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
+         out_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
+    else:
+        q_ref, k_ref, v_ref, out_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        qseg_ref = kseg_ref = None
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
     bq, bkv = cfg.block_q, cfg.block_kv
@@ -186,13 +205,18 @@ def _fwd_kernel(
         k = k_ref[0, 0, :, :]
         v = v_ref[0, 0, :, :]
         s, _ = _scores(cfg, q, k)
+        mask = None
         if masked:
             mask = _tile_mask(cfg, q_first, kv_first, bq, bkv)
+        if cfg.segmented:
+            sm = _seg_mask(qseg_ref, kseg_ref)
+            mask = sm if mask is None else (mask | sm)
+        if mask is not None:
             s = jnp.where(mask, NEG_INF, s)
         m_prev = m_scr[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
-        if masked:
+        if mask is not None:
             p = jnp.where(mask, 0.0, p)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
@@ -257,8 +281,12 @@ def _kv_clamp_index_map(cfg: FlashConfig, g: int, chunk_q: int, nk: int):
     return index_map
 
 
-def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig):
-    """q (b,h,s_q,d); k,v (b,h_kv,s_kv,d) -> out (b,h,s_q,d), lse (b,h,s_q)."""
+def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
+                    q_seg=None, kv_seg=None):
+    """q (b,h,s_q,d); k,v (b,h_kv,s_kv,d) -> out (b,h,s_q,d), lse (b,h,s_q).
+
+    q_seg/kv_seg: (b, s) int32 segment ids when cfg.segmented.
+    """
     b, h, s_q, d = q.shape
     _, h_kv, s_kv, _ = k.shape
     g = h // h_kv
@@ -272,16 +300,27 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig):
     else:
         kv_index_map = lambda ib, ih, iq, ik, *_: (ib, ih // g, ik, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
+        pl.BlockSpec((1, 1, bkv, d), kv_index_map),
+        pl.BlockSpec((1, 1, bkv, d), kv_index_map),
+    ]
+    inputs = [q, k, v]
+    if cfg.segmented:
+        # Same (b, s) ids in two orientations: sublane (bq, 1) for the q side
+        # and lane (1, bkv) for the kv side — see _seg_mask.
+        in_specs += [
+            pl.BlockSpec((1, bq, 1), lambda ib, ih, iq, ik, *_: (ib, iq, 0)),
+            pl.BlockSpec((1, 1, bkv), lambda ib, ih, iq, ik, *_: (ib, 0, ik)),
+        ]
+        inputs += [q_seg.reshape(b, s_q, 1), kv_seg.reshape(b, 1, s_kv)]
+
     grid = (b, h, nq, nk)
     kernel = functools.partial(_fwd_kernel, cfg=cfg, chunk_q=chunk_q, chunk_kv=chunk_kv)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, 1, bkv, d), kv_index_map),
-            pl.BlockSpec((1, 1, bkv, d), kv_index_map),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
             pl.BlockSpec((1, 1, bq), lambda ib, ih, iq, ik, *_: (ib * h + ih, 0, iq)),
@@ -309,7 +348,7 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig):
             transcendentals=b * h * s_q * s_kv,
         ),
         interpret=cfg.interpret,
-    )(q_off, kv_off, q, k, v)
+    )(q_off, kv_off, *inputs)
     return out, lse.reshape(b, h, s_q)
 
 
@@ -343,11 +382,16 @@ def _ds_to_dqk(cfg, p, dp, delta_row, t):
 
 def _dq_kernel(
     q_off_ref, kv_off_ref,
-    q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
-    dq_ref,
-    dq_scr,
-    *, cfg: FlashConfig, chunk_q: int, chunk_kv: int,
+    *refs,
+    cfg: FlashConfig, chunk_q: int, chunk_kv: int,
 ):
+    if cfg.segmented:
+        (q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
+         qseg_ref, kseg_ref, dq_ref, dq_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
+         dq_ref, dq_scr) = refs
+        qseg_ref = kseg_ref = None
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
     bq, bkv = cfg.block_q_bwd, cfg.block_kv_bwd
@@ -374,6 +418,9 @@ def _dq_kernel(
         lse_row = lse_ref[...].reshape(bq, 1)
         delta_row = delta_ref[...].reshape(bq, 1)
         m = _tile_mask(cfg, q_first, kv_first, bq, bkv) if masked else None
+        if cfg.segmented:
+            sm = _seg_mask(qseg_ref, kseg_ref)
+            m = sm if m is None else (m | sm)
         p, t = _recompute_p(cfg, q, k, m, lse_row)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -401,11 +448,16 @@ def _dq_kernel(
 
 def _dkv_kernel(
     q_off_ref, kv_off_ref,
-    q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref,
-    dk_scr, dv_scr,
-    *, cfg: FlashConfig, chunk_q: int, chunk_kv: int, group: int,
+    *refs,
+    cfg: FlashConfig, chunk_q: int, chunk_kv: int, group: int,
 ):
+    if cfg.segmented:
+        (q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
+         qseg_ref, kseg_ref, dk_ref, dv_ref, dk_scr, dv_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+        qseg_ref = kseg_ref = None
     ig = pl.program_id(3)
     iq = pl.program_id(4)
     nq = pl.num_programs(4)
@@ -434,6 +486,9 @@ def _dkv_kernel(
         lse_row = lse_ref[...].reshape(bq, 1)
         delta_row = delta_ref[...].reshape(bq, 1)
         m = _tile_mask(cfg, q_first, kv_first, bq, bkv) if masked else None
+        if cfg.segmented:
+            sm = _seg_mask(qseg_ref, kseg_ref)
+            m = sm if m is None else (m | sm)
         p, t = _recompute_p(cfg, q, k, m, lse_row)
         # dV += P^T @ dOut
         dv_scr[...] += jax.lax.dot_general(
@@ -467,7 +522,8 @@ def _dkv_kernel(
         dv_ref[...] = dv_scr[...].reshape(dv_ref.shape)
 
 
-def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig):
+def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
+                    q_seg=None, kv_seg=None):
     """BHSD backward. Returns fp32 (dq, dk, dv). `lse` is (b, h, s_q) fp32."""
     b, h, s_q, d = q.shape
     _, h_kv, s_kv, _ = k.shape
@@ -490,18 +546,27 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig):
     else:
         kv_index_map = lambda ib, ih, iq, ik, *_: (ib, ih // g, ik, 0)
 
+    dq_in_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
+        pl.BlockSpec((1, 1, bkv, d), kv_index_map),
+        pl.BlockSpec((1, 1, bkv, d), kv_index_map),
+        pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
+        pl.BlockSpec((1, 1, bq), lambda ib, ih, iq, ik, *_: (ib * h + ih, 0, iq)),
+        pl.BlockSpec((1, 1, bq), lambda ib, ih, iq, ik, *_: (ib * h + ih, 0, iq)),
+    ]
+    dq_inputs = [q, k, v, dout, lse_r, delta]
+    if cfg.segmented:
+        dq_in_specs += [
+            pl.BlockSpec((1, bq, 1), lambda ib, ih, iq, ik, *_: (ib, iq, 0)),
+            pl.BlockSpec((1, 1, bkv), lambda ib, ih, iq, ik, *_: (ib, 0, ik)),
+        ]
+        dq_inputs += [q_seg.reshape(b, s_q, 1), kv_seg.reshape(b, 1, s_kv)]
+
     # --- dq: grid (b, h, q_tiles, kv_tiles), kv inner ---
     dq_grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, h, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, 1, bkv, d), kv_index_map),
-            pl.BlockSpec((1, 1, bkv, d), kv_index_map),
-            pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, 1, bq), lambda ib, ih, iq, ik, *_: (ib * h + ih, 0, iq)),
-            pl.BlockSpec((1, 1, bq), lambda ib, ih, iq, ik, *_: (ib * h + ih, 0, iq)),
-        ],
+        in_specs=dq_in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
         ],
@@ -515,7 +580,7 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=cfg.interpret,
-    )(q_off, kv_off, q, k, v, dout, lse_r, delta)
+    )(q_off, kv_off, *dq_inputs)
 
     # --- dk/dv: grid (b, h_kv, kv_tiles, group, q_tiles), q inner ---
     # Clamp the q-tile stream into the kv tile's active band (transpose of the
@@ -547,17 +612,26 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig):
         return (ib * (h_kv * g) + ihk * g + ig, 0,
                 _q_clamped(iq, ik, q_off, kv_off))
 
+    dkv_in_specs = [
+        pl.BlockSpec((1, 1, bq, d), _q_im),
+        pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
+        pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
+        pl.BlockSpec((1, 1, bq, d), _q_im),
+        pl.BlockSpec((1, 1, bq), _row_im),
+        pl.BlockSpec((1, 1, bq), _row_im),
+    ]
+    dkv_inputs = [q, k, v, dout, lse_r, delta]
+    if cfg.segmented:
+        dkv_in_specs += [
+            pl.BlockSpec((1, bq, 1), lambda ib, ihk, ik, ig, iq, *_: (ib, iq, 0)),
+            pl.BlockSpec((1, 1, bkv), lambda ib, ihk, ik, ig, iq, *_: (ib, 0, ik)),
+        ]
+        dkv_inputs += [q_seg.reshape(b, s_q, 1), kv_seg.reshape(b, 1, s_kv)]
+
     dkv_grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, h_kv, nk, g, nq),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d), _q_im),
-            pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
-            pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
-            pl.BlockSpec((1, 1, bq, d), _q_im),
-            pl.BlockSpec((1, 1, bq), _row_im),
-            pl.BlockSpec((1, 1, bq), _row_im),
-        ],
+        in_specs=dkv_in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
             pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
@@ -578,7 +652,7 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary", "arbitrary"),
         ),
         interpret=cfg.interpret,
-    )(q_off, kv_off, q, k, v, dout, lse_r, delta)
+    )(q_off, kv_off, *dkv_inputs)
     return dq, dk, dv
 
 
@@ -593,36 +667,41 @@ def _to_bhsd(x):
 
 @functools.lru_cache(maxsize=None)
 def _make_op(cfg: FlashConfig):
-    """custom_vjp op in the public BSHD layout."""
+    """custom_vjp op in the public BSHD layout. Segment ids (when
+    cfg.segmented) are non-differentiable extra primals (float0 grads)."""
 
-    def fwd_impl(q, k, v, q_off, kv_off):
+    def fwd_impl(q, k, v, q_off, kv_off, q_seg, kv_seg):
         out, lse = _flash_fwd_bhsd(
-            _to_bhsd(q), _to_bhsd(k), _to_bhsd(v), q_off, kv_off, cfg
+            _to_bhsd(q), _to_bhsd(k), _to_bhsd(v), q_off, kv_off, cfg,
+            q_seg, kv_seg,
         )
         return _to_bhsd(out), lse
 
     @jax.custom_vjp
-    def op(q, k, v, q_off, kv_off):
-        return fwd_impl(q, k, v, q_off, kv_off)
+    def op(q, k, v, q_off, kv_off, q_seg, kv_seg):
+        return fwd_impl(q, k, v, q_off, kv_off, q_seg, kv_seg)
 
-    def op_fwd(q, k, v, q_off, kv_off):
-        out, lse = fwd_impl(q, k, v, q_off, kv_off)
-        return (out, lse), (q, k, v, q_off, kv_off, out, lse)
+    def op_fwd(q, k, v, q_off, kv_off, q_seg, kv_seg):
+        out, lse = fwd_impl(q, k, v, q_off, kv_off, q_seg, kv_seg)
+        return (out, lse), (q, k, v, q_off, kv_off, q_seg, kv_seg, out, lse)
 
     def op_bwd(res, cot):
         dout, _dlse = cot  # gradient w.r.t. LSE is not propagated (like FA)
-        q, k, v, q_off, kv_off, out, lse = res
+        q, k, v, q_off, kv_off, q_seg, kv_seg, out, lse = res
         dq, dk, dv = _flash_bwd_bhsd(
             _to_bhsd(q), _to_bhsd(k), _to_bhsd(v), q_off, kv_off,
-            _to_bhsd(out), lse, _to_bhsd(dout), cfg,
+            _to_bhsd(out), lse, _to_bhsd(dout), cfg, q_seg, kv_seg,
         )
-        f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+        f0 = lambda x: (None if x is None
+                        else np.zeros(x.shape, dtype=jax.dtypes.float0))
         return (
             _to_bhsd(dq).astype(q.dtype),
             _to_bhsd(dk).astype(k.dtype),
             _to_bhsd(dv).astype(v.dtype),
             f0(q_off),
             f0(kv_off),
+            f0(q_seg),
+            f0(kv_seg),
         )
 
     op.defvjp(op_fwd, op_bwd)
@@ -639,6 +718,7 @@ def _fit_block(block: int, limit: int) -> int:
 def _resolve_cfg(
     h, h_kv, s_q, s_kv, d, *, causal, softmax_scale, window_size, softcap,
     n_q_chunks, n_kv_chunks, q_stride, kv_stride, block_sizes, interpret,
+    segmented=False,
 ) -> FlashConfig:
     assert h % h_kv == 0, f"GQA requires h ({h}) % h_kv ({h_kv}) == 0"
     assert s_q % n_q_chunks == 0 and s_kv % n_kv_chunks == 0
@@ -660,6 +740,7 @@ def _resolve_cfg(
         block_q_bwd=_fit_block(bs.bq_bwd, chunk_q),
         block_kv_bwd=_fit_block(bs.bkv_bwd, chunk_kv),
         interpret=default_interpret() if interpret is None else bool(interpret),
+        segmented=bool(segmented),
     )
 
 
@@ -685,6 +766,8 @@ def flash_attention(
     kv_offsets=None,
     q_stride: int = 1,
     kv_stride: int = 1,
+    q_segment_ids=None,
+    kv_segment_ids=None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     return_lse: bool = False,
@@ -698,6 +781,11 @@ def flash_attention(
         traced, e.g. functions of a ring rank). Token at local index l has
         global position offsets[l // chunk] + (l % chunk) * stride.
       q_stride / kv_stride: position stride within a chunk (stripe layouts).
+      q_segment_ids / kv_segment_ids: optional (b, s) int32 — varlen/packed
+        batches: attention only within equal segment ids (the TPU-idiomatic
+        replacement for the reference's cu_seqlens varlen API,
+        `ring/ring_flash_attn_varlen.py:28`). Causality uses positions, which
+        within a segment equals per-sequence causality.
       return_lse: also return the (b, h, s_q) fp32 log-sum-exp.
 
     Differentiable (custom VJP, flash-style recomputation backward).
@@ -706,16 +794,21 @@ def flash_attention(
     _, s_kv, h_kv, _ = k.shape
     n_q_chunks = 1 if q_offsets is None else len(q_offsets)
     n_kv_chunks = 1 if kv_offsets is None else len(kv_offsets)
+    segmented = q_segment_ids is not None
+    assert (kv_segment_ids is not None) == segmented, \
+        "q_segment_ids and kv_segment_ids must be passed together"
     cfg = _resolve_cfg(
         h, h_kv, s_q, s_kv, d,
         causal=causal, softmax_scale=softmax_scale, window_size=window_size,
         softcap=softcap, n_q_chunks=n_q_chunks, n_kv_chunks=n_kv_chunks,
         q_stride=q_stride, kv_stride=kv_stride, block_sizes=block_sizes,
-        interpret=interpret,
+        interpret=interpret, segmented=segmented,
     )
     q_off = _resolve_offsets(q_offsets, n_q_chunks)
     kv_off = _resolve_offsets(kv_offsets, n_kv_chunks)
-    out, lse = _make_op(cfg)(q, k, v, q_off, kv_off)
+    q_seg = None if q_segment_ids is None else jnp.asarray(q_segment_ids, jnp.int32)
+    kv_seg = None if kv_segment_ids is None else jnp.asarray(kv_segment_ids, jnp.int32)
+    out, lse = _make_op(cfg)(q, k, v, q_off, kv_off, q_seg, kv_seg)
     return (out, lse) if return_lse else out
 
 
@@ -729,6 +822,7 @@ def flash_attention_bwd(
     q, k, v, out, lse, dout, *,
     causal=False, softmax_scale=None, window_size=(-1, -1), softcap=0.0,
     q_offsets=None, kv_offsets=None, q_stride=1, kv_stride=1,
+    q_segment_ids=None, kv_segment_ids=None,
     block_sizes=None, interpret=None,
 ):
     """bwd-only entry (the ring backward's per-step call). BSHD in/out.
@@ -742,17 +836,20 @@ def flash_attention_bwd(
     _, s_kv, h_kv, _ = k.shape
     n_q_chunks = 1 if q_offsets is None else len(q_offsets)
     n_kv_chunks = 1 if kv_offsets is None else len(kv_offsets)
+    segmented = q_segment_ids is not None
     cfg = _resolve_cfg(
         h, h_kv, s_q, s_kv, d,
         causal=causal, softmax_scale=softmax_scale, window_size=window_size,
         softcap=softcap, n_q_chunks=n_q_chunks, n_kv_chunks=n_kv_chunks,
         q_stride=q_stride, kv_stride=kv_stride, block_sizes=block_sizes,
-        interpret=interpret,
+        interpret=interpret, segmented=segmented,
     )
     q_off = _resolve_offsets(q_offsets, n_q_chunks)
     kv_off = _resolve_offsets(kv_offsets, n_kv_chunks)
+    q_seg = None if q_segment_ids is None else jnp.asarray(q_segment_ids, jnp.int32)
+    kv_seg = None if kv_segment_ids is None else jnp.asarray(kv_segment_ids, jnp.int32)
     dq, dk, dv = _flash_bwd_bhsd(
         _to_bhsd(q), _to_bhsd(k), _to_bhsd(v), q_off, kv_off,
-        _to_bhsd(out), lse, _to_bhsd(dout), cfg,
+        _to_bhsd(out), lse, _to_bhsd(dout), cfg, q_seg, kv_seg,
     )
     return _to_bhsd(dq), _to_bhsd(dk), _to_bhsd(dv)

@@ -62,6 +62,8 @@ def xla_attention(
     softcap: float = 0.0,
     q_positions: Optional[jnp.ndarray] = None,
     kv_positions: Optional[jnp.ndarray] = None,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
     bias: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """fp32 attention with flash-attn masking semantics.
@@ -109,6 +111,9 @@ def xla_attention(
     mask = _build_mask(q_positions, kv_positions, causal, window_size)
     if mask is not None:
         scores = jnp.where(mask[None, None], -jnp.inf, scores)
+    if q_segment_ids is not None:
+        seg = q_segment_ids[:, :, None] != kv_segment_ids[:, None, :]  # (b,sq,skv)
+        scores = jnp.where(seg[:, None], -jnp.inf, scores)
 
     row_max = jnp.max(scores, axis=-1)  # (b, h, s_q)
     dead = jnp.isneginf(row_max)
@@ -139,6 +144,8 @@ def xla_attention_bwd(
     softcap: float = 0.0,
     q_positions: Optional[jnp.ndarray] = None,
     kv_positions: Optional[jnp.ndarray] = None,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Flash-decomposition backward in pure XLA (the bwd-stage analog of the
     reference's ``flash_attn_backward`` adapter, `kernels/attention.py:205`).
@@ -181,6 +188,9 @@ def xla_attention_bwd(
     bad = dead
     if mask is not None:
         bad = bad | mask[None, None]
+    if q_segment_ids is not None:
+        bad = bad | (q_segment_ids[:, :, None]
+                     != kv_segment_ids[:, None, :])[:, None]
     p = jnp.where(bad, 0.0, p)
 
     delta = jnp.sum(dof * outf, axis=-1).transpose(0, 2, 1)[..., None]  # (b,h,s_q,1)

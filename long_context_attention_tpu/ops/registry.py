@@ -62,6 +62,9 @@ def _xla_kw(q_len, kv_len, kw):
     if kv_off is not None:
         out["kv_positions"] = positions_from_descriptor(
             jnp.asarray(kv_off), kw.get("kv_stride", 1), kv_len)
+    for key in ("q_segment_ids", "kv_segment_ids"):
+        if kw.get(key) is not None:
+            out[key] = kw[key]
     return out
 
 

@@ -66,7 +66,8 @@ class RingConfig:
         if self.layout not in LAYOUTS:
             raise ValueError(f"unknown layout {self.layout!r}")
 
-    def attn_kwargs(self, q_off, kv_off, q_stride, kv_stride):
+    def attn_kwargs(self, q_off, kv_off, q_stride, kv_stride,
+                    q_seg=None, kv_seg=None):
         kw = dict(
             causal=self.causal,
             softmax_scale=self.softmax_scale,
@@ -77,6 +78,9 @@ class RingConfig:
             q_stride=q_stride,
             kv_stride=kv_stride,
         )
+        if q_seg is not None:
+            kw["q_segment_ids"] = q_seg
+            kw["kv_segment_ids"] = kv_seg
         if self.impl == "pallas":
             kw["block_sizes"] = self.block_sizes
             kw["interpret"] = self.interpret
@@ -89,7 +93,7 @@ def _rotate(x, axis_name: str, n: int):
     return lax.ppermute(x, axis_name, [(j, (j + 1) % n) for j in range(n)])
 
 
-def _ring_fwd_impl(cfg: RingConfig, q, k, v):
+def _ring_fwd_impl(cfg: RingConfig, q, k, v, q_seg, kv_seg):
     impl = get_attn_impl(cfg.impl)
     n = cfg.ring_size
     rank = lax.axis_index(cfg.axis_name)
@@ -99,32 +103,35 @@ def _ring_fwd_impl(cfg: RingConfig, q, k, v):
 
     acc_out = jnp.zeros((b, s_q, h, d), jnp.float32)
     acc_lse = jnp.full((b, h, s_q), -jnp.inf, jnp.float32)
-    k_cur, v_cur = k, v
+    k_cur, v_cur, kseg_cur = k, v, kv_seg
     for step in range(n):
         src = jax.lax.rem(rank - step + n, n)  # whose KV we hold this step
         kv_off, kv_stride = position_descriptor(cfg.layout, src, n, s_kv)
         blk_out, blk_lse = impl.fwd(
-            q, k_cur, v_cur, **cfg.attn_kwargs(q_off, kv_off, q_stride, kv_stride)
+            q, k_cur, v_cur,
+            **cfg.attn_kwargs(q_off, kv_off, q_stride, kv_stride, q_seg, kseg_cur)
         )
         acc_out, acc_lse = merge_attn_blocks(acc_out, acc_lse, blk_out, blk_lse)
         if step < n - 1:
             k_cur = _rotate(k_cur, cfg.axis_name, n)
             v_cur = _rotate(v_cur, cfg.axis_name, n)
+            if kseg_cur is not None:
+                kseg_cur = _rotate(kseg_cur, cfg.axis_name, n)
     return acc_out.astype(q.dtype), acc_lse
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _ring(cfg: RingConfig, q, k, v):
-    return _ring_fwd_impl(cfg, q, k, v)
+def _ring(cfg: RingConfig, q, k, v, q_seg, kv_seg):
+    return _ring_fwd_impl(cfg, q, k, v, q_seg, kv_seg)
 
 
-def _ring_vjp_fwd(cfg, q, k, v):
-    out, lse = _ring_fwd_impl(cfg, q, k, v)
-    return (out, lse), (q, k, v, out, lse)
+def _ring_vjp_fwd(cfg, q, k, v, q_seg, kv_seg):
+    out, lse = _ring_fwd_impl(cfg, q, k, v, q_seg, kv_seg)
+    return (out, lse), (q, k, v, q_seg, kv_seg, out, lse)
 
 
 def _ring_vjp_bwd(cfg, res, cot):
-    q, k, v, out, lse = res
+    q, k, v, q_seg, kv_seg, out, lse = res
     dout, _dlse = cot  # LSE cotangent not propagated (flash-attn convention)
     impl = get_attn_impl(cfg.impl)
     n = cfg.ring_size
@@ -135,13 +142,13 @@ def _ring_vjp_bwd(cfg, res, cot):
     dq = jnp.zeros(q.shape, jnp.float32)
     dk = jnp.zeros(k.shape, jnp.float32)
     dv = jnp.zeros(v.shape, jnp.float32)
-    k_cur, v_cur = k, v
+    k_cur, v_cur, kseg_cur = k, v, kv_seg
     for step in range(n):
         src = jax.lax.rem(rank - step + n, n)
         kv_off, kv_stride = position_descriptor(cfg.layout, src, n, s_kv)
         dq_p, dk_p, dv_p = impl.bwd(
             q, k_cur, v_cur, out, lse, dout,
-            **cfg.attn_kwargs(q_off, kv_off, q_stride, kv_stride),
+            **cfg.attn_kwargs(q_off, kv_off, q_stride, kv_stride, q_seg, kseg_cur),
         )
         dq = dq + dq_p
         dk = dk + dk_p
@@ -153,7 +160,10 @@ def _ring_vjp_bwd(cfg, res, cot):
         if step < n - 1:
             k_cur = _rotate(k_cur, cfg.axis_name, n)
             v_cur = _rotate(v_cur, cfg.axis_name, n)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+            if kseg_cur is not None:
+                kseg_cur = _rotate(kseg_cur, cfg.axis_name, n)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            None, None)
 
 
 _ring.defvjp(_ring_vjp_fwd, _ring_vjp_bwd)
@@ -172,6 +182,7 @@ def ring_attention_local(
     window_size: Tuple[int, int] = (-1, -1),
     softcap: float = 0.0,
     impl: str = "pallas",
+    segment_ids: Optional[jnp.ndarray] = None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     return_lse: bool = False,
@@ -180,8 +191,10 @@ def ring_attention_local(
 
     q (b, s/W, h, d); k, v (b, s/W, h_kv, d) laid out per ``layout``
     (see parallel/layouts.py — use ``permute_for_layout`` on the global
-    sequence, or ``extract_local`` per rank). Differentiable; the public
-    analog of the reference's ``*_ring_flash_attn_func`` family
+    sequence, or ``extract_local`` per rank). ``segment_ids`` (b, s/W) int32
+    enables varlen/packed batches (the reference's varlen rings #14/#15);
+    the kv-side ids rotate around the ring with their kv. Differentiable;
+    the public analog of the reference's ``*_ring_flash_attn_func`` family
     (`ring/__init__.py:1-39`), with the schedule as data instead of code.
     """
     n = ring_size if ring_size is not None else lax.axis_size(axis_name)
@@ -190,5 +203,6 @@ def ring_attention_local(
         softmax_scale=softmax_scale, window=(int(window_size[0]), int(window_size[1])),
         softcap=softcap, impl=impl, block_sizes=block_sizes, interpret=interpret,
     )
-    out, lse = _ring(cfg, q, k, v)
+    seg = None if segment_ids is None else jnp.asarray(segment_ids, jnp.int32)
+    out, lse = _ring(cfg, q, k, v, seg, seg)
     return (out, lse) if return_lse else out

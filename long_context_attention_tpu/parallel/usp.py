@@ -50,6 +50,7 @@ def usp_attention_local(
     window_size: Tuple[int, int] = (-1, -1),
     softcap: float = 0.0,
     impl: str = "pallas",
+    segment_ids: Optional[jnp.ndarray] = None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
@@ -59,15 +60,21 @@ def usp_attention_local(
     ring axis, inverse a2a — `LongContextAttention.forward`
     (`hybrid/attn_layer.py:57-161`). Requires h (and h_kv for GQA) divisible
     by the ulysses degree, like the reference (`README.md:18-21`).
+    ``segment_ids`` (b, s/(U*R)) int32 enables varlen/packed batches.
     """
     q = scatter_heads(q, ulysses_axis)
     k = scatter_heads(k, ulysses_axis)
     v = scatter_heads(v, ulysses_axis)
+    if segment_ids is not None and lax.axis_size(ulysses_axis) > 1:
+        # ids have no head dim to scatter: gather the ring-local sequence.
+        segment_ids = lax.all_gather(
+            segment_ids, ulysses_axis, axis=1, tiled=True)
     out = ring_attention_local(
         q, k, v,
         axis_name=ring_axis, layout=layout, causal=causal,
         softmax_scale=softmax_scale, window_size=window_size, softcap=softcap,
-        impl=impl, block_sizes=block_sizes, interpret=interpret,
+        impl=impl, segment_ids=segment_ids, block_sizes=block_sizes,
+        interpret=interpret,
     )
     return gather_heads(out, ulysses_axis)
 
@@ -114,7 +121,8 @@ class LongContextAttention(_LayerBase):
     def __call__(self, q, k, v, *, causal: bool = False,
                  softmax_scale: Optional[float] = None,
                  window_size: Tuple[int, int] = (-1, -1),
-                 softcap: float = 0.0) -> jnp.ndarray:
+                 softcap: float = 0.0,
+                 segment_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         fn = functools.partial(
             usp_attention_local,
             ulysses_axis=self.axes.ulysses, ring_axis=self.axes.ring,
@@ -122,7 +130,16 @@ class LongContextAttention(_LayerBase):
             window_size=window_size, softcap=softcap, impl=self.impl,
             block_sizes=self.block_sizes, interpret=self.interpret,
         )
-        return self._shard_map(fn, 3)(q, k, v)
+        if segment_ids is None:
+            return self._shard_map(fn, 3)(q, k, v)
+        seg_spec = P(self.axes.dp, self.axes.seq)
+        mapped = jax.shard_map(
+            lambda q, k, v, s: fn(q, k, v, segment_ids=s),
+            mesh=self.mesh,
+            in_specs=(self._spec(),) * 3 + (seg_spec,),
+            out_specs=self._spec(), check_vma=False,
+        )
+        return jax.jit(mapped)(q, k, v, segment_ids)
 
     def packed(self, qkv, *, causal: bool = False,
                softmax_scale: Optional[float] = None,
