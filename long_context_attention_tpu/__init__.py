@@ -28,6 +28,7 @@ from long_context_attention_tpu.ops import (
 )
 from long_context_attention_tpu.parallel import (
     LAYOUTS,
+    AsyncLongContextAttention,
     LongContextAttention,
     MeshAxes,
     UlyssesAttention,
@@ -53,6 +54,7 @@ __all__ = [
     "xla_attention",
     "xla_attention_bwd",
     "LAYOUTS",
+    "AsyncLongContextAttention",
     "LongContextAttention",
     "MeshAxes",
     "UlyssesAttention",

@@ -1,0 +1,182 @@
+"""Pallas decode attention: one query token vs a (quantized) KV cache.
+
+The serving hot loop (north star, BASELINE.json): flash-decoding-style
+blockwise attention of (b, h, d) queries against a BHSD cache
+(b, h_kv, s_max, d) that may be int8 / float8_e4m3fn with per-token scales
+(ops/kv_cache.py). Decode is HBM-bandwidth-bound, so:
+
+* quantized K/V tiles are dequantized **in VMEM** (HBM streams 1-2 bytes per
+  element instead of 2-4); K's scale folds into the scores row, V's scale
+  folds into P before the PV matmul — no materialized dequantized cache.
+* per-row ``lengths`` gate both compute (`pl.when` + in-tile mask) and DMA
+  (clamped kv index map — tiles past the filled prefix are never fetched).
+* returns (out, lse) so sequence-sharded caches merge partials across the
+  ring axis with the same online-LSE math as training (ops/merge.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from long_context_attention_tpu.utils.config import NEG_INF, default_interpret
+
+__all__ = ["decode_attention"]
+
+
+def _decode_kernel(
+    len_ref,  # scalar prefetch: (b,) int32 filled length per batch row
+    *refs,
+    scale: float, block_kv: int, quantized: bool, g: int,
+):
+    if quantized:
+        q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        q_ref, k_ref, v_ref, out_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        ks_ref = vs_ref = None
+    ib = pl.program_id(0)
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+    length = len_ref[ib]
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(ik * block_kv < length)
+    def _compute():
+        q = q_ref[0, 0, :, :]  # (g, d)
+        k = k_ref[0, 0, :, :].astype(jnp.bfloat16)  # (bkv, d), dequant cast
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (g, bkv)
+        if ks_ref is not None:
+            s = s * ks_ref[0, 0, :, :]  # (1, bkv) broadcasts over g rows
+        cols = ik * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1)
+        s = jnp.where(cols >= length, NEG_INF, s)
+
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        p = jnp.where(cols >= length, 0.0, p)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[...] = l_scr[...] * alpha + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_scr.shape)
+        if vs_ref is not None:
+            p = p * vs_ref[0, 0, :, :]
+        v = v_ref[0, 0, :, :].astype(jnp.bfloat16)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+        )
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(ik == nk - 1)
+    def _emit():
+        l = l_scr[:, :1]
+        m = m_scr[:, :1]
+        dead = l == 0.0
+        safe_l = jnp.where(dead, 1.0, l)
+        out_ref[...] = jnp.where(
+            dead, 0.0, acc_scr[...] / safe_l
+        ).astype(out_ref.dtype).reshape(out_ref.shape)
+        lse_ref[...] = jnp.where(
+            dead, -jnp.inf, m + jnp.log(safe_l)
+        ).reshape(lse_ref.shape)
+
+
+def decode_attention(
+    q: jnp.ndarray,          # (b, h, d) current-token queries
+    k_cache: jnp.ndarray,    # (b, h_kv, s_max, d) bf16 / int8 / fp8
+    v_cache: jnp.ndarray,
+    lengths: jnp.ndarray,    # (b,) int32 filled prefix per row
+    k_scale: Optional[jnp.ndarray] = None,  # (b, h_kv, s_max) fp32
+    v_scale: Optional[jnp.ndarray] = None,
+    *,
+    softmax_scale: Optional[float] = None,
+    block_kv: int = 1024,
+    interpret: Optional[bool] = None,
+    return_lse: bool = False,
+):
+    """Single-step decode attention over a (quantized) cache.
+
+    Returns out (b, h, d) bf16 (+ lse (b, h) fp32 when return_lse for the
+    sequence-sharded merge).
+    """
+    b, h, d = q.shape
+    _, h_kv, s_max, _ = k_cache.shape
+    g = h // h_kv
+    assert g * h_kv == h
+    quantized = k_scale is not None
+    scale = softmax_scale if softmax_scale is not None else d ** -0.5
+    bkv = min(block_kv, s_max)
+    while s_max % bkv:
+        bkv //= 2
+    nk = s_max // bkv
+    interp = default_interpret() if interpret is None else bool(interpret)
+
+    qg = q.reshape(b, h_kv, g, d)
+
+    def kv_im(ibb, ihk, ik, lens):
+        # clamp the kv tile index into the filled prefix: tiles past the
+        # length re-map to the last live tile (Mosaic elides their DMA)
+        last = jnp.maximum((lens[ibb] - 1) // bkv, 0)
+        return (ibb, ihk, jnp.minimum(ik, last), 0)
+
+    def sc_im(ibb, ihk, ik, lens):
+        last = jnp.maximum((lens[ibb] - 1) // bkv, 0)
+        return (ibb, ihk, 0, jnp.minimum(ik, last))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, g, d), lambda ibb, ihk, ik, *_: (ibb, ihk, 0, 0)),
+        pl.BlockSpec((1, 1, bkv, d), kv_im),
+        pl.BlockSpec((1, 1, bkv, d), kv_im),
+    ]
+    inputs = [qg, k_cache, v_cache]
+    if quantized:
+        # scales ride as (b, h_kv, 1, s_max) so the (1, bkv) tile satisfies
+        # Mosaic's last-two-dims constraint (unit dim == array dim)
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, bkv), lambda ibb, ihk, ik, lens: sc_im(ibb, ihk, ik, lens)),
+            pl.BlockSpec((1, 1, 1, bkv), lambda ibb, ihk, ik, lens: sc_im(ibb, ihk, ik, lens)),
+        ]
+        inputs += [k_scale.reshape(b, h_kv, 1, s_max),
+                   v_scale.reshape(b, h_kv, 1, s_max)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h_kv, nk),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, g, d), lambda ibb, ihk, ik, *_: (ibb, ihk, 0, 0)),
+            pl.BlockSpec((1, 1, 1, g), lambda ibb, ihk, ik, *_: (ibb, ihk, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((g, d), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(_decode_kernel, scale=float(scale), block_kv=bkv,
+                          quantized=quantized, g=g),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h_kv, g, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, h_kv, 1, g), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interp,
+    )(jnp.asarray(lengths, jnp.int32), *inputs)
+    out = out.reshape(b, h, d)
+    lse = lse.reshape(b, h)
+    return (out, lse) if return_lse else out

@@ -26,8 +26,10 @@ from long_context_attention_tpu.parallel.ulysses import (
 )
 from long_context_attention_tpu.parallel.ring import RingConfig, ring_attention_local
 from long_context_attention_tpu.parallel.usp import (
+    AsyncLongContextAttention,
     LongContextAttention,
     UlyssesAttention,
+    async_usp_attention_local,
     usp_attention_local,
 )
 
@@ -47,7 +49,9 @@ __all__ = [
     "ulysses_attention_local",
     "RingConfig",
     "ring_attention_local",
+    "AsyncLongContextAttention",
     "LongContextAttention",
     "UlyssesAttention",
+    "async_usp_attention_local",
     "usp_attention_local",
 ]

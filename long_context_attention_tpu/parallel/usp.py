@@ -34,7 +34,9 @@ from long_context_attention_tpu.parallel.ring import ring_attention_local
 from long_context_attention_tpu.parallel.ulysses import gather_heads, scatter_heads
 from long_context_attention_tpu.utils.config import BlockSizes
 
-__all__ = ["usp_attention_local", "LongContextAttention", "UlyssesAttention"]
+__all__ = ["usp_attention_local", "async_usp_attention_local",
+           "LongContextAttention", "UlyssesAttention",
+           "AsyncLongContextAttention"]
 
 
 def usp_attention_local(
@@ -77,6 +79,55 @@ def usp_attention_local(
         interpret=interpret,
     )
     return gather_heads(out, ulysses_axis)
+
+
+def async_usp_attention_local(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    ulysses_axis: str,
+    ring_axis: str,
+    n_groups: Optional[int] = None,
+    layout: str = "zigzag",
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    impl: str = "pallas",
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Head-group-pipelined USP — `AsyncLongContextAttention.forward`
+    (`yunchang/hybrid/async_attn_layer.py:44-197`).
+
+    The reference splits heads into ``un = hc/ud`` groups and runs each
+    group's all-to-all on a side CUDA stream overlapped with the previous
+    group's ring attention. Here the groups are an unrolled loop of
+    independent a2a∘ring∘a2a chains; XLA's async collective scheduling
+    overlaps group i+1's a2a with group i's kernels — no manual streams.
+    Differentiable (the reference's backward raises,
+    `async_attn_layer.py:199-202`).
+    """
+    uly = lax.axis_size(ulysses_axis)
+    h, h_kv = q.shape[2], k.shape[2]
+    if n_groups is None:
+        n_groups = max(h_kv // uly, 1)
+    assert h % n_groups == 0 and h_kv % n_groups == 0, (
+        f"heads ({h}, kv {h_kv}) must divide into {n_groups} groups")
+    gh, gkv = h // n_groups, h_kv // n_groups
+    outs = []
+    for i in range(n_groups):
+        outs.append(usp_attention_local(
+            q[:, :, i * gh:(i + 1) * gh],
+            k[:, :, i * gkv:(i + 1) * gkv],
+            v[:, :, i * gkv:(i + 1) * gkv],
+            ulysses_axis=ulysses_axis, ring_axis=ring_axis, layout=layout,
+            causal=causal, softmax_scale=softmax_scale,
+            window_size=window_size, softcap=softcap, impl=impl,
+            block_sizes=block_sizes, interpret=interpret,
+        ))
+    return jnp.concatenate(outs, axis=2)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,6 +211,29 @@ class LongContextAttention(_LayerBase):
             fn, mesh=self.mesh, in_specs=(spec5,), out_specs=self._spec(),
             check_vma=False,
         ))(qkv)
+
+
+@dataclasses.dataclass(frozen=True)
+class AsyncLongContextAttention(_LayerBase):
+    """Mesh-bound head-group-pipelined USP layer
+    (`hybrid/async_attn_layer.py:13`). ``n_groups=None`` → one kv head per
+    ulysses shard per group, the reference's ``un = hc/ud`` default."""
+
+    n_groups: Optional[int] = None
+
+    def __call__(self, q, k, v, *, causal: bool = False,
+                 softmax_scale: Optional[float] = None,
+                 window_size: Tuple[int, int] = (-1, -1),
+                 softcap: float = 0.0) -> jnp.ndarray:
+        fn = functools.partial(
+            async_usp_attention_local,
+            ulysses_axis=self.axes.ulysses, ring_axis=self.axes.ring,
+            n_groups=self.n_groups, layout=self.layout, causal=causal,
+            softmax_scale=softmax_scale, window_size=window_size,
+            softcap=softcap, impl=self.impl,
+            block_sizes=self.block_sizes, interpret=self.interpret,
+        )
+        return self._shard_map(fn, 3)(q, k, v)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,136 @@
+"""KV cache (INT8/FP8) + Pallas decode attention vs the oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from long_context_attention_tpu.ops.decode import decode_attention
+from long_context_attention_tpu.ops.kv_cache import (
+    KVCache,
+    dequantize_kv,
+    quantize_kv,
+)
+from long_context_attention_tpu.ops.reference import xla_attention
+
+B, H, HKV, D, SMAX = 2, 8, 4, 64, 256
+
+
+def make(rng):
+    q = jnp.asarray(rng.normal(size=(B, H, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, SMAX, HKV, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, SMAX, HKV, D)), jnp.bfloat16)
+    lengths = jnp.asarray([192, 77], jnp.int32)
+    return q, k, v, lengths
+
+
+def oracle(q, k, v, lengths):
+    """Per-row full attention over the filled prefix."""
+    outs = []
+    for i in range(B):
+        L = int(lengths[i])
+        o, _ = xla_attention(q[i:i + 1, None], k[i:i + 1, :L], v[i:i + 1, :L])
+        outs.append(o[:, 0])
+    return jnp.concatenate(outs, axis=0)  # (b, h, d)
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8", "float8_e4m3fn"])
+def test_quantize_roundtrip(rng, dtype):
+    x = jnp.asarray(rng.normal(size=(B, HKV, 32, D)), jnp.bfloat16)
+    q, s = quantize_kv(x, dtype)
+    back = dequantize_kv(q, s)
+    tol = {"bfloat16": 0.0, "int8": 2e-2, "float8_e4m3fn": 2e-1}[dtype]
+    np.testing.assert_allclose(np.asarray(back, np.float32),
+                               np.asarray(x, np.float32), atol=tol, rtol=0)
+
+
+def test_decode_bf16_matches_oracle(rng):
+    q, k, v, lengths = make(rng)
+    kc = jnp.transpose(k, (0, 2, 1, 3))  # BHSD cache
+    vc = jnp.transpose(v, (0, 2, 1, 3))
+    out = decode_attention(q, kc, vc, lengths)
+    ref = oracle(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=1e-1, rtol=0)
+
+
+@pytest.mark.parametrize("dtype", ["int8", "float8_e4m3fn"])
+def test_decode_quantized(rng, dtype):
+    q, k, v, lengths = make(rng)
+    kc, ks = quantize_kv(jnp.transpose(k, (0, 2, 1, 3)), dtype)
+    vc, vs = quantize_kv(jnp.transpose(v, (0, 2, 1, 3)), dtype)
+    out = decode_attention(q, kc, vc, lengths, ks, vs)
+
+    # exact reference on the dequantized cache (isolates kernel math from
+    # quantization error) ...
+    kd = jnp.transpose(dequantize_kv(kc, ks), (0, 2, 1, 3))
+    vd = jnp.transpose(dequantize_kv(vc, vs), (0, 2, 1, 3))
+    ref_q = oracle(q, kd, vd, lengths)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref_q, np.float32), atol=1e-1, rtol=0)
+    # ... and the unquantized oracle (bounds end-to-end quantization error)
+    ref = oracle(q, k, v, lengths)
+    tol = 2e-1 if dtype == "int8" else 5e-1
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=tol, rtol=0)
+
+
+def test_decode_lse_merge_across_shards(rng):
+    """Sequence-sharded decode: split the cache in two, merge partials via
+    (out, lse) — must equal unsharded decode (the ring-sharded serving path)."""
+    from long_context_attention_tpu.ops.merge import merge_attn_blocks
+
+    q, k, v, lengths = make(rng)
+    kc = jnp.transpose(k, (0, 2, 1, 3))
+    vc = jnp.transpose(v, (0, 2, 1, 3))
+    half = SMAX // 2
+    l0 = jnp.minimum(lengths, half)
+    l1 = jnp.maximum(lengths - half, 0)
+    o0, s0 = decode_attention(q, kc[:, :, :half], vc[:, :, :half], l0,
+                              return_lse=True)
+    o1, s1 = decode_attention(q, kc[:, :, half:], vc[:, :, half:], l1,
+                              return_lse=True)
+    # merge contract: out (b, s=1, h, d), lse (b, h, s=1)
+    acc_o, acc_l = merge_attn_blocks(
+        o0[:, None].astype(jnp.float32), s0[..., None],
+        o1[:, None].astype(jnp.float32), s1[..., None])
+    merged = acc_o[:, 0].astype(jnp.bfloat16)
+    full = decode_attention(q, kc, vc, lengths)
+    np.testing.assert_allclose(np.asarray(merged, np.float32),
+                               np.asarray(full, np.float32), atol=5e-2, rtol=0)
+
+
+def test_kv_cache_prefill_then_append(rng):
+    """write_prompt + append_token reproduce a contiguous cache."""
+    cache = KVCache.init(n_layers=1, b=B, s_max=SMAX, h_kv=HKV, d=D,
+                         dtype="int8")
+    k = jnp.asarray(rng.normal(size=(B, 64, HKV, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, 64, HKV, D)), jnp.bfloat16)
+    cache = cache.write_prompt(0, k, v).advance(64)
+    k1 = jnp.asarray(rng.normal(size=(B, 1, HKV, D)), jnp.bfloat16)
+    v1 = jnp.asarray(rng.normal(size=(B, 1, HKV, D)), jnp.bfloat16)
+    cache = cache.append_token(0, k1, v1).advance(1)
+    assert cache.length.tolist() == [65, 65]
+    kc, vc, ks, vs = cache.layer_view(0)
+    got = dequantize_kv(kc, ks)[:, :, 64]  # (b, h_kv, d) at position 64
+    want = jnp.transpose(k1[:, 0], (0, 1, 2))  # (b, h_kv, d)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=3e-2, rtol=0)
+    got0 = dequantize_kv(kc, ks)[:, :, :64]
+    want0 = jnp.transpose(k, (0, 2, 1, 3))
+    np.testing.assert_allclose(np.asarray(got0, np.float32),
+                               np.asarray(want0, np.float32), atol=3e-2, rtol=0)
+
+
+def test_decode_gqa_and_empty_rows(rng):
+    q, k, v, _ = make(rng)
+    kc = jnp.transpose(k, (0, 2, 1, 3))
+    vc = jnp.transpose(v, (0, 2, 1, 3))
+    lengths = jnp.asarray([128, 0], jnp.int32)  # row 1 empty
+    out, lse = decode_attention(q, kc, vc, lengths, return_lse=True)
+    assert not bool(jnp.any(jnp.isnan(out)))
+    np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
+    assert bool(jnp.all(jnp.isneginf(lse[1])))
+    ref0 = oracle(q, k, v, jnp.asarray([128, 1], jnp.int32))[0]
+    np.testing.assert_allclose(np.asarray(out[0], np.float32),
+                               np.asarray(ref0, np.float32), atol=1e-1, rtol=0)

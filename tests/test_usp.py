@@ -130,3 +130,37 @@ def test_usp_gqa_constraint_like_reference(rng):
     out = unpermute_from_layout(layer(qp, kp, vp, causal=True), "zigzag", 2)
     ref, _ = xla_attention(q, k, v, causal=True)
     check(out, ref)
+
+
+def test_async_usp_matches_oracle(rng):
+    """AsyncLongContextAttention analog (`hybrid/async_attn_layer.py`):
+    head-group pipelined USP, fwd + grads."""
+    from long_context_attention_tpu.parallel import AsyncLongContextAttention
+
+    ring = 4
+    mesh = make_usp_mesh(dp=1, ulysses=2, ring=ring)
+    layer = AsyncLongContextAttention(mesh=mesh, layout="zigzag", impl="pallas")
+    q, k, v = make_qkv(rng)
+    qp, kp, vp = (permute_for_layout(x, "zigzag", ring) for x in (q, k, v))
+    out = unpermute_from_layout(layer(qp, kp, vp, causal=True), "zigzag", ring)
+    ref, _ = xla_attention(q, k, v, causal=True)
+    check(out, ref)
+
+    dout = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
+    doutf = dout.astype(jnp.float32)
+
+    def dist_loss(q, k, v):
+        qp, kp, vp = (permute_for_layout(x, "zigzag", ring) for x in (q, k, v))
+        o = unpermute_from_layout(layer(qp, kp, vp, causal=True), "zigzag", ring)
+        return jnp.sum(o.astype(jnp.float32) * doutf)
+
+    def ref_loss(q, k, v):
+        o, _ = xla_attention(q, k, v, causal=True)
+        return jnp.sum(o.astype(jnp.float32) * doutf)
+
+    g = jax.grad(dist_loss, argnums=(0, 1, 2))(q, k, v)
+    r = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for gi, ri, name in zip(g, r, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(gi, np.float32),
+                                   np.asarray(ri, np.float32),
+                                   err_msg=name, atol=1e-1, rtol=0)
