@@ -111,12 +111,15 @@ def rmsnorm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
-    """Rotary embedding over *global* positions. x (b, s, h, d), positions (s,)."""
+    """Rotary embedding over *global* positions. x (b, s, h, d); positions
+    (s,) shared or (b, s) per-row (the decode path's per-sequence lengths)."""
     d = x.shape[-1]
     freqs = theta ** (-jnp.arange(0, d // 2, dtype=jnp.float32) / (d // 2))
-    ang = positions.astype(jnp.float32)[:, None] * freqs[None, :]  # (s, d/2)
-    cos = jnp.cos(ang)[None, :, None, :]
-    sin = jnp.sin(ang)[None, :, None, :]
+    ang = positions.astype(jnp.float32)[..., None] * freqs  # (..., s, d/2)
+    if ang.ndim == 2:
+        ang = ang[None]
+    cos = jnp.cos(ang)[:, :, None, :]
+    sin = jnp.sin(ang)[:, :, None, :]
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
     return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos],
                            axis=-1).astype(x.dtype)
@@ -156,26 +159,93 @@ def _layer(cfg: ModelConfig, x, lp, positions, *, ulysses_axis, ring_axis,
     h = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
     gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
     x = x + ((gate * (h @ lp["w_up"])) @ lp["w_down"]).astype(x.dtype)
-    return x
+    return x, (k, v)
 
 
 def forward_local(params: Params, tokens: jnp.ndarray, cfg: ModelConfig, *,
                   ulysses_axis: str, ring_axis: str,
-                  interpret: Optional[bool] = None) -> jnp.ndarray:
+                  interpret: Optional[bool] = None,
+                  return_kv: bool = False):
     """Device-local forward: tokens (b, s_local) int32 -> logits fp32
-    (b, s_local, vocab). Call inside shard_map over the USP mesh."""
+    (b, s_local, vocab). Call inside shard_map over the USP mesh.
+
+    ``return_kv=True`` also returns per-layer post-RoPE (k, v), each
+    (n_layers, b, s_local, h_kv, d) — the prefill path's cache feed."""
     b, s = tokens.shape
     positions = local_positions(cfg, s, ulysses_axis=ulysses_axis,
                                 ring_axis=ring_axis)
     x = params["embed"][tokens]
 
     def body(x, lp):
-        return _layer(cfg, x, lp, positions, ulysses_axis=ulysses_axis,
-                      ring_axis=ring_axis, interpret=interpret), None
+        x, kv = _layer(cfg, x, lp, positions, ulysses_axis=ulysses_axis,
+                       ring_axis=ring_axis, interpret=interpret)
+        return x, (kv if return_kv else None)
 
-    x, _ = lax.scan(body, x, params["layers"])
+    x, kv = lax.scan(body, x, params["layers"])
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
-    return (x @ params["lm_head"]).astype(jnp.float32)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return (logits, kv) if return_kv else logits
+
+
+def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
+                *, interpret: Optional[bool] = None):
+    """One single-token decode step against a KVCache (serving hot path).
+
+    tokens (b,) int32 -> (logits (b, vocab) fp32, updated cache). The new
+    token's KV is appended (and visible to itself) before decode attention;
+    ``cache.length`` is advanced once at the end.
+    """
+    import dataclasses as _dc
+
+    from long_context_attention_tpu.ops.decode import decode_attention
+    from long_context_attention_tpu.ops.kv_cache import quantize_kv
+
+    b = tokens.shape[0]
+    x = params["embed"][tokens][:, None]  # (b, 1, dim)
+    pos = cache.length  # (b,) per-row positions of the new token
+    scale = cfg.head_dim ** -0.5
+
+    def body(x, inp):
+        lp, kc, vc, ksc, vsc = inp
+        h = rmsnorm(x, lp["attn_norm"], cfg.norm_eps)
+        q = (h @ lp["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
+        k = (h @ lp["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        v = (h @ lp["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        q = rope(q, pos[:, None], cfg.rope_theta)
+        k = rope(k, pos[:, None], cfg.rope_theta)
+
+        # append this token's KV at position `length` (quantized like the cache)
+        dt = cache.dtype
+        kq, ks1 = quantize_kv(jnp.transpose(k, (0, 2, 1, 3)), dt)  # (b,h,1,d)
+        vq, vs1 = quantize_kv(jnp.transpose(v, (0, 2, 1, 3)), dt)
+
+        def wrow(buf, val, t):
+            return jax.lax.dynamic_update_slice(buf, val, (0, t, 0))
+
+        kc = jax.vmap(wrow)(kc, kq, pos)
+        vc = jax.vmap(wrow)(vc, vq, pos)
+        if ksc is not None:
+            wsc = lambda buf, val, t: jax.lax.dynamic_update_slice(buf, val, (0, t))
+            ksc = jax.vmap(wsc)(ksc, ks1, pos)
+            vsc = jax.vmap(wsc)(vsc, vs1, pos)
+
+        attn = decode_attention(
+            q[:, 0], kc, vc, pos + 1, ksc, vsc,
+            softmax_scale=scale, interpret=interpret,
+        )  # (b, h, d)
+        x = x + (attn.reshape(b, 1, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
+        hh = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
+        gate = jax.nn.silu((hh @ lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + ((gate * (hh @ lp["w_up"])) @ lp["w_down"]).astype(x.dtype)
+        return x, (kc, vc, ksc, vsc)
+
+    xs = (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+    x, (kc, vc, ksc, vsc) = lax.scan(body, x, xs)
+    cache = _dc.replace(cache, k=kc, v=vc, k_scale=ksc, v_scale=vsc,
+                        length=cache.length + 1)
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
+    return logits, cache
 
 
 def _replicated(mesh: Mesh, tree):

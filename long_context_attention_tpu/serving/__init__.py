@@ -1,0 +1,10 @@
+"""Serving layer: prefill + decode generation over a quantized KV cache.
+
+Beyond the reference (BASELINE.json north star): the reference is a training-
+time attention layer only; serving here means USP prefill of long prompts,
+per-layer KVCache (INT8/FP8) and a jit-compiled greedy decode loop.
+"""
+
+from long_context_attention_tpu.serving.engine import Engine, GenerationResult
+
+__all__ = ["Engine", "GenerationResult"]

@@ -1,0 +1,103 @@
+"""Generation engine: prefill (flash over the prompt) + jitted decode loop.
+
+The serving counterpart of the training stack (the reference has none —
+SURVEY.md L5 "no CLI, no services"): prompts prefill through the same model
+forward used in training (USP-shardable), per-layer post-RoPE KV lands in a
+(optionally INT8/FP8) KVCache, and generation is a single compiled
+``lax.scan`` of single-token decode steps with the cache as donated carry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from long_context_attention_tpu.models.llama import (
+    ModelConfig,
+    decode_step,
+    forward_local,
+)
+from long_context_attention_tpu.ops.kv_cache import KVCache
+from long_context_attention_tpu.parallel.mesh import MeshAxes, make_usp_mesh
+
+__all__ = ["Engine", "GenerationResult"]
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    tokens: jnp.ndarray       # (b, max_new) generated token ids
+    cache: KVCache            # final cache (prompt + generated)
+    prefill_logits: jnp.ndarray  # (b, vocab) logits at the last prompt token
+
+
+@dataclasses.dataclass(frozen=True)
+class Engine:
+    """Single-host generation engine for the flagship model.
+
+    ``cache_dtype``: "bfloat16" | "int8" | "float8_e4m3fn" (ops/kv_cache.py).
+    Prefill runs the full training forward (on a 1-device mesh here; the
+    USP-sharded prefill path is the same `forward_local` under the caller's
+    mesh). Decode is `models.llama.decode_step` scanned over steps.
+    """
+
+    cfg: ModelConfig
+    s_max: int
+    cache_dtype: str = "bfloat16"
+    interpret: Optional[bool] = None
+
+    def init_cache(self, b: int) -> KVCache:
+        return KVCache.init(self.cfg.n_layers, b, self.s_max,
+                            self.cfg.n_kv_heads, self.cfg.head_dim,
+                            self.cache_dtype)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def prefill(self, params, tokens: jnp.ndarray) -> Tuple[jnp.ndarray, KVCache]:
+        """tokens (b, s_prompt) -> (last-token logits (b, vocab), cache)."""
+        b, s = tokens.shape
+        mesh = make_usp_mesh(1, 1, 1, devices=jax.devices()[:1])
+        axes = MeshAxes()
+
+        def fwd(params, tokens):
+            return forward_local(params, tokens, self.cfg,
+                                 ulysses_axis=axes.ulysses,
+                                 ring_axis=axes.ring,
+                                 interpret=self.interpret, return_kv=True)
+
+        logits, (kv_k, kv_v) = jax.shard_map(
+            fwd, mesh=mesh,
+            in_specs=(jax.sharding.PartitionSpec(),) * 2,
+            out_specs=jax.sharding.PartitionSpec(),
+            check_vma=False,
+        )(params, tokens)
+
+        cache = self.init_cache(b)
+        for layer in range(self.cfg.n_layers):
+            cache = cache.write_prompt(layer, kv_k[layer], kv_v[layer])
+        cache = cache.advance(s)
+        return logits[:, -1], cache
+
+    @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=2)
+    def _decode_scan(self, params, cache: KVCache, max_new: int,
+                     first_token: jnp.ndarray):
+        def step(carry, _):
+            cache, tok = carry
+            logits, cache = decode_step(params, cache, tok, self.cfg,
+                                        interpret=self.interpret)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (cache, nxt), tok
+
+        (cache, _), toks = lax.scan(step, (cache, first_token), length=max_new)
+        return jnp.transpose(toks), cache  # (b, max_new)
+
+    def generate(self, params, prompt: jnp.ndarray, max_new: int
+                 ) -> GenerationResult:
+        """Greedy generation: prompt (b, s) int32 -> max_new tokens per row."""
+        logits, cache = self.prefill(params, prompt)
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        toks, cache = self._decode_scan(params, cache, max_new, first)
+        return GenerationResult(tokens=toks, cache=cache, prefill_logits=logits)

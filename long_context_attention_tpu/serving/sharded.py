@@ -1,0 +1,111 @@
+"""Sequence-sharded decode: ring-distributed KV cache, merged partials.
+
+The multi-chip serving core (north star: 1M-token contexts don't fit one
+chip's HBM): the cache is sharded over the ring mesh axis in contiguous slot
+blocks — rank r owns global slots [r*slots, (r+1)*slots) — queries are
+replicated, every rank runs ops/decode.py over its filled local slots, and
+the partial (out, lse) pairs merge with the same online-LSE math as training
+(ops/merge.py). One tiny all_gather per step; the cache itself never moves.
+
+Functions run inside ``shard_map``; a sharded append routes each new token's
+KV to its owner rank with a masked dynamic-update (SPMD: all ranks execute,
+one writes).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from long_context_attention_tpu.ops.decode import decode_attention
+
+__all__ = ["sharded_decode_attention", "sharded_append"]
+
+
+def sharded_decode_attention(
+    q: jnp.ndarray,           # (b, h, d) replicated queries
+    k_shard: jnp.ndarray,     # (b, h_kv, slots, d) this rank's cache block
+    v_shard: jnp.ndarray,
+    global_lengths: jnp.ndarray,  # (b,) int32 total filled length
+    k_scale: Optional[jnp.ndarray] = None,  # (b, h_kv, slots)
+    v_scale: Optional[jnp.ndarray] = None,
+    *,
+    axis_name: str,
+    softmax_scale: Optional[float] = None,
+    block_kv: int = 1024,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Decode attention over a ring-sharded cache. Returns (b, h, d) bf16.
+
+    Rank r's filled prefix is ``clip(L - r*slots, 0, slots)``; empty shards
+    contribute lse=-inf partials that merge to a no-op.
+    """
+    r = lax.axis_index(axis_name)
+    n = lax.axis_size(axis_name)
+    slots = k_shard.shape[2]
+    local_len = jnp.clip(global_lengths - r * slots, 0, slots)
+    out, lse = decode_attention(
+        q, k_shard, v_shard, local_len, k_scale, v_scale,
+        softmax_scale=softmax_scale, block_kv=block_kv, interpret=interpret,
+        return_lse=True,
+    )  # (b, h, d), (b, h)
+
+    outs = lax.all_gather(out.astype(jnp.float32), axis_name)  # (n, b, h, d)
+    lses = lax.all_gather(lse, axis_name)                      # (n, b, h)
+
+    # numerically-stable n-way merge (same math as ops/merge.py, shaped for
+    # the (n, b, h) decode partials)
+    m = jnp.max(lses, axis=0)                 # (b, h)
+    dead = jnp.isneginf(m)
+    safe_m = jnp.where(dead, 0.0, m)
+    w = jnp.where(jnp.isneginf(lses), 0.0, jnp.exp(lses - safe_m[None]))
+    denom = jnp.sum(w, axis=0)                # (b, h)
+    merged = jnp.sum(outs * w[..., None], axis=0) / jnp.maximum(
+        denom, 1e-37)[..., None]
+    merged = jnp.where(dead[..., None], 0.0, merged)
+    return merged.astype(jnp.bfloat16)
+
+
+def sharded_append(
+    buf: jnp.ndarray,         # (b, h_kv, slots, d) this rank's block
+    val: jnp.ndarray,         # (b, h_kv, 1, d) new token value (quantized)
+    global_pos: jnp.ndarray,  # (b,) int32 global slot of the new token
+    *,
+    axis_name: str,
+) -> jnp.ndarray:
+    """Write each row's new token into its owner rank's block (masked SPMD
+    dynamic-update: every rank executes, only the owner's write sticks)."""
+    r = lax.axis_index(axis_name)
+    slots = buf.shape[2]
+    local_pos = global_pos - r * slots
+    owner = (local_pos >= 0) & (local_pos < slots)
+    idx = jnp.clip(local_pos, 0, slots - 1)
+
+    def row(bb, vv, t, ok):
+        upd = lax.dynamic_update_slice(bb, vv.astype(bb.dtype), (0, t, 0))
+        return jnp.where(ok, upd, bb)
+
+    return jax.vmap(row)(buf, val, idx, owner)
+
+
+def sharded_append_scale(
+    buf: jnp.ndarray,         # (b, h_kv, slots)
+    val: jnp.ndarray,         # (b, h_kv, 1)
+    global_pos: jnp.ndarray,
+    *,
+    axis_name: str,
+) -> jnp.ndarray:
+    r = lax.axis_index(axis_name)
+    slots = buf.shape[2]
+    local_pos = global_pos - r * slots
+    owner = (local_pos >= 0) & (local_pos < slots)
+    idx = jnp.clip(local_pos, 0, slots - 1)
+
+    def row(bb, vv, t, ok):
+        upd = lax.dynamic_update_slice(bb, vv.astype(bb.dtype), (0, t))
+        return jnp.where(ok, upd, bb)
+
+    return jax.vmap(row)(buf, val, idx, owner)

@@ -1,0 +1,122 @@
+"""Serving engine: prefill + decode consistency with the training forward.
+
+The cache-consistency gate: greedy decode through the KVCache must reproduce
+exactly the tokens the full (cache-free) forward would pick teacher-forced.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from long_context_attention_tpu.models.llama import ModelConfig, init_params, make_forward
+from long_context_attention_tpu.parallel import make_usp_mesh
+from long_context_attention_tpu.serving import Engine
+
+CFG = ModelConfig(vocab=64, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                  head_dim=32, ffn_hidden=128,
+                  layout="basic")  # odd-length teacher-forced seqs
+B, S_PROMPT, MAX_NEW = 2, 16, 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (B, S_PROMPT), 0,
+                                CFG.vocab, jnp.int32)
+    return params, prompt
+
+
+@pytest.mark.parametrize("cache_dtype", ["bfloat16", "int8"])
+def test_decode_logits_match_teacher_forced(setup, cache_dtype):
+    """Along the decode-generated sequence, per-step decode logits must match
+    the cache-free full forward on the same tokens (bit-exact for bf16 cache;
+    a random model has exact argmax ties, so token-level equality is not a
+    valid gate — logit equality is the stronger check anyway)."""
+    from long_context_attention_tpu.models.llama import decode_step
+
+    params, prompt = setup
+    eng = Engine(cfg=CFG, s_max=64, cache_dtype=cache_dtype)
+    logits, cache = eng.prefill(params, prompt)
+    fwd = make_forward(CFG, make_usp_mesh(1, 1, 1))
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    seq = prompt
+    atol = 0.0 if cache_dtype == "bfloat16" else 0.5
+    for _ in range(4):
+        dl, cache = decode_step(params, cache, tok, CFG)
+        seq = jnp.concatenate([seq, tok[:, None]], axis=1)
+        fl = fwd(params, seq)[:, -1]
+        np.testing.assert_allclose(np.asarray(dl), np.asarray(fl),
+                                   atol=atol, rtol=0)
+        tok = jnp.argmax(dl, -1).astype(jnp.int32)
+
+
+def test_generate_shapes_and_cache(setup):
+    params, prompt = setup
+    eng = Engine(cfg=CFG, s_max=64, cache_dtype="bfloat16")
+    res = eng.generate(params, prompt, MAX_NEW)
+    assert res.tokens.shape == (B, MAX_NEW)
+    assert res.cache.length.tolist() == [S_PROMPT + MAX_NEW] * B
+    assert not bool(jnp.any(jnp.isnan(res.prefill_logits)))
+
+
+def test_prefill_logits_match_forward(setup):
+    params, prompt = setup
+    eng = Engine(cfg=CFG, s_max=64)
+    logits, cache = eng.prefill(params, prompt)
+    mesh = make_usp_mesh(1, 1, 1)
+    full = make_forward(CFG, mesh)(params, prompt)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(full[:, -1]),
+                               atol=1e-3, rtol=0)
+    assert cache.length.tolist() == [S_PROMPT] * B
+
+
+def test_fp8_cache_generates(setup):
+    params, prompt = setup
+    eng = Engine(cfg=CFG, s_max=64, cache_dtype="float8_e4m3fn")
+    res = eng.generate(params, prompt, 4)
+    assert res.tokens.shape == (B, 4)
+    assert not bool(jnp.any(jnp.isnan(res.prefill_logits)))
+
+
+def test_sharded_decode_matches_unsharded(rng):
+    """Ring-sharded cache decode == unsharded decode (4-way shard)."""
+    import functools
+    from jax.sharding import Mesh, PartitionSpec as P
+    from long_context_attention_tpu.ops.decode import decode_attention
+    from long_context_attention_tpu.serving.sharded import (
+        sharded_append, sharded_decode_attention)
+
+    B2, H, HKV, D, SMAX, R = 2, 8, 4, 64, 256, 4
+    q = jnp.asarray(rng.normal(size=(B2, H, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B2, HKV, SMAX, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B2, HKV, SMAX, D)), jnp.bfloat16)
+    lengths = jnp.asarray([200, 37], jnp.int32)
+
+    mesh = Mesh(np.array(jax.devices()[:R]), axis_names=("ring",))
+    fn = functools.partial(sharded_decode_attention, axis_name="ring")
+    spec_kv = P(None, None, "ring", None)
+    out = jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), spec_kv, spec_kv, P()),
+        out_specs=P(), check_vma=False,
+    ))(q, k, v, lengths)
+
+    want = decode_attention(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(want, np.float32), atol=5e-2, rtol=0)
+
+    # sharded append lands on the owner rank
+    val = jnp.asarray(rng.normal(size=(B2, HKV, 1, D)), jnp.bfloat16)
+    app = jax.jit(jax.shard_map(
+        functools.partial(sharded_append, axis_name="ring"),
+        mesh=mesh, in_specs=(spec_kv, P(), P()), out_specs=spec_kv,
+        check_vma=False,
+    ))(k, val, lengths)
+    for i in range(B2):
+        t = int(lengths[i])
+        np.testing.assert_array_equal(np.asarray(app[i, :, t]),
+                                      np.asarray(val[i, :, 0]))
+        mask = np.ones(SMAX, bool); mask[t] = False
+        np.testing.assert_array_equal(np.asarray(app[i][:, mask]),
+                                      np.asarray(k[i][:, mask]))
