@@ -188,17 +188,26 @@ def forward_local(params: Params, tokens: jnp.ndarray, cfg: ModelConfig, *,
 
 
 def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
-                *, interpret: Optional[bool] = None):
+                *, interpret: Optional[bool] = None, shard_axes=None):
     """One single-token decode step against a KVCache (serving hot path).
 
     tokens (b,) int32 -> (logits (b, vocab) fp32, updated cache). The new
     token's KV is appended (and visible to itself) before decode attention;
     ``cache.length`` is advanced once at the end.
+
+    ``shard_axes``: mesh axis name(s) when running inside shard_map with the
+    cache's slot axis sharded over them (serving/sharded.py): the append
+    routes to the owner rank and attention merges cross-shard partials.
     """
     import dataclasses as _dc
 
     from long_context_attention_tpu.ops.decode import decode_attention
     from long_context_attention_tpu.ops.kv_cache import quantize_kv
+    from long_context_attention_tpu.serving.sharded import (
+        sharded_append,
+        sharded_append_scale,
+        sharded_decode_attention,
+    )
 
     b = tokens.shape[0]
     x = params["embed"][tokens][:, None]  # (b, 1, dim)
@@ -218,6 +227,22 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
         dt = cache.dtype
         kq, ks1 = quantize_kv(jnp.transpose(k, (0, 2, 1, 3)), dt)  # (b,h,1,d)
         vq, vs1 = quantize_kv(jnp.transpose(v, (0, 2, 1, 3)), dt)
+
+        if shard_axes is not None:
+            kc = sharded_append(kc, kq, pos, axis_name=shard_axes)
+            vc = sharded_append(vc, vq, pos, axis_name=shard_axes)
+            if ksc is not None:
+                ksc = sharded_append_scale(ksc, ks1, pos, axis_name=shard_axes)
+                vsc = sharded_append_scale(vsc, vs1, pos, axis_name=shard_axes)
+            attn = sharded_decode_attention(
+                q[:, 0], kc, vc, pos + 1, ksc, vsc,
+                axis_name=shard_axes, softmax_scale=scale, interpret=interpret,
+            )
+            x = x + (attn.reshape(b, 1, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
+            hh = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
+            gate = jax.nn.silu((hh @ lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+            x = x + ((gate * (hh @ lp["w_up"])) @ lp["w_down"]).astype(x.dtype)
+            return x, (kc, vc, ksc, vsc)
 
         def wrow(buf, val, t):
             return jax.lax.dynamic_update_slice(buf, val, (0, t, 0))

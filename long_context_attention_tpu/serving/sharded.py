@@ -14,7 +14,7 @@ one writes).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,12 @@ from jax import lax
 
 from long_context_attention_tpu.ops.decode import decode_attention
 
-__all__ = ["sharded_decode_attention", "sharded_append"]
+__all__ = ["sharded_decode_attention", "sharded_append", "sharded_append_scale"]
+
+AxisNames = Union[str, Sequence[str]]
+# axis_name may be a single mesh axis or a tuple (e.g. ('ring', 'ulysses')):
+# lax.axis_index/size linearize tuples row-major, matching a PartitionSpec
+# that shards the slot axis over the same tuple.
 
 
 def sharded_decode_attention(
@@ -43,8 +48,11 @@ def sharded_decode_attention(
     Rank r's filled prefix is ``clip(L - r*slots, 0, slots)``; empty shards
     contribute lse=-inf partials that merge to a no-op.
     """
-    r = lax.axis_index(axis_name)
-    n = lax.axis_size(axis_name)
+    axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    r = lax.axis_index(axes)
+    n = 1
+    for a in axes:
+        n *= lax.axis_size(a)
     slots = k_shard.shape[2]
     local_len = jnp.clip(global_lengths - r * slots, 0, slots)
     out, lse = decode_attention(
@@ -53,8 +61,10 @@ def sharded_decode_attention(
         return_lse=True,
     )  # (b, h, d), (b, h)
 
-    outs = lax.all_gather(out.astype(jnp.float32), axis_name)  # (n, b, h, d)
-    lses = lax.all_gather(lse, axis_name)                      # (n, b, h)
+    outs = lax.all_gather(out.astype(jnp.float32), axes)  # (n, b, h, d)
+    lses = lax.all_gather(lse, axes)                      # (n, b, h)
+    outs = outs.reshape((n,) + out.shape)
+    lses = lses.reshape((n,) + lse.shape)
 
     # numerically-stable n-way merge (same math as ops/merge.py, shaped for
     # the (n, b, h) decode partials)
@@ -78,7 +88,8 @@ def sharded_append(
 ) -> jnp.ndarray:
     """Write each row's new token into its owner rank's block (masked SPMD
     dynamic-update: every rank executes, only the owner's write sticks)."""
-    r = lax.axis_index(axis_name)
+    axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    r = lax.axis_index(axes)
     slots = buf.shape[2]
     local_pos = global_pos - r * slots
     owner = (local_pos >= 0) & (local_pos < slots)
@@ -98,7 +109,8 @@ def sharded_append_scale(
     *,
     axis_name: str,
 ) -> jnp.ndarray:
-    r = lax.axis_index(axis_name)
+    axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    r = lax.axis_index(axes)
     slots = buf.shape[2]
     local_pos = global_pos - r * slots
     owner = (local_pos >= 0) & (local_pos < slots)

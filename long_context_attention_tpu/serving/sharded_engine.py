@@ -1,0 +1,135 @@
+"""Multi-chip generation engine: sequence-sharded KV cache over the mesh.
+
+The 1M-token serving path (north star): prompts prefill with the USP-sharded
+model forward, each device keeps its own contiguous block of cache slots
+(sharded over ``(ring, ulysses)`` — both axes hold sequence shards during
+serving), and every decode step runs under one ``shard_map``: replicated
+single-token compute, owner-routed cache append, cross-shard LSE-merged
+decode attention (serving/sharded.py). Weights stay replicated; only the
+cache is distributed, so per-chip HBM bounds only ``s_max / n_chips`` tokens.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from long_context_attention_tpu.models.llama import (
+    ModelConfig,
+    decode_step,
+    forward_local,
+)
+from long_context_attention_tpu.ops.kv_cache import KVCache, quantize_kv
+from long_context_attention_tpu.parallel.mesh import MeshAxes
+
+__all__ = ["ShardedEngine"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedEngine:
+    """Generation over a mesh with a sequence-sharded cache.
+
+    Requirements: prompt length and ``s_max`` divisible by the total
+    sequence-shard count (ring * ulysses); the model's ``layout`` must be
+    "basic" (cache slots are in natural order).
+    """
+
+    cfg: ModelConfig
+    mesh: Mesh
+    s_max: int
+    cache_dtype: str = "bfloat16"
+    axes: MeshAxes = MeshAxes()
+    interpret: Optional[bool] = None
+
+    def __post_init__(self):
+        assert self.cfg.layout == "basic", (
+            "ShardedEngine serves from a contiguous cache: use layout='basic'")
+
+    @property
+    def seq_axes(self):
+        return (self.axes.ring, self.axes.ulysses)
+
+    def _cache_specs(self) -> KVCache:
+        """Pytree of PartitionSpecs matching KVCache fields (slot axis 3)."""
+        val = P(None, None, None, self.seq_axes, None)
+        sc = (None if self.cache_dtype == "bfloat16"
+              else P(None, None, None, self.seq_axes))
+        return KVCache(k=val, v=val, k_scale=sc, v_scale=sc, length=P())
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def prefill(self, params, tokens: jnp.ndarray) -> Tuple[jnp.ndarray, KVCache]:
+        """tokens (b, s) -> (last-token logits (b, vocab), sharded cache)."""
+        b, s = tokens.shape
+        tok_spec = P(None, self.seq_axes)
+
+        def fwd(params, tokens):
+            return forward_local(params, tokens, self.cfg,
+                                 ulysses_axis=self.axes.ulysses,
+                                 ring_axis=self.axes.ring,
+                                 interpret=self.interpret, return_kv=True)
+
+        logits, (kk, vv) = jax.shard_map(
+            fwd, mesh=self.mesh,
+            in_specs=(P(), tok_spec),
+            out_specs=(P(None, self.seq_axes, None),
+                       (P(None, None, self.seq_axes, None, None),) * 2),
+            check_vma=False,
+        )(params, tokens)
+        # kk/vv: (L, b, s, h_kv, d) sharded over the sequence axis.
+
+        dt = self.cache_dtype
+        kq, ks = quantize_kv(jnp.transpose(kk, (0, 1, 3, 2, 4)), dt)
+        vq, vs = quantize_kv(jnp.transpose(vv, (0, 1, 3, 2, 4)), dt)
+        # pad to s_max on the slot axis; keep the shard mapping aligned
+        val_sh = NamedSharding(self.mesh, P(None, None, None, self.seq_axes, None))
+        sc_sh = NamedSharding(self.mesh, P(None, None, None, self.seq_axes))
+
+        def pad(x, sh):
+            shape = x.shape[:3] + (self.s_max,) + x.shape[4:]
+            buf = jnp.zeros(shape, x.dtype)
+            buf = lax.dynamic_update_slice(buf, x, (0,) * x.ndim)
+            return lax.with_sharding_constraint(buf, sh)
+
+        cache = KVCache(
+            k=pad(kq, val_sh), v=pad(vq, val_sh),
+            k_scale=None if ks is None else pad(ks, sc_sh),
+            v_scale=None if vs is None else pad(vs, sc_sh),
+            length=jnp.full((b,), s, jnp.int32),
+        )
+        return logits[:, -1], cache
+
+    @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=2)
+    def _decode_scan(self, params, cache: KVCache, max_new: int,
+                     first_token: jnp.ndarray):
+        specs = self._cache_specs()
+
+        def local_steps(params, cache, first):
+            def step(carry, _):
+                cache, tok = carry
+                logits, cache = decode_step(
+                    params, cache, tok, self.cfg, interpret=self.interpret,
+                    shard_axes=self.seq_axes)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (cache, nxt), tok
+
+            (cache, _), toks = lax.scan(step, (cache, first), length=max_new)
+            return jnp.transpose(toks), cache
+
+        return jax.shard_map(
+            local_steps, mesh=self.mesh,
+            in_specs=(P(), specs, P()),
+            out_specs=(P(), specs),
+            check_vma=False,
+        )(params, cache, first_token)
+
+    def generate(self, params, prompt: jnp.ndarray, max_new: int):
+        logits, cache = self.prefill(params, prompt)
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        toks, cache = self._decode_scan(params, cache, max_new, first)
+        return toks, cache, logits

@@ -120,3 +120,37 @@ def test_sharded_decode_matches_unsharded(rng):
         mask = np.ones(SMAX, bool); mask[t] = False
         np.testing.assert_array_equal(np.asarray(app[i][:, mask]),
                                       np.asarray(k[i][:, mask]))
+
+
+def test_sharded_engine_matches_single_device(setup):
+    """Full mesh-sharded generation (cache over ring x ulysses) produces the
+    same per-step decode logits as the single-device engine."""
+    from long_context_attention_tpu.serving.sharded_engine import ShardedEngine
+
+    params, prompt = setup
+    mesh = make_usp_mesh(dp=1, ulysses=2, ring=2)
+    sh = ShardedEngine(cfg=CFG, mesh=mesh, s_max=64, cache_dtype="bfloat16")
+    single = Engine(cfg=CFG, s_max=64, cache_dtype="bfloat16")
+
+    sl, scache = sh.prefill(params, prompt)
+    ul, ucache = single.prefill(params, prompt)
+    np.testing.assert_allclose(np.asarray(sl), np.asarray(ul),
+                               atol=5e-2, rtol=0)
+
+    toks_s, cache_s, _ = sh.generate(params, prompt, 6)
+    res_u = single.generate(params, prompt, 6)
+    # logit noise can flip exact ties in a random model; require high overlap
+    agree = (np.asarray(toks_s) == np.asarray(res_u.tokens)).mean()
+    assert agree >= 0.8, (np.asarray(toks_s), np.asarray(res_u.tokens))
+    assert cache_s.length.tolist() == [S_PROMPT + 6] * B
+
+
+def test_sharded_engine_int8(setup):
+    from long_context_attention_tpu.serving.sharded_engine import ShardedEngine
+
+    params, prompt = setup
+    mesh = make_usp_mesh(dp=1, ulysses=1, ring=4)
+    sh = ShardedEngine(cfg=CFG, mesh=mesh, s_max=64, cache_dtype="int8")
+    toks, cache, logits = sh.generate(params, prompt, 4)
+    assert toks.shape == (B, 4)
+    assert not bool(jnp.any(jnp.isnan(logits)))
