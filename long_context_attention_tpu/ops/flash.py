@@ -75,6 +75,11 @@ class FlashConfig:
     # reference's cu_seqlens varlen rings, `ring/ring_flash_attn_varlen.py`,
     # `ring/zigzag_ring_flash_attn_varlen.py`).
     segmented: bool = False
+    # quantized KV (the SageAttention-role analog, `kernels/__init__.py:171`):
+    # k/v arrive int8 / fp8 with per-(b, h_kv, token) fp32 absmax scales,
+    # dequantized in VMEM — K's scale folds into the score row, V's into P
+    # after the row-sum. Forward path only; the backward dequantizes outside.
+    kv_quantized: bool = False
 
     @property
     def needs_mask(self) -> bool:
@@ -141,11 +146,16 @@ def _tile_interior(cfg: FlashConfig, q_first, q_last, kv_first, kv_last):
     return ok
 
 
-def _scores(cfg: FlashConfig, q, k):
-    """Raw scaled (+softcapped) scores in fp32; also returns tanh for bwd."""
+def _scores(cfg: FlashConfig, q, k, ks_row=None):
+    """Raw scaled (+softcapped) scores in fp32; also returns tanh for bwd.
+
+    ``ks_row`` (1, bkv): per-column K dequant scale, folded in before the
+    softcap so capped semantics match dequantized values."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if ks_row is not None:
+        s = s * ks_row
     s = s * cfg.scale
     t = None
     if cfg.softcap > 0.0:
@@ -171,15 +181,20 @@ def _seg_mask(qseg_ref, kseg_ref):
 
 def _fwd_kernel(
     q_off_ref, kv_off_ref,  # scalar prefetch (SMEM)
-    *refs,  # inputs / outputs / scratch, arity depends on cfg.segmented
+    *refs,  # inputs / outputs / scratch, arity depends on cfg flags
     cfg: FlashConfig, chunk_q: int, chunk_kv: int,
 ):
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    del refs[:3]
+    qseg_ref = kseg_ref = ksc_ref = vsc_ref = None
     if cfg.segmented:
-        (q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
-         out_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
-    else:
-        q_ref, k_ref, v_ref, out_ref, lse_ref, m_scr, l_scr, acc_scr = refs
-        qseg_ref = kseg_ref = None
+        qseg_ref, kseg_ref = refs[:2]
+        del refs[:2]
+    if cfg.kv_quantized:
+        ksc_ref, vsc_ref = refs[:2]
+        del refs[:2]
+    out_ref, lse_ref, m_scr, l_scr, acc_scr = refs
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
     bq, bkv = cfg.block_q, cfg.block_kv
@@ -204,7 +219,11 @@ def _fwd_kernel(
         q = q_ref[0, 0, :, :]
         k = k_ref[0, 0, :, :]
         v = v_ref[0, 0, :, :]
-        s, _ = _scores(cfg, q, k)
+        if cfg.kv_quantized:
+            k = k.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
+        ks_row = ksc_ref[0, :, :] if ksc_ref is not None else None  # (1, bkv)
+        s, _ = _scores(cfg, q, k, ks_row)
         mask = None
         if masked:
             mask = _tile_mask(cfg, q_first, kv_first, bq, bkv)
@@ -220,6 +239,8 @@ def _fwd_kernel(
             p = jnp.where(mask, 0.0, p)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if vsc_ref is not None:
+            p = p * vsc_ref[0, :, :]  # V dequant scale, after the row-sum
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
@@ -282,10 +303,11 @@ def _kv_clamp_index_map(cfg: FlashConfig, g: int, chunk_q: int, nk: int):
 
 
 def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
-                    q_seg=None, kv_seg=None):
+                    q_seg=None, kv_seg=None, k_scale=None, v_scale=None):
     """q (b,h,s_q,d); k,v (b,h_kv,s_kv,d) -> out (b,h,s_q,d), lse (b,h,s_q).
 
     q_seg/kv_seg: (b, s) int32 segment ids when cfg.segmented.
+    k_scale/v_scale: (b, h_kv, s_kv) fp32 dequant scales when cfg.kv_quantized.
     """
     b, h, s_q, d = q.shape
     _, h_kv, s_kv, _ = k.shape
@@ -314,6 +336,17 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
             pl.BlockSpec((1, 1, bkv), lambda ib, ih, iq, ik, *_: (ib, 0, ik)),
         ]
         inputs += [q_seg.reshape(b, s_q, 1), kv_seg.reshape(b, 1, s_kv)]
+    if cfg.kv_quantized:
+        # scales as (b*h_kv, 1, s_kv): lane-oriented (1, bkv) tiles, same
+        # (clamped) kv tile index as k/v
+        def sc_map(ib, ih, iq, ik, *pref):
+            ibb, ihk, ikc, _ = kv_index_map(ib, ih, iq, ik, *pref)
+            return (ibb * h_kv + ihk, 0, ikc)
+
+        in_specs += [pl.BlockSpec((1, 1, bkv), sc_map),
+                     pl.BlockSpec((1, 1, bkv), sc_map)]
+        inputs += [k_scale.reshape(b * h_kv, 1, s_kv),
+                   v_scale.reshape(b * h_kv, 1, s_kv)]
 
     grid = (b, h, nq, nk)
     kernel = functools.partial(_fwd_kernel, cfg=cfg, chunk_q=chunk_q, chunk_kv=chunk_kv)
@@ -813,9 +846,51 @@ def flash_attention(
 
 
 def flash_attention_fwd(q, k, v, **kwargs):
-    """fwd-only entry (the ring loop's per-step call): returns (out, lse)."""
-    kwargs["return_lse"] = True
-    return flash_attention(q, k, v, **kwargs)
+    """fwd-only entry (the ring loop's per-step call): returns (out, lse).
+
+    Extra kwargs ``k_scale``/``v_scale`` ((b, h_kv, s_kv) fp32) switch on the
+    quantized-KV path: k/v are int8 / float8_e4m3fn values dequantized inside
+    the kernel (the SageAttention-role analog) — fwd-only, not differentiable.
+    """
+    k_scale = kwargs.pop("k_scale", None)
+    v_scale = kwargs.pop("v_scale", None)
+    if k_scale is None:
+        kwargs["return_lse"] = True
+        return flash_attention(q, k, v, **kwargs)
+
+    b, s_q, h, d = q.shape
+    _, s_kv, h_kv, _ = k.shape
+    q_offsets = kwargs.pop("q_offsets", None)
+    kv_offsets = kwargs.pop("kv_offsets", None)
+    q_segment_ids = kwargs.pop("q_segment_ids", None)
+    kv_segment_ids = kwargs.pop("kv_segment_ids", None)
+    kwargs.pop("return_lse", None)
+    n_q_chunks = 1 if q_offsets is None else len(q_offsets)
+    n_kv_chunks = 1 if kv_offsets is None else len(kv_offsets)
+    cfg = _resolve_cfg(
+        h, h_kv, s_q, s_kv, d,
+        causal=kwargs.pop("causal", False),
+        softmax_scale=kwargs.pop("softmax_scale", None),
+        window_size=kwargs.pop("window_size", (-1, -1)),
+        softcap=kwargs.pop("softcap", 0.0),
+        n_q_chunks=n_q_chunks, n_kv_chunks=n_kv_chunks,
+        q_stride=kwargs.pop("q_stride", 1),
+        kv_stride=kwargs.pop("kv_stride", 1),
+        block_sizes=kwargs.pop("block_sizes", None),
+        interpret=kwargs.pop("interpret", None),
+        segmented=q_segment_ids is not None,
+    )
+    cfg = dataclasses.replace(cfg, kv_quantized=True)
+    assert not kwargs, f"unexpected kwargs {sorted(kwargs)}"
+    q_off = _resolve_offsets(q_offsets, n_q_chunks)
+    kv_off = _resolve_offsets(kv_offsets, n_kv_chunks)
+    q_seg = None if q_segment_ids is None else jnp.asarray(q_segment_ids, jnp.int32)
+    kv_seg = None if kv_segment_ids is None else jnp.asarray(kv_segment_ids, jnp.int32)
+    out, lse = _flash_fwd_bhsd(
+        _to_bhsd(q), _to_bhsd(k), _to_bhsd(v), q_off, kv_off, cfg,
+        q_seg, kv_seg, k_scale, v_scale,
+    )
+    return _to_bhsd(out), lse
 
 
 def flash_attention_bwd(

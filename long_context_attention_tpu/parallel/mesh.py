@@ -60,8 +60,21 @@ def make_usp_mesh(
     ``dp * ulysses * ring`` must equal the device count (the reference derives
     ``dp = world_size // (ud * rd)`` the same way, `globals.py:29-30`).
     """
-    devs = list(devices) if devices is not None else jax.devices()
     n = dp * ulysses * ring
+    if devices is None and n == len(jax.devices()):
+        # ICI-topology-aware assignment (also correct across hosts/DCN): the
+        # innermost axis lands on physically adjacent chips, the analog of
+        # `use_ulysses_low` picking the NVLink-adjacent dimension.
+        from jax.experimental import mesh_utils
+
+        if ulysses_low:
+            grid = mesh_utils.create_device_mesh((dp, ring, ulysses))
+        else:
+            grid = mesh_utils.create_device_mesh((dp, ulysses, ring)
+                                                 ).transpose(0, 2, 1)
+        return Mesh(grid, axis_names=(axes.dp, axes.ring, axes.ulysses))
+
+    devs = list(devices) if devices is not None else jax.devices()
     if len(devs) < n:
         raise ValueError(f"need {n} devices (dp={dp} x ring={ring} x ulysses={ulysses}), "
                          f"have {len(devs)}")

@@ -61,10 +61,16 @@ class RingConfig:
     impl: str = "pallas"
     block_sizes: Optional[BlockSizes] = None
     interpret: Optional[bool] = None
+    # rotate int8/fp8 KV around the ring (halves / quarters per-step ICI
+    # traffic — the north star's "collective_permute of quantized KV blocks");
+    # forward quantizes once at entry, the backward uses full-precision KV.
+    kv_quant: Optional[str] = None
 
     def __post_init__(self):
         if self.layout not in LAYOUTS:
             raise ValueError(f"unknown layout {self.layout!r}")
+        if self.kv_quant is not None and self.impl != "pallas":
+            raise ValueError("kv_quant requires the pallas impl")
 
     def attn_kwargs(self, q_off, kv_off, q_stride, kv_stride,
                     q_seg=None, kv_seg=None):
@@ -101,22 +107,33 @@ def _ring_fwd_impl(cfg: RingConfig, q, k, v, q_seg, kv_seg):
     s_kv = k.shape[1]
     q_off, q_stride = position_descriptor(cfg.layout, rank, n, s_q)
 
+    scales = None
+    if cfg.kv_quant is not None:
+        from long_context_attention_tpu.ops.kv_cache import quantize_kv
+
+        k, ks = quantize_kv(k, cfg.kv_quant)   # values (b,s,h_kv,d) quantized
+        v, vs = quantize_kv(v, cfg.kv_quant)   # scales (b,s,h_kv)
+        scales = (jnp.transpose(ks, (0, 2, 1)),  # kernel layout (b,h_kv,s)
+                  jnp.transpose(vs, (0, 2, 1)))
+
     acc_out = jnp.zeros((b, s_q, h, d), jnp.float32)
     acc_lse = jnp.full((b, h, s_q), -jnp.inf, jnp.float32)
-    k_cur, v_cur, kseg_cur = k, v, kv_seg
+    k_cur, v_cur, kseg_cur, sc_cur = k, v, kv_seg, scales
     for step in range(n):
         src = jax.lax.rem(rank - step + n, n)  # whose KV we hold this step
         kv_off, kv_stride = position_descriptor(cfg.layout, src, n, s_kv)
-        blk_out, blk_lse = impl.fwd(
-            q, k_cur, v_cur,
-            **cfg.attn_kwargs(q_off, kv_off, q_stride, kv_stride, q_seg, kseg_cur)
-        )
+        kw = cfg.attn_kwargs(q_off, kv_off, q_stride, kv_stride, q_seg, kseg_cur)
+        if sc_cur is not None:
+            kw["k_scale"], kw["v_scale"] = sc_cur
+        blk_out, blk_lse = impl.fwd(q, k_cur, v_cur, **kw)
         acc_out, acc_lse = merge_attn_blocks(acc_out, acc_lse, blk_out, blk_lse)
         if step < n - 1:
             k_cur = _rotate(k_cur, cfg.axis_name, n)
             v_cur = _rotate(v_cur, cfg.axis_name, n)
             if kseg_cur is not None:
                 kseg_cur = _rotate(kseg_cur, cfg.axis_name, n)
+            if sc_cur is not None:
+                sc_cur = tuple(_rotate(s, cfg.axis_name, n) for s in sc_cur)
     return acc_out.astype(q.dtype), acc_lse
 
 
@@ -183,6 +200,7 @@ def ring_attention_local(
     softcap: float = 0.0,
     impl: str = "pallas",
     segment_ids: Optional[jnp.ndarray] = None,
+    kv_quant: Optional[str] = None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     return_lse: bool = False,
@@ -202,6 +220,7 @@ def ring_attention_local(
         axis_name=axis_name, ring_size=n, layout=layout, causal=causal,
         softmax_scale=softmax_scale, window=(int(window_size[0]), int(window_size[1])),
         softcap=softcap, impl=impl, block_sizes=block_sizes, interpret=interpret,
+        kv_quant=kv_quant,
     )
     seg = None if segment_ids is None else jnp.asarray(segment_ids, jnp.int32)
     out, lse = _ring(cfg, q, k, v, seg, seg)

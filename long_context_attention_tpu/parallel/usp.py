@@ -53,6 +53,7 @@ def usp_attention_local(
     softcap: float = 0.0,
     impl: str = "pallas",
     segment_ids: Optional[jnp.ndarray] = None,
+    kv_quant: Optional[str] = None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
@@ -75,8 +76,8 @@ def usp_attention_local(
         q, k, v,
         axis_name=ring_axis, layout=layout, causal=causal,
         softmax_scale=softmax_scale, window_size=window_size, softcap=softcap,
-        impl=impl, segment_ids=segment_ids, block_sizes=block_sizes,
-        interpret=interpret,
+        impl=impl, segment_ids=segment_ids, kv_quant=kv_quant,
+        block_sizes=block_sizes, interpret=interpret,
     )
     return gather_heads(out, ulysses_axis)
 
@@ -138,6 +139,7 @@ class _LayerBase:
     axes: MeshAxes = MeshAxes()
     layout: str = "zigzag"
     impl: str = "pallas"
+    kv_quant: Optional[str] = None
     block_sizes: Optional[BlockSizes] = None
     interpret: Optional[bool] = None
 
@@ -179,6 +181,7 @@ class LongContextAttention(_LayerBase):
             ulysses_axis=self.axes.ulysses, ring_axis=self.axes.ring,
             layout=self.layout, causal=causal, softmax_scale=softmax_scale,
             window_size=window_size, softcap=softcap, impl=self.impl,
+            kv_quant=self.kv_quant,
             block_sizes=self.block_sizes, interpret=self.interpret,
         )
         if segment_ids is None:

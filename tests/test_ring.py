@@ -123,3 +123,38 @@ def test_ring_lse_matches_oracle(rng):
     _, ref_lse = xla_attention(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
                                atol=2e-2, rtol=1e-4)
+
+
+@pytest.mark.parametrize("kv_quant", ["int8", "float8_e4m3fn"])
+def test_ring_quantized_kv_forward(rng, kv_quant):
+    """Quantized-KV ring (Sage-role analog + ICI-traffic halving): forward
+    matches the oracle within quantization tolerance."""
+    q, k, v = make_qkv(rng)
+    out = run_ring(q, k, v, "zigzag", "pallas", causal=True, kv_quant=kv_quant)
+    ref, _ = xla_attention(q, k, v, causal=True)
+    tol = 2e-1 if kv_quant == "int8" else 5e-1
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=tol, rtol=0)
+
+
+def test_ring_quantized_kv_grads_run(rng):
+    """Backward with kv_quant: grads flow (full-precision bwd) and stay
+    close to unquantized grads."""
+    q, k, v = make_qkv(rng)
+    dout = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
+
+    def loss(q, k, v):
+        out = run_ring(q, k, v, "zigzag", "pallas", causal=True,
+                       kv_quant="int8")
+        return jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32))
+
+    def ref_loss(q, k, v):
+        out, _ = xla_attention(q, k, v, causal=True)
+        return jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32))
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    r = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for gi, ri, name in zip(g, r, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(gi, np.float32),
+                                   np.asarray(ri, np.float32),
+                                   err_msg=name, atol=3e-1, rtol=0)
