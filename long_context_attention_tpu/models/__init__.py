@@ -7,6 +7,7 @@ with USP attention, sequence-sharded activations, and a jitted train step.
 
 from long_context_attention_tpu.models.llama import (
     ModelConfig,
+    decode_step,
     forward_local,
     init_params,
     local_positions,
@@ -14,13 +15,26 @@ from long_context_attention_tpu.models.llama import (
     make_forward,
     make_train_step,
 )
+from long_context_attention_tpu.models.dit import (
+    DiTConfig,
+    dit_forward_local,
+    init_dit_params,
+    make_dit_forward,
+    make_dit_train_step,
+)
 
 __all__ = [
     "ModelConfig",
+    "decode_step",
     "forward_local",
     "init_params",
     "local_positions",
     "loss_local",
     "make_forward",
     "make_train_step",
+    "DiTConfig",
+    "dit_forward_local",
+    "init_dit_params",
+    "make_dit_forward",
+    "make_dit_train_step",
 ]

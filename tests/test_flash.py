@@ -139,3 +139,15 @@ def test_bwd_only_entry_matches_autodiff(rng):
     np.testing.assert_allclose(np.asarray(dq), np.asarray(g[0]), atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(g[1]), atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(g[2]), atol=1e-5, rtol=1e-5)
+
+
+def test_tri_grid_matches_rect(rng):
+    """Opt-in triangular-grid causal fwd is bit-identical to the default."""
+    from long_context_attention_tpu.ops.flash import flash_attention
+
+    q = jnp.asarray(rng.normal(size=(1, 512, 4, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(1, 512, 2, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(1, 512, 2, 64)), jnp.bfloat16)
+    a = flash_attention(q, k, v, causal=True)
+    b = flash_attention(q, k, v, causal=True, tri_grid=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
