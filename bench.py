@@ -57,26 +57,26 @@ def bench_attention(seq: int, fwd_bwd: bool, iters: int, warmup: int = 1,
     k = jax.random.normal(kk, (b, seq, kv_heads, head_dim), jnp.bfloat16)
     v = jax.random.normal(kv, (b, seq, kv_heads, head_dim), jnp.bfloat16)
 
-    if fwd_bwd:
-        dout = jax.random.normal(kd, (b, seq, heads, head_dim), jnp.bfloat16)
+    dout = jax.random.normal(kd, (b, seq, heads, head_dim), jnp.bfloat16)
 
-        def loss(q, k, v):
+    if fwd_bwd:
+        def loss(q, k, v, dout):
             out = flash_attention(q, k, v, causal=causal)
             return jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32))
 
         grad = jax.grad(loss, argnums=(0, 1, 2))
 
         @jax.jit
-        def chained(q, k, v):
+        def chained(q, k, v, dout):
             def body(_, qkv):
-                dq, dk, dv = grad(*qkv)
+                dq, dk, dv = grad(*qkv, dout)
                 return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
             r = lax.fori_loop(0, iters, body, (q, k, v))
             return jnp.sum(r[0].astype(jnp.float32))
     else:
 
         @jax.jit
-        def chained(q, k, v):
+        def chained(q, k, v, dout):
             def body(_, qq):
                 return flash_attention(qq, k, v, causal=causal).astype(q.dtype)
             return jnp.sum(lax.fori_loop(0, iters, body, q).astype(jnp.float32))
@@ -84,11 +84,11 @@ def bench_attention(seq: int, fwd_bwd: bool, iters: int, warmup: int = 1,
     def sync(x):
         return float(x)
 
-    sync(chained(q, k, v))  # compile + warm
+    sync(chained(q, k, v, dout))  # compile + warm
     for _ in range(warmup):
-        sync(chained(q, k, v))
+        sync(chained(q, k, v, dout))
     t0 = time.perf_counter()
-    sync(chained(q, k, v))
+    sync(chained(q, k, v, dout))
     dt = (time.perf_counter() - t0) / iters
 
     # causal matmul flops: fwd = 2 matmuls, bwd = +5 (recompute + dq/dk/dv/dp)

@@ -6,5 +6,11 @@ per-layer KVCache (INT8/FP8) and a jit-compiled greedy decode loop.
 """
 
 from long_context_attention_tpu.serving.engine import Engine, GenerationResult
+from long_context_attention_tpu.serving.sharded import (
+    sharded_append,
+    sharded_decode_attention,
+)
+from long_context_attention_tpu.serving.sharded_engine import ShardedEngine
 
-__all__ = ["Engine", "GenerationResult"]
+__all__ = ["Engine", "GenerationResult", "ShardedEngine",
+           "sharded_append", "sharded_decode_attention"]
