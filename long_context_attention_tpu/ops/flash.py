@@ -988,8 +988,12 @@ def flash_attention(
         interpret=interpret, segmented=segmented,
     )
     if q_offsets is None and kv_offsets is None:
-        cfg = dataclasses.replace(cfg, trivial_offsets=True,
+        cfg = dataclasses.replace(cfg, trivial_offsets=(s_q == s_kv),
                                   tri_grid=bool(tri_grid))
+        if s_q != s_kv:
+            # flash-attn semantics: causal/window align bottom-right when the
+            # lengths differ (`test/test_utils.py:8` construct_local_mask)
+            q_offsets = jnp.array([s_kv - s_q], jnp.int32)
     q_off = _resolve_offsets(q_offsets, n_q_chunks)
     kv_off = _resolve_offsets(kv_offsets, n_kv_chunks)
     q_seg = None if q_segment_ids is None else jnp.asarray(q_segment_ids, jnp.int32)
