@@ -187,6 +187,80 @@ def forward_local(params: Params, tokens: jnp.ndarray, cfg: ModelConfig, *,
     return (logits, kv) if return_kv else logits
 
 
+def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
+                       start: int, cfg: ModelConfig, *,
+                       interpret: Optional[bool] = None):
+    """Process one prompt chunk against the cache-so-far (chunked prefill).
+
+    tokens (b, s_c) at global positions [start, start+s_c); activation memory
+    is O(s_c * cache_len) tile-streamed, never O(prompt^2). The chunk's causal
+    self-attention and its (all-visible) attention over the quantized cache
+    prefix merge via online LSE — the same math as the ring. Returns
+    (logits (b, s_c, vocab), cache with the chunk written at [start, ...)).
+    """
+    import dataclasses as _dc
+
+    from long_context_attention_tpu.ops.flash import (
+        flash_attention_fwd,
+        flash_attention_fwd_cache,
+    )
+    from long_context_attention_tpu.ops.kv_cache import quantize_kv
+    from long_context_attention_tpu.ops.merge import merge_attn_blocks
+
+    b, s_c = tokens.shape
+    positions = jnp.arange(s_c, dtype=jnp.int32) + start
+    x = params["embed"][tokens]
+    scale = cfg.head_dim ** -0.5
+
+    def body(x, inp):
+        lp, kc, vc, ksc, vsc = inp
+        h = rmsnorm(x, lp["attn_norm"], cfg.norm_eps)
+        q = (h @ lp["wq"]).reshape(b, s_c, cfg.n_heads, cfg.head_dim)
+        k = (h @ lp["wk"]).reshape(b, s_c, cfg.n_kv_heads, cfg.head_dim)
+        v = (h @ lp["wv"]).reshape(b, s_c, cfg.n_kv_heads, cfg.head_dim)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+
+        out, lse = flash_attention_fwd(q, k, v, causal=True,
+                                       softmax_scale=scale,
+                                       interpret=interpret)
+        if start > 0:
+            c_out, c_lse = flash_attention_fwd_cache(
+                q, kc[:, :, :start], vc[:, :, :start],
+                k_scale=None if ksc is None else ksc[:, :, :start],
+                v_scale=None if vsc is None else vsc[:, :, :start],
+                softmax_scale=scale, interpret=interpret,
+            )
+            acc, acc_lse = merge_attn_blocks(
+                out.astype(jnp.float32), lse, c_out, c_lse)
+            out = acc.astype(x.dtype)
+
+        # write the chunk's KV into the cache at [start, start+s_c)
+        dt_name = ("bfloat16" if ksc is None
+                   else jnp.dtype(kc.dtype).name)
+        kq, ks1 = quantize_kv(jnp.transpose(k, (0, 2, 1, 3)), dt_name)
+        vq, vs1 = quantize_kv(jnp.transpose(v, (0, 2, 1, 3)), dt_name)
+        kc = lax.dynamic_update_slice(kc, kq, (0, 0, start, 0))
+        vc = lax.dynamic_update_slice(vc, vq, (0, 0, start, 0))
+        if ksc is not None:
+            ksc = lax.dynamic_update_slice(ksc, ks1, (0, 0, start))
+            vsc = lax.dynamic_update_slice(vsc, vs1, (0, 0, start))
+
+        x = x + (out.reshape(b, s_c, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
+        hh = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
+        gate = jax.nn.silu((hh @ lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + ((gate * (hh @ lp["w_up"])) @ lp["w_down"]).astype(x.dtype)
+        return x, (kc, vc, ksc, vsc)
+
+    xs = (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+    x, (kc, vc, ksc, vsc) = lax.scan(body, x, xs)
+    cache = _dc.replace(cache, k=kc, v=vc, k_scale=ksc, v_scale=vsc,
+                        length=jnp.full_like(cache.length, start + s_c))
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, cache
+
+
 def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
                 *, interpret: Optional[bool] = None, shard_axes=None):
     """One single-token decode step against a KVCache (serving hot path).

@@ -1050,6 +1050,34 @@ def flash_attention_fwd(q, k, v, **kwargs):
     return _to_bhsd(out), lse
 
 
+def flash_attention_fwd_cache(
+    q, k_cache, v_cache, *,
+    k_scale=None, v_scale=None, softmax_scale=None,
+    block_sizes=None, interpret=None,
+):
+    """fwd-only attention of q (b, s_q, h, d) against a **BHSD cache slice**
+    (b, h_kv, s_kv, d), optionally quantized — the chunked-prefill building
+    block (every cache token is visible to every q row; no masking). Returns
+    (out, lse) in the standard contract, mergeable with the chunk's own
+    causal attention via ops/merge.py."""
+    b, s_q, h, d = q.shape
+    _, h_kv, s_kv, _ = k_cache.shape
+    cfg = _resolve_cfg(
+        h, h_kv, s_q, s_kv, d,
+        causal=False, softmax_scale=softmax_scale, window_size=(-1, -1),
+        softcap=0.0, n_q_chunks=1, n_kv_chunks=1, q_stride=1, kv_stride=1,
+        block_sizes=block_sizes, interpret=interpret,
+    )
+    if k_scale is not None:
+        cfg = dataclasses.replace(cfg, kv_quantized=True)
+    zoff = jnp.zeros((1,), jnp.int32)
+    out, lse = _flash_fwd_bhsd(
+        _to_bhsd(q), k_cache, v_cache, zoff, zoff, cfg,
+        None, None, k_scale, v_scale,
+    )
+    return _to_bhsd(out), lse
+
+
 def flash_attention_bwd(
     q, k, v, out, lse, dout, *,
     causal=False, softmax_scale=None, window_size=(-1, -1), softcap=0.0,

@@ -21,6 +21,7 @@ from long_context_attention_tpu.models.llama import (
     ModelConfig,
     decode_step,
     forward_local,
+    prefill_chunk_step,
 )
 from long_context_attention_tpu.ops.kv_cache import KVCache
 from long_context_attention_tpu.parallel.mesh import MeshAxes, make_usp_mesh
@@ -79,6 +80,25 @@ class Engine:
         for layer in range(self.cfg.n_layers):
             cache = cache.write_prompt(layer, kv_k[layer], kv_v[layer])
         cache = cache.advance(s)
+        return logits[:, -1], cache
+
+    @functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=2)
+    def _prefill_chunk(self, params, cache, tokens, start: int):
+        return prefill_chunk_step(params, cache, tokens, start, self.cfg,
+                                  interpret=self.interpret)
+
+    def prefill_chunked(self, params, tokens: jnp.ndarray, chunk_size: int
+                        ) -> Tuple[jnp.ndarray, KVCache]:
+        """Bounded-memory prefill: the prompt streams through in chunks, each
+        attending causally to itself and fully to the (quantized) cache
+        prefix — activations never exceed O(chunk * cache). Same contract as
+        :meth:`prefill`."""
+        b, s = tokens.shape
+        assert s % chunk_size == 0, (s, chunk_size)
+        cache = self.init_cache(b)
+        for start in range(0, s, chunk_size):
+            logits, cache = self._prefill_chunk(
+                params, cache, tokens[:, start:start + chunk_size], start)
         return logits[:, -1], cache
 
     @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=2)

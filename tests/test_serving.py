@@ -154,3 +154,35 @@ def test_sharded_engine_int8(setup):
     toks, cache, logits = sh.generate(params, prompt, 4)
     assert toks.shape == (B, 4)
     assert not bool(jnp.any(jnp.isnan(logits)))
+
+
+def test_chunked_prefill_matches_full(setup):
+    """Chunked prefill (bounded activation memory) == one-shot prefill."""
+    params, prompt = setup
+    eng = Engine(cfg=CFG, s_max=64, cache_dtype="bfloat16")
+    full_logits, full_cache = eng.prefill(params, prompt)
+    ch_logits, ch_cache = eng.prefill_chunked(params, prompt, chunk_size=4)
+    np.testing.assert_allclose(np.asarray(ch_logits), np.asarray(full_logits),
+                               atol=5e-2, rtol=0)
+    assert ch_cache.length.tolist() == full_cache.length.tolist()
+    np.testing.assert_allclose(
+        np.asarray(ch_cache.k[:, :, :, :S_PROMPT], np.float32),
+        np.asarray(full_cache.k[:, :, :, :S_PROMPT], np.float32),
+        atol=5e-2, rtol=0)
+
+
+def test_chunked_prefill_int8_then_decode(setup):
+    """Chunked prefill over an int8 cache feeds decode correctly."""
+    from long_context_attention_tpu.models.llama import decode_step
+
+    params, prompt = setup
+    eng = Engine(cfg=CFG, s_max=64, cache_dtype="int8")
+    fl, fcache = eng.prefill(params, prompt)
+    cl, ccache = eng.prefill_chunked(params, prompt, chunk_size=8)
+    np.testing.assert_allclose(np.asarray(cl), np.asarray(fl),
+                               atol=2e-1, rtol=0)
+    tok = jnp.argmax(cl, -1).astype(jnp.int32)
+    d1, _ = decode_step(params, ccache, tok, CFG)
+    d2, _ = decode_step(params, fcache, tok, CFG)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               atol=2e-1, rtol=0)
