@@ -41,6 +41,7 @@ __all__ = [
     "unpermute_from_layout",
     "extract_local",
     "position_descriptor",
+    "bidir_position_descriptor",
     "positions_from_descriptor",
 ]
 
@@ -129,6 +130,27 @@ def position_descriptor(
         return (jnp.stack([rank * half, (2 * ring_size - 1 - rank) * half]), 1)
     # stripe
     return (rank[None], ring_size)
+
+
+def bidir_position_descriptor(
+    layout: str, src_a, src_b, ring_size: int, local_len: int
+) -> Tuple[jnp.ndarray, int]:
+    """Positions when the local KV is split in two halves traveling opposite
+    ring directions (TokenRing-style bidirectional rotation, using both ICI
+    directions): half A (local indices [0, local_len/2)) currently originates
+    from ring rank ``src_a``, half B from ``src_b``. Returns 2-chunk
+    ``(offsets, stride)`` in the kernel contract."""
+    if layout not in LAYOUTS:
+        raise ValueError(f"unknown layout {layout!r}")
+    src_a = jnp.asarray(src_a, jnp.int32)
+    src_b = jnp.asarray(src_b, jnp.int32)
+    half = local_len // 2
+    if layout == "basic":
+        return (jnp.stack([src_a * local_len, src_b * local_len + half]), 1)
+    if layout == "zigzag":
+        return (jnp.stack([src_a * half, (2 * ring_size - 1 - src_b) * half]), 1)
+    # stripe
+    return (jnp.stack([src_a, src_b + half * ring_size]), ring_size)
 
 
 def positions_from_descriptor(offsets: jnp.ndarray, stride: int,

@@ -41,7 +41,11 @@ from jax import lax
 
 from long_context_attention_tpu.ops.merge import merge_attn_blocks
 from long_context_attention_tpu.ops.registry import get_attn_impl
-from long_context_attention_tpu.parallel.layouts import LAYOUTS, position_descriptor
+from long_context_attention_tpu.parallel.layouts import (
+    LAYOUTS,
+    bidir_position_descriptor,
+    position_descriptor,
+)
 from long_context_attention_tpu.utils.config import BlockSizes
 
 __all__ = ["RingConfig", "ring_attention_local"]
@@ -65,12 +69,20 @@ class RingConfig:
     # traffic — the north star's "collective_permute of quantized KV blocks");
     # forward quantizes once at entry, the backward uses full-precision KV.
     kv_quant: Optional[str] = None
+    # TokenRing-style bidirectional rotation (arXiv:2412.20501): each rank's
+    # KV splits into two halves traveling opposite ring directions, using
+    # both ICI links of the torus axis — per-step, per-link bytes halve.
+    # Correctness is layout-independent thanks to the position descriptors;
+    # the bandwidth benefit appears on real multi-chip ICI.
+    bidirectional: bool = False
 
     def __post_init__(self):
         if self.layout not in LAYOUTS:
             raise ValueError(f"unknown layout {self.layout!r}")
         if self.kv_quant is not None and self.impl != "pallas":
             raise ValueError("kv_quant requires the pallas impl")
+        if self.bidirectional and self.kv_quant is not None:
+            raise ValueError("bidirectional + kv_quant not yet combined")
 
     def attn_kwargs(self, q_off, kv_off, q_stride, kv_stride,
                     q_seg=None, kv_seg=None):
@@ -99,7 +111,111 @@ def _rotate(x, axis_name: str, n: int):
     return lax.ppermute(x, axis_name, [(j, (j + 1) % n) for j in range(n)])
 
 
+def _rotate_back(x, axis_name: str, n: int):
+    """Send to rank-1 (the counter-direction of the bidirectional ring)."""
+    return lax.ppermute(x, axis_name, [(j, (j - 1) % n) for j in range(n)])
+
+
+def _ring_fwd_bidir(cfg: RingConfig, q, k, v, q_seg, kv_seg):
+    """Bidirectional forward: KV halves counter-rotate; each step's two
+    sources are described by one 2-chunk position descriptor, so the same
+    kernel call covers both halves."""
+    impl = get_attn_impl(cfg.impl)
+    n = cfg.ring_size
+    rank = lax.axis_index(cfg.axis_name)
+    b, s_q, h, d = q.shape
+    s_kv = k.shape[1]
+    half = s_kv // 2
+    q_off, q_stride = position_descriptor(cfg.layout, rank, n, s_q)
+
+    acc_out = jnp.zeros((b, s_q, h, d), jnp.float32)
+    acc_lse = jnp.full((b, h, s_q), -jnp.inf, jnp.float32)
+    kA, kB = k[:, :half], k[:, half:]
+    vA, vB = v[:, :half], v[:, half:]
+    segA = segB = None
+    if kv_seg is not None:
+        segA, segB = kv_seg[:, :half], kv_seg[:, half:]
+    for step in range(n):
+        src_a = jax.lax.rem(rank - step + n, n)
+        src_b = jax.lax.rem(rank + step, n)
+        kv_off, kv_stride = bidir_position_descriptor(
+            cfg.layout, src_a, src_b, n, s_kv)
+        k_cur = jnp.concatenate([kA, kB], axis=1)
+        v_cur = jnp.concatenate([vA, vB], axis=1)
+        seg_cur = (None if segA is None
+                   else jnp.concatenate([segA, segB], axis=1))
+        blk_out, blk_lse = impl.fwd(
+            q, k_cur, v_cur,
+            **cfg.attn_kwargs(kv_off=kv_off, q_off=q_off, q_stride=q_stride,
+                              kv_stride=kv_stride, q_seg=q_seg,
+                              kv_seg=seg_cur))
+        acc_out, acc_lse = merge_attn_blocks(acc_out, acc_lse, blk_out, blk_lse)
+        if step < n - 1:
+            kA = _rotate(kA, cfg.axis_name, n)
+            vA = _rotate(vA, cfg.axis_name, n)
+            kB = _rotate_back(kB, cfg.axis_name, n)
+            vB = _rotate_back(vB, cfg.axis_name, n)
+            if segA is not None:
+                segA = _rotate(segA, cfg.axis_name, n)
+                segB = _rotate_back(segB, cfg.axis_name, n)
+    return acc_out.astype(q.dtype), acc_lse
+
+
+def _ring_bwd_bidir(cfg: RingConfig, res, dout):
+    q, k, v, q_seg, kv_seg, out, lse = res
+    impl = get_attn_impl(cfg.impl)
+    n = cfg.ring_size
+    rank = lax.axis_index(cfg.axis_name)
+    s_q, s_kv = q.shape[1], k.shape[1]
+    half = s_kv // 2
+    q_off, q_stride = position_descriptor(cfg.layout, rank, n, s_q)
+
+    dq = jnp.zeros(q.shape, jnp.float32)
+    dkA = jnp.zeros((k.shape[0], half) + k.shape[2:], jnp.float32)
+    dkB = jnp.zeros_like(dkA)
+    dvA = jnp.zeros_like(dkA)
+    dvB = jnp.zeros_like(dkA)
+    kA, kB = k[:, :half], k[:, half:]
+    vA, vB = v[:, :half], v[:, half:]
+    segA = segB = None
+    if kv_seg is not None:
+        segA, segB = kv_seg[:, :half], kv_seg[:, half:]
+    for step in range(n):
+        src_a = jax.lax.rem(rank - step + n, n)
+        src_b = jax.lax.rem(rank + step, n)
+        kv_off, kv_stride = bidir_position_descriptor(
+            cfg.layout, src_a, src_b, n, s_kv)
+        k_cur = jnp.concatenate([kA, kB], axis=1)
+        v_cur = jnp.concatenate([vA, vB], axis=1)
+        seg_cur = (None if segA is None
+                   else jnp.concatenate([segA, segB], axis=1))
+        dq_p, dk_p, dv_p = impl.bwd(
+            q, k_cur, v_cur, out, lse, dout,
+            **cfg.attn_kwargs(kv_off=kv_off, q_off=q_off, q_stride=q_stride,
+                              kv_stride=kv_stride, q_seg=q_seg,
+                              kv_seg=seg_cur))
+        dq = dq + dq_p
+        dkA = _rotate(dkA + dk_p[:, :half], cfg.axis_name, n)
+        dvA = _rotate(dvA + dv_p[:, :half], cfg.axis_name, n)
+        dkB = _rotate_back(dkB + dk_p[:, half:], cfg.axis_name, n)
+        dvB = _rotate_back(dvB + dv_p[:, half:], cfg.axis_name, n)
+        if step < n - 1:
+            kA = _rotate(kA, cfg.axis_name, n)
+            vA = _rotate(vA, cfg.axis_name, n)
+            kB = _rotate_back(kB, cfg.axis_name, n)
+            vB = _rotate_back(vB, cfg.axis_name, n)
+            if segA is not None:
+                segA = _rotate(segA, cfg.axis_name, n)
+                segB = _rotate_back(segB, cfg.axis_name, n)
+    dk = jnp.concatenate([dkA, dkB], axis=1)
+    dv = jnp.concatenate([dvA, dvB], axis=1)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            None, None)
+
+
 def _ring_fwd_impl(cfg: RingConfig, q, k, v, q_seg, kv_seg):
+    if cfg.bidirectional and cfg.ring_size > 1:
+        return _ring_fwd_bidir(cfg, q, k, v, q_seg, kv_seg)
     impl = get_attn_impl(cfg.impl)
     n = cfg.ring_size
     rank = lax.axis_index(cfg.axis_name)
@@ -150,6 +266,8 @@ def _ring_vjp_fwd(cfg, q, k, v, q_seg, kv_seg):
 def _ring_vjp_bwd(cfg, res, cot):
     q, k, v, q_seg, kv_seg, out, lse = res
     dout, _dlse = cot  # LSE cotangent not propagated (flash-attn convention)
+    if cfg.bidirectional and cfg.ring_size > 1:
+        return _ring_bwd_bidir(cfg, res, dout)
     impl = get_attn_impl(cfg.impl)
     n = cfg.ring_size
     rank = lax.axis_index(cfg.axis_name)
@@ -201,6 +319,7 @@ def ring_attention_local(
     impl: str = "pallas",
     segment_ids: Optional[jnp.ndarray] = None,
     kv_quant: Optional[str] = None,
+    bidirectional: bool = False,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     return_lse: bool = False,
@@ -220,7 +339,7 @@ def ring_attention_local(
         axis_name=axis_name, ring_size=n, layout=layout, causal=causal,
         softmax_scale=softmax_scale, window=(int(window_size[0]), int(window_size[1])),
         softcap=softcap, impl=impl, block_sizes=block_sizes, interpret=interpret,
-        kv_quant=kv_quant,
+        kv_quant=kv_quant, bidirectional=bidirectional,
     )
     seg = None if segment_ids is None else jnp.asarray(segment_ids, jnp.int32)
     out, lse = _ring(cfg, q, k, v, seg, seg)

@@ -158,3 +158,38 @@ def test_ring_quantized_kv_grads_run(rng):
         np.testing.assert_allclose(np.asarray(gi, np.float32),
                                    np.asarray(ri, np.float32),
                                    err_msg=name, atol=3e-1, rtol=0)
+
+
+@pytest.mark.parametrize("layout", ["basic", "zigzag", "stripe"])
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_bidirectional_forward(rng, layout, causal):
+    """TokenRing-style bidirectional rotation (both ICI directions):
+    bit-for-bit semantics vs the oracle under every layout."""
+    q, k, v = make_qkv(rng)
+    out = run_ring(q, k, v, layout, "pallas", causal=causal,
+                   bidirectional=True)
+    ref, _ = xla_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), **TOL)
+
+
+@pytest.mark.parametrize("layout", ["basic", "zigzag"])
+def test_ring_bidirectional_grads(rng, layout):
+    q, k, v = make_qkv(rng)
+    dout = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
+
+    def loss(q, k, v):
+        out = run_ring(q, k, v, layout, "pallas", causal=True,
+                       bidirectional=True)
+        return jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32))
+
+    def ref_loss(q, k, v):
+        out, _ = xla_attention(q, k, v, causal=True)
+        return jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32))
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    r = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for gi, ri, name in zip(g, r, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(gi, np.float32),
+                                   np.asarray(ri, np.float32),
+                                   err_msg=name, **TOL)
