@@ -26,7 +26,7 @@ from long_context_attention_tpu.models.llama import (
 from long_context_attention_tpu.ops.kv_cache import KVCache
 from long_context_attention_tpu.parallel.mesh import MeshAxes, make_usp_mesh
 
-__all__ = ["Engine", "GenerationResult"]
+__all__ = ["Engine", "GenerationResult", "SamplingParams", "sample_token"]
 
 
 @dataclasses.dataclass
@@ -34,6 +34,35 @@ class GenerationResult:
     tokens: jnp.ndarray       # (b, max_new) generated token ids
     cache: KVCache            # final cache (prompt + generated)
     prefill_logits: jnp.ndarray  # (b, vocab) logits at the last prompt token
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """Greedy by default; temperature/top-k/top-p compose in that order."""
+
+    temperature: float = 0.0   # 0 = greedy argmax
+    top_k: int = 0             # 0 = disabled
+    top_p: float = 1.0         # 1 = disabled
+
+
+def sample_token(logits: jnp.ndarray, params: SamplingParams,
+                 key: Optional[jax.Array]) -> jnp.ndarray:
+    """(b, vocab) fp32 logits -> (b,) int32 token ids."""
+    if params.temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / params.temperature
+    if params.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -params.top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if params.top_p < 1.0:
+        sorted_l = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_l, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest prefix with cumulative mass >= top_p stays
+        cutoff_idx = jnp.sum(cum < params.top_p, axis=-1)
+        cutoff = jnp.take_along_axis(sorted_l, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,23 +130,31 @@ class Engine:
                 params, cache, tokens[:, start:start + chunk_size], start)
         return logits[:, -1], cache
 
-    @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=2)
+    @functools.partial(jax.jit, static_argnums=(0, 3, 5), donate_argnums=2)
     def _decode_scan(self, params, cache: KVCache, max_new: int,
-                     first_token: jnp.ndarray):
-        def step(carry, _):
+                     first_token: jnp.ndarray,
+                     sampling: SamplingParams, key: jax.Array):
+        def step(carry, skey):
             cache, tok = carry
             logits, cache = decode_step(params, cache, tok, self.cfg,
                                         interpret=self.interpret)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt = sample_token(logits, sampling, skey)
             return (cache, nxt), tok
 
-        (cache, _), toks = lax.scan(step, (cache, first_token), length=max_new)
+        keys = jax.random.split(key, max_new)
+        (cache, _), toks = lax.scan(step, (cache, first_token), keys)
         return jnp.transpose(toks), cache  # (b, max_new)
 
-    def generate(self, params, prompt: jnp.ndarray, max_new: int
-                 ) -> GenerationResult:
-        """Greedy generation: prompt (b, s) int32 -> max_new tokens per row."""
+    def generate(self, params, prompt: jnp.ndarray, max_new: int, *,
+                 sampling: SamplingParams = SamplingParams(),
+                 key: Optional[jax.Array] = None) -> GenerationResult:
+        """Generate max_new tokens per row (greedy unless `sampling` says
+        otherwise). prompt (b, s) int32."""
         logits, cache = self.prefill(params, prompt)
-        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        toks, cache = self._decode_scan(params, cache, max_new, first)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        key, fkey = jax.random.split(key)
+        first = sample_token(logits, sampling, fkey)
+        toks, cache = self._decode_scan(params, cache, max_new, first,
+                                        sampling, key)
         return GenerationResult(tokens=toks, cache=cache, prefill_logits=logits)

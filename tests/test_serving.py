@@ -186,3 +186,29 @@ def test_chunked_prefill_int8_then_decode(setup):
     d2, _ = decode_step(params, fcache, tok, CFG)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
                                atol=2e-1, rtol=0)
+
+
+def test_sampling_params(setup):
+    """Temperature/top-k/top-p sampling produce valid, varied tokens."""
+    from long_context_attention_tpu.serving.engine import (
+        SamplingParams, sample_token)
+
+    params, prompt = setup
+    eng = Engine(cfg=CFG, s_max=64)
+    res = eng.generate(params, prompt, 6,
+                       sampling=SamplingParams(temperature=1.0, top_k=10,
+                                               top_p=0.9),
+                       key=jax.random.PRNGKey(42))
+    assert res.tokens.shape == (B, 6)
+    assert int(res.tokens.min()) >= 0 and int(res.tokens.max()) < CFG.vocab
+
+    # greedy == argmax regardless of key
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(3, 16)),
+                         jnp.float32)
+    g = sample_token(logits, SamplingParams(), None)
+    np.testing.assert_array_equal(np.asarray(g),
+                                  np.asarray(jnp.argmax(logits, -1)))
+    # top-k=1 sampling == greedy
+    s = sample_token(logits, SamplingParams(temperature=1.0, top_k=1),
+                     jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(g))
