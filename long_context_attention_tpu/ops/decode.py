@@ -17,7 +17,7 @@ blockwise attention of (b, h, d) queries against a BHSD cache
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

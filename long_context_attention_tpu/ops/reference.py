@@ -22,7 +22,6 @@ from __future__ import annotations
 import math
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 
 __all__ = ["xla_attention", "xla_attention_bwd"]

@@ -26,7 +26,7 @@ parallel/layouts.py. Impls:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict
 
 import jax.numpy as jnp
 

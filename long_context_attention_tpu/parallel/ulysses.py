@@ -13,9 +13,6 @@ function takes device-local arrays in the (b, s_local, h, d) contract.
 
 from __future__ import annotations
 
-from typing import Optional
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 

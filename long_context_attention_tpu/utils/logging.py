@@ -7,10 +7,7 @@ our test suite.
 from __future__ import annotations
 
 import sys
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["diff_stats", "log_diff", "color_print", "device_banner"]
