@@ -161,12 +161,14 @@ def make_dit_train_step(cfg: DiTConfig, mesh: Mesh, optimizer,
                                      ulysses_axis=axes.ulysses,
                                      ring_axis=axes.ring, interpret=interpret)
             se = jnp.sum((pred - noise.astype(jnp.float32)) ** 2)
-            cnt = jnp.float32(noise.size)
-            se = lax.psum(se, all_axes)
-            cnt = lax.psum(cnt, all_axes)
+            # numerator stays LOCAL (psum transposes to psum and would scale
+            # every gradient by the axis-group size — see models/llama.py);
+            # only the param-independent count reduces here.
+            cnt = lax.psum(jnp.float32(noise.size), all_axes)
             return se / cnt
 
         loss, grads = jax.value_and_grad(lf)(params)
+        loss = lax.psum(loss, all_axes)  # reporting only (post-grad)
         grads = jax.tree.map(lambda g: lax.psum(g, all_axes), grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype),

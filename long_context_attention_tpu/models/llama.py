@@ -23,12 +23,13 @@ TPU-first design notes:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from long_context_attention_tpu.parallel.layouts import (
     position_descriptor,
@@ -39,7 +40,7 @@ from long_context_attention_tpu.parallel.usp import usp_attention_local
 from long_context_attention_tpu.utils.config import BlockSizes
 
 __all__ = ["ModelConfig", "init_params", "forward_local", "make_forward",
-           "make_train_step", "local_positions"]
+           "make_train_step", "local_positions", "param_specs"]
 
 Params = Dict[str, Any]
 
@@ -140,12 +141,22 @@ def local_positions(cfg: ModelConfig, s_local: int, *, ulysses_axis: str,
 
 
 def _layer(cfg: ModelConfig, x, lp, positions, *, ulysses_axis, ring_axis,
-           interpret):
+           interpret, tp_axis: Optional[str] = None):
+    from long_context_attention_tpu.parallel.tp import (
+        tp_region_input,
+        tp_region_output,
+    )
+
     b, s, _ = x.shape
+    tp = lax.axis_size(tp_axis) if tp_axis else 1
+    h_loc, hkv_loc = cfg.n_heads // tp, cfg.n_kv_heads // tp
+
     h = rmsnorm(x, lp["attn_norm"], cfg.norm_eps)
-    q = (h @ lp["wq"]).reshape(b, s, cfg.n_heads, cfg.head_dim)
-    k = (h @ lp["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
-    v = (h @ lp["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    if tp_axis:
+        h = tp_region_input(h, tp_axis)  # Megatron "f": bwd psums over tp
+    q = (h @ lp["wq"]).reshape(b, s, h_loc, cfg.head_dim)
+    k = (h @ lp["wk"]).reshape(b, s, hkv_loc, cfg.head_dim)
+    v = (h @ lp["wv"]).reshape(b, s, hkv_loc, cfg.head_dim)
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
     attn = usp_attention_local(
@@ -154,22 +165,33 @@ def _layer(cfg: ModelConfig, x, lp, positions, *, ulysses_axis, ring_axis,
         causal=True, impl=cfg.attn_impl, block_sizes=cfg.block_sizes,
         interpret=interpret,
     )
-    x = x + (attn.reshape(b, s, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
+    o = (attn.reshape(b, s, h_loc * cfg.head_dim) @ lp["wo"])
+    if tp_axis:
+        o = tp_region_output(o, tp_axis)  # Megatron "g": allreduce, bwd identity
+    x = x + o.astype(x.dtype)
     h = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
+    if tp_axis:
+        h = tp_region_input(h, tp_axis)
     gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-    x = x + ((gate * (h @ lp["w_up"])) @ lp["w_down"]).astype(x.dtype)
+    m = (gate * (h @ lp["w_up"])) @ lp["w_down"]
+    if tp_axis:
+        m = tp_region_output(m, tp_axis)
+    x = x + m.astype(x.dtype)
     return x, (k, v)
 
 
 def forward_local(params: Params, tokens: jnp.ndarray, cfg: ModelConfig, *,
                   ulysses_axis: str, ring_axis: str,
                   interpret: Optional[bool] = None,
-                  return_kv: bool = False):
+                  return_kv: bool = False,
+                  tp_axis: Optional[str] = None):
     """Device-local forward: tokens (b, s_local) int32 -> logits fp32
     (b, s_local, vocab). Call inside shard_map over the USP mesh.
 
     ``return_kv=True`` also returns per-layer post-RoPE (k, v), each
-    (n_layers, b, s_local, h_kv, d) — the prefill path's cache feed."""
+    (n_layers, b, s_local, h_kv, d) — the prefill path's cache feed.
+    ``tp_axis``: tensor-parallel mesh axis; weight shards arrive via the
+    shard_map in_specs (:func:`param_specs`)."""
     b, s = tokens.shape
     positions = local_positions(cfg, s, ulysses_axis=ulysses_axis,
                                 ring_axis=ring_axis)
@@ -177,13 +199,36 @@ def forward_local(params: Params, tokens: jnp.ndarray, cfg: ModelConfig, *,
 
     def body(x, lp):
         x, kv = _layer(cfg, x, lp, positions, ulysses_axis=ulysses_axis,
-                       ring_axis=ring_axis, interpret=interpret)
+                       ring_axis=ring_axis, interpret=interpret,
+                       tp_axis=tp_axis)
         return x, (kv if return_kv else None)
 
     x, kv = lax.scan(body, x, params["layers"])
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
     return (logits, kv) if return_kv else logits
+
+
+def param_specs(axes: "MeshAxes", tp: bool):
+    """PartitionSpec pytree for the params (column/row TP sharding when tp).
+
+    Layer weights are stacked (n_layers, ...): the tp axis shards their last
+    (column-parallel: wq/wk/wv/w_gate/w_up) or middle (row-parallel:
+    wo/w_down) dimension; norms/embed/lm_head stay replicated."""
+    if not tp:
+        return P()
+    col = P(None, None, axes.tp)
+    row = P(None, axes.tp, None)
+    rep2 = P()
+    return {
+        "embed": P(),
+        "layers": {
+            "attn_norm": rep2, "wq": col, "wk": col, "wv": col, "wo": row,
+            "mlp_norm": rep2, "w_gate": col, "w_up": col, "w_down": row,
+        },
+        "final_norm": P(),
+        "lm_head": P(),
+    }
 
 
 def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
@@ -346,43 +391,51 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
     return logits, cache
 
 
-def _replicated(mesh: Mesh, tree):
-    return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
-
-
 def make_forward(cfg: ModelConfig, mesh: Mesh, axes: MeshAxes = MeshAxes(), *,
                  interpret: Optional[bool] = None):
     """Jitted global forward: (params, tokens (b, s) sharded dp x seq) -> logits."""
+    tp = axes.tp in mesh.axis_names
     tok_spec = P(axes.dp, axes.seq)
     out_spec = P(axes.dp, axes.seq, None)
 
     def fwd(params, tokens):
         return forward_local(params, tokens, cfg, ulysses_axis=axes.ulysses,
-                             ring_axis=axes.ring, interpret=interpret)
+                             ring_axis=axes.ring, interpret=interpret,
+                             tp_axis=axes.tp if tp else None)
 
-    mapped = jax.shard_map(fwd, mesh=mesh, in_specs=(P(), tok_spec),
+    mapped = jax.shard_map(fwd, mesh=mesh,
+                           in_specs=(param_specs(axes, tp), tok_spec),
                            out_specs=out_spec, check_vma=False)
     return jax.jit(mapped)
 
 
 def loss_local(params: Params, tokens, labels, mask, cfg: ModelConfig, *,
                ulysses_axis: str, ring_axis: str, dp_axis: Optional[str] = None,
-               interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Global-mean next-token cross-entropy (psum-reduced scalar).
+               interpret: Optional[bool] = None,
+               tp_axis: Optional[str] = None) -> jnp.ndarray:
+    """This shard's *contribution* to the global-mean next-token cross-entropy
+    (psum over (dp, ring, ulysses) of the returned scalar = the global loss).
 
     labels/mask are sharded alongside tokens; the caller builds them in global
     original order (labels[i] = tokens[i+1]) *before* layout permutation so the
-    shift never crosses shard boundaries.
+    shift never crosses shard boundaries. (The contribution is already
+    replicated across tp ranks — logits are post-allreduce.)
     """
     logits = forward_local(params, tokens, cfg, ulysses_axis=ulysses_axis,
-                           ring_axis=ring_axis, interpret=interpret)
+                           ring_axis=ring_axis, interpret=interpret,
+                           tp_axis=tp_axis)
     logp = jax.nn.log_softmax(logits, axis=-1)
     ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     maskf = mask.astype(jnp.float32)
     num = jnp.sum(ll * maskf)
     den = jnp.sum(maskf)
     axes = (ulysses_axis, ring_axis) + ((dp_axis,) if dp_axis else ())
-    num = lax.psum(num, axes)
+    # Only the (param-independent) denominator reduces here. The numerator
+    # stays LOCAL: under shard_map, psum's transpose is psum, so a psum in
+    # the gradient path multiplies every weight gradient by the axis-group
+    # size (a bug Adam's scale invariance silently hides). The caller psums
+    # the returned contribution for reporting; psum(grads) then yields the
+    # exact global-mean gradient.
     den = lax.psum(den, axes)
     return -num / jnp.maximum(den, 1.0)
 
@@ -390,34 +443,46 @@ def loss_local(params: Params, tokens, labels, mask, cfg: ModelConfig, *,
 def make_train_step(cfg: ModelConfig, mesh: Mesh, optimizer,
                     axes: MeshAxes = MeshAxes(), *,
                     interpret: Optional[bool] = None):
-    """Jitted USP+DP train step: (params, opt_state, tokens, labels, mask) ->
-    (params, opt_state, loss). ``optimizer`` is an optax GradientTransformation.
+    """Jitted train step over up to 4-D parallelism (dp x ring x ulysses x tp):
+    (params, opt_state, tokens, labels, mask) -> (params, opt_state, loss).
 
-    Weights are replicated; each device's value_and_grad yields only its local
-    shard's contribution to the global-mean loss, so the gradient all-reduce is
-    one explicit psum over all three mesh axes (the DP sync the reference
-    delegates to DeepSpeed, `README.md:210`, plus the sequence-axis reduction
-    Megatron's sequence parallelism does for shared weights).
+    Gradients psum over (dp, ring, ulysses) — the DP sync the reference
+    delegates to DeepSpeed plus Megatron-style sequence-parallel weight-grad
+    reduction. The tp axis needs no gradient collective: the f/g boundary
+    operators (parallel/tp.py) keep activation cotangents replicated, so each
+    rank holds exactly its weight shard's gradient. The optimizer applies
+    OUTSIDE shard_map so GSPMD shards Adam state along the param shardings.
     """
+    tp = axes.tp in mesh.axis_names
+    pspecs = param_specs(axes, tp)
     tok_spec = P(axes.dp, axes.seq)
-    all_axes = (axes.dp, axes.ring, axes.ulysses)
+    base_axes = (axes.dp, axes.ring, axes.ulysses)
 
-    def local_step(params, opt_state, tokens, labels, mask):
+    def local_grads(params, tokens, labels, mask):
         def lf(p):
             return loss_local(p, tokens, labels, mask, cfg,
                               ulysses_axis=axes.ulysses, ring_axis=axes.ring,
-                              dp_axis=axes.dp, interpret=interpret)
+                              dp_axis=axes.dp, interpret=interpret,
+                              tp_axis=axes.tp if tp else None)
 
         loss, grads = jax.value_and_grad(lf)(params)
-        grads = jax.tree.map(lambda g: lax.psum(g, all_axes), grads)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype), params, updates)
-        return params, opt_state, loss
+        loss = lax.psum(loss, base_axes)  # reporting only (post-grad)
+        grads = jax.tree.map(lambda g: lax.psum(g, base_axes), grads)
+        return loss, grads
 
     mapped = jax.shard_map(
-        local_step, mesh=mesh,
-        in_specs=(P(), P(), tok_spec, tok_spec, tok_spec),
-        out_specs=(P(), P(), P()),
+        local_grads, mesh=mesh,
+        in_specs=(pspecs, tok_spec, tok_spec, tok_spec),
+        out_specs=(P(), pspecs),
         check_vma=False,
     )
-    return jax.jit(mapped, donate_argnums=(0, 1))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, tokens, labels, mask):
+        loss, grads = mapped(params, tokens, labels, mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype),
+                              params, updates)
+        return params, opt_state, loss
+
+    return step

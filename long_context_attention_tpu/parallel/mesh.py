@@ -34,6 +34,7 @@ class MeshAxes:
     dp: str = "dp"
     ring: str = "ring"
     ulysses: str = "ulysses"
+    tp: str = "tp"  # tensor-parallel axis (only present when tp degree > 1)
 
     @property
     def seq(self):
@@ -50,17 +51,27 @@ def make_usp_mesh(
     dp: int = 1,
     ulysses: int = 1,
     ring: int = 1,
+    tp: int = 1,
     *,
     devices: Optional[Sequence[jax.Device]] = None,
     ulysses_low: bool = True,
     axes: MeshAxes = MeshAxes(),
 ) -> Mesh:
-    """Build the ``(dp, ring, ulysses)`` mesh.
+    """Build the ``(dp, ring, ulysses[, tp])`` mesh.
 
-    ``dp * ulysses * ring`` must equal the device count (the reference derives
-    ``dp = world_size // (ud * rd)`` the same way, `globals.py:29-30`).
+    ``dp * ulysses * ring * tp`` must equal the device count (the reference
+    derives ``dp = world_size // (ud * rd)`` the same way, `globals.py:29-30`).
+    The tp axis (tensor parallelism — which the reference only *delegates* to
+    Megatron) is appended innermost (most-latency-sensitive allreduces on the
+    shortest links) and only when ``tp > 1``, keeping 3-axis meshes unchanged.
     """
-    n = dp * ulysses * ring
+    n = dp * ulysses * ring * tp
+    names = (axes.dp, axes.ring, axes.ulysses) + ((axes.tp,) if tp > 1 else ())
+
+    def shape_for(order_swap: bool):
+        base = ((dp, ring, ulysses) if not order_swap else (dp, ulysses, ring))
+        return base + ((tp,) if tp > 1 else ())
+
     if devices is None and n == len(jax.devices()):
         # ICI-topology-aware assignment (also correct across hosts/DCN): the
         # innermost axis lands on physically adjacent chips, the analog of
@@ -68,22 +79,22 @@ def make_usp_mesh(
         from jax.experimental import mesh_utils
 
         if ulysses_low:
-            grid = mesh_utils.create_device_mesh((dp, ring, ulysses))
+            grid = mesh_utils.create_device_mesh(shape_for(False))
         else:
-            grid = mesh_utils.create_device_mesh((dp, ulysses, ring)
-                                                 ).transpose(0, 2, 1)
-        return Mesh(grid, axis_names=(axes.dp, axes.ring, axes.ulysses))
+            grid = mesh_utils.create_device_mesh(shape_for(True))
+            grid = grid.swapaxes(1, 2)
+        return Mesh(grid, axis_names=names)
 
     devs = list(devices) if devices is not None else jax.devices()
     if len(devs) < n:
-        raise ValueError(f"need {n} devices (dp={dp} x ring={ring} x ulysses={ulysses}), "
-                         f"have {len(devs)}")
+        raise ValueError(f"need {n} devices (dp={dp} x ring={ring} x "
+                         f"ulysses={ulysses} x tp={tp}), have {len(devs)}")
     devs = np.asarray(devs[:n], dtype=object)
     if ulysses_low:
-        grid = devs.reshape(dp, ring, ulysses)
+        grid = devs.reshape(shape_for(False))
     else:
-        grid = devs.reshape(dp, ulysses, ring).transpose(0, 2, 1)
-    return Mesh(grid, axis_names=(axes.dp, axes.ring, axes.ulysses))
+        grid = devs.reshape(shape_for(True)).swapaxes(1, 2)
+    return Mesh(grid, axis_names=names)
 
 
 def seq_sharding(mesh: Mesh, axes: MeshAxes = MeshAxes(), *, batch_axis: int = 0,

@@ -93,3 +93,89 @@ def test_training_loss_decreases_dp(rng):
         params, opt_state, loss = step(params, opt_state, tp, lp, mp)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+TP_CFG = ModelConfig(vocab=64, dim=64, n_layers=2, n_heads=4, n_kv_heads=4,
+                     head_dim=32, ffn_hidden=128, layout="zigzag",
+                     attn_impl="pallas")  # MHA: (kv_heads/tp) % ulysses == 0
+
+
+def test_tp_forward_matches_single_device(rng):
+    """4-D parallelism: tp=2 x ulysses=2 x ring=2 forward == single device
+    (the reference only delegates TP to Megatron; here it is native)."""
+    params = init_params(jax.random.PRNGKey(0), TP_CFG)
+    tokens, _, _ = data(rng)
+    ref = make_forward(TP_CFG, make_usp_mesh(1, 1, 1))(params, tokens)
+    mesh = make_usp_mesh(dp=1, ulysses=2, ring=2, tp=2)
+    assert mesh.axis_names == ("dp", "ring", "ulysses", "tp")
+    tp = permute_for_layout(tokens, TP_CFG.layout, 2, axis=1)
+    out = make_forward(TP_CFG, mesh)(params, tp)
+    out = unpermute_from_layout(out, TP_CFG.layout, 2, axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-1, rtol=0)
+
+
+def test_tp_training_matches_single_device(rng):
+    """Exact training-trajectory parity with tensor parallelism on."""
+    opt = optax.adam(1e-2)
+    tokens, labels, mask = data(rng)
+
+    def run(dp, u, r, t):
+        params = init_params(jax.random.PRNGKey(0), TP_CFG)
+        opt_state = opt.init(params)
+        mesh = make_usp_mesh(dp=dp, ulysses=u, ring=r, tp=t)
+        step = make_train_step(TP_CFG, mesh, opt)
+        ring = r
+        tp_, lp_, mp_ = (permute_for_layout(x, TP_CFG.layout, ring, axis=1)
+                         for x in (tokens, labels, mask))
+        losses = []
+        for _ in range(3):
+            params, opt_state, loss = step(params, opt_state, tp_, lp_, mp_)
+            losses.append(float(loss))
+        return losses
+
+    ref = run(1, 1, 1, 1)
+    tp4d = run(1, 2, 2, 2)
+    np.testing.assert_allclose(tp4d, ref, atol=5e-3, rtol=0)
+    assert tp4d[-1] < tp4d[0]
+
+
+def test_train_grads_not_scaled_by_world_size(rng):
+    """Regression: psum's transpose under shard_map is psum, so a psum in the
+    loss's gradient path scales every weight gradient by the axis-group size
+    (Adam masks it; SGD would not). Gradients on the 8-way mesh must equal
+    single-device gradients."""
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+    from long_context_attention_tpu.models.llama import loss_local, param_specs
+    from long_context_attention_tpu.parallel.mesh import MeshAxes
+
+    axes = MeshAxes()
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    tokens, labels, mask = data(rng)
+
+    def grads_for(mesh, ring):
+        tok = P(axes.dp, axes.seq)
+
+        def lg(p, t, l, m):
+            def lf(pp):
+                return loss_local(pp, t, l, m, CFG, ulysses_axis=axes.ulysses,
+                                  ring_axis=axes.ring, dp_axis=axes.dp)
+            _, g = jax.value_and_grad(lf)(p)
+            return jax.tree.map(
+                lambda x: lax.psum(x, (axes.dp, axes.ring, axes.ulysses)), g)
+
+        f = jax.jit(jax.shard_map(lg, mesh=mesh, in_specs=(P(), tok, tok, tok),
+                                  out_specs=P(), check_vma=False))
+        tp_, lp_, mp_ = (permute_for_layout(x, CFG.layout, ring, axis=1)
+                         for x in (tokens, labels, mask))
+        return f(params, tp_, lp_, mp_)
+
+    g1 = grads_for(make_usp_mesh(1, 1, 1), 1)
+    g8 = grads_for(make_usp_mesh(dp=2, ulysses=2, ring=2), 2)
+    for (path, a), b in zip(jax.tree_util.tree_flatten_with_path(g1)[0],
+                            jax.tree.leaves(g8)):
+        an, bn = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = np.max(np.abs(an)) + 1e-9
+        assert np.max(np.abs(an - bn)) / scale < 0.05, jax.tree_util.keystr(path)
