@@ -13,7 +13,9 @@ from long_context_attention_tpu.models.llama import (
     local_positions,
     loss_local,
     make_forward,
+    make_pp_train_step,
     make_train_step,
+    param_specs,
 )
 from long_context_attention_tpu.models.dit import (
     DiTConfig,
@@ -31,7 +33,9 @@ __all__ = [
     "local_positions",
     "loss_local",
     "make_forward",
+    "make_pp_train_step",
     "make_train_step",
+    "param_specs",
     "DiTConfig",
     "dit_forward_local",
     "init_dit_params",

@@ -209,26 +209,121 @@ def forward_local(params: Params, tokens: jnp.ndarray, cfg: ModelConfig, *,
     return (logits, kv) if return_kv else logits
 
 
-def param_specs(axes: "MeshAxes", tp: bool):
-    """PartitionSpec pytree for the params (column/row TP sharding when tp).
+def param_specs(axes: "MeshAxes", tp: bool, pp: bool = False):
+    """PartitionSpec pytree for the params.
 
-    Layer weights are stacked (n_layers, ...): the tp axis shards their last
-    (column-parallel: wq/wk/wv/w_gate/w_up) or middle (row-parallel:
-    wo/w_down) dimension; norms/embed/lm_head stay replicated."""
-    if not tp:
+    Layer weights are stacked (n_layers, ...): the pp axis shards their
+    *leading* (layer) dimension into pipeline stages; the tp axis shards the
+    last (column-parallel: wq/wk/wv/w_gate/w_up) or middle (row-parallel:
+    wo/w_down) weight dimension; norms/embed/lm_head stay replicated."""
+    if not tp and not pp:
         return P()
-    col = P(None, None, axes.tp)
-    row = P(None, axes.tp, None)
-    rep2 = P()
+    lead = axes.pp if pp else None
+    tpa = axes.tp if tp else None
+    col = P(lead, None, tpa)
+    row = P(lead, tpa, None)
+    norm = P(lead, None)
     return {
         "embed": P(),
         "layers": {
-            "attn_norm": rep2, "wq": col, "wk": col, "wv": col, "wo": row,
-            "mlp_norm": rep2, "w_gate": col, "w_up": col, "w_down": row,
+            "attn_norm": norm, "wq": col, "wk": col, "wv": col, "wo": row,
+            "mlp_norm": norm, "w_gate": col, "w_up": col, "w_down": row,
         },
         "final_norm": P(),
         "lm_head": P(),
     }
+
+
+def make_pp_train_step(cfg: ModelConfig, mesh: Mesh, optimizer, n_micro: int,
+                       axes: MeshAxes = MeshAxes(), *,
+                       interpret: Optional[bool] = None):
+    """Jitted 5-D-parallel train step (dp x pp x ring x ulysses x tp):
+    GPipe-microbatched pipeline stages (parallel/pipeline.py) around the same
+    USP layer body. The local batch splits into ``n_micro`` microbatches;
+    gradients are exact (GPipe), so training trajectories match the
+    non-pipelined step bit-for-noise.
+    """
+    from long_context_attention_tpu.parallel.pipeline import pipeline_apply
+
+    tp = axes.tp in mesh.axis_names
+    assert axes.pp in mesh.axis_names, "mesh has no pp axis (pp degree > 1)"
+    n_stages = mesh.shape[axes.pp]
+    assert cfg.n_layers % n_stages == 0
+    pspecs = param_specs(axes, tp, pp=True)
+    tok_spec = P(axes.dp, axes.seq)
+    base_axes = (axes.dp, axes.ring, axes.ulysses)
+
+    def local_grads(params, tokens, labels, mask):
+        b, s = tokens.shape
+        assert b % n_micro == 0, (b, n_micro)
+        mb = b // n_micro
+        tok_mb = tokens.reshape(n_micro, mb, s)
+        lab_mb = labels.reshape(n_micro, mb, s)
+        msk_mb = mask.reshape(n_micro, mb, s)
+        positions = local_positions(cfg, s, ulysses_axis=axes.ulysses,
+                                    ring_axis=axes.ring)
+
+        def lf(p):
+            def stage_fn(x, layers_slice):
+                def body(xx, lp):
+                    xx, _ = _layer(cfg, xx, lp, positions,
+                                   ulysses_axis=axes.ulysses,
+                                   ring_axis=axes.ring, interpret=interpret,
+                                   tp_axis=axes.tp if tp else None)
+                    return xx, None
+
+                x, _ = lax.scan(body, x, layers_slice)
+                return x
+
+            def inject(t):
+                return p["embed"][tok_mb[t]]
+
+            def collect(t, y):
+                x = rmsnorm(y, p["final_norm"], cfg.norm_eps)
+                logits = (x @ p["lm_head"]).astype(jnp.float32)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                ll = jnp.take_along_axis(logp, lab_mb[t][..., None],
+                                         axis=-1)[..., 0]
+                mf = msk_mb[t].astype(jnp.float32)
+                return jnp.sum(ll * mf), jnp.sum(mf)
+
+            nums, dens = pipeline_apply(
+                stage_fn, inject, collect, p["layers"], n_micro,
+                (jnp.float32(0.0), jnp.float32(0.0)), pp_axis=axes.pp)
+            num = jnp.sum(nums)
+            den = lax.psum(jnp.sum(dens), base_axes)
+            return -num / jnp.maximum(den, 1.0)
+
+        loss, grads = jax.value_and_grad(lf)(params)
+        loss = lax.psum(loss, base_axes)  # reporting only
+        grads = jax.tree.map(lambda g: lax.psum(g, base_axes), grads)
+        # stage-sharded layer grads stay per-stage; replicated leaves (embed,
+        # final_norm, lm_head) were computed only on the stage that uses them
+        # (where-masked elsewhere) and need the pp-sum
+        grads = {
+            **grads,
+            "embed": lax.psum(grads["embed"], axes.pp),
+            "final_norm": lax.psum(grads["final_norm"], axes.pp),
+            "lm_head": lax.psum(grads["lm_head"], axes.pp),
+        }
+        return loss, grads
+
+    mapped = jax.shard_map(
+        local_grads, mesh=mesh,
+        in_specs=(pspecs, tok_spec, tok_spec, tok_spec),
+        out_specs=(P(), pspecs),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, tokens, labels, mask):
+        loss, grads = mapped(params, tokens, labels, mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype),
+                              params, updates)
+        return params, opt_state, loss
+
+    return step
 
 
 def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,

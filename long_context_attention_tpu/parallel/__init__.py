@@ -24,7 +24,13 @@ from long_context_attention_tpu.parallel.ulysses import (
     scatter_heads,
     ulysses_attention_local,
 )
+from long_context_attention_tpu.parallel.pipeline import pipeline_apply
 from long_context_attention_tpu.parallel.ring import RingConfig, ring_attention_local
+from long_context_attention_tpu.parallel.tp import (
+    psum_for_value,
+    tp_region_input,
+    tp_region_output,
+)
 from long_context_attention_tpu.parallel.usp import (
     AsyncLongContextAttention,
     LongContextAttention,
@@ -49,6 +55,10 @@ __all__ = [
     "ulysses_attention_local",
     "RingConfig",
     "ring_attention_local",
+    "pipeline_apply",
+    "psum_for_value",
+    "tp_region_input",
+    "tp_region_output",
     "AsyncLongContextAttention",
     "LongContextAttention",
     "UlyssesAttention",

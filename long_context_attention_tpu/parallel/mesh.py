@@ -35,6 +35,7 @@ class MeshAxes:
     ring: str = "ring"
     ulysses: str = "ulysses"
     tp: str = "tp"  # tensor-parallel axis (only present when tp degree > 1)
+    pp: str = "pp"  # pipeline-parallel axis (only present when pp degree > 1)
 
     @property
     def seq(self):
@@ -52,25 +53,32 @@ def make_usp_mesh(
     ulysses: int = 1,
     ring: int = 1,
     tp: int = 1,
+    pp: int = 1,
     *,
     devices: Optional[Sequence[jax.Device]] = None,
     ulysses_low: bool = True,
     axes: MeshAxes = MeshAxes(),
 ) -> Mesh:
-    """Build the ``(dp, ring, ulysses[, tp])`` mesh.
+    """Build the ``(dp[, pp], ring, ulysses[, tp])`` mesh.
 
-    ``dp * ulysses * ring * tp`` must equal the device count (the reference
-    derives ``dp = world_size // (ud * rd)`` the same way, `globals.py:29-30`).
-    The tp axis (tensor parallelism — which the reference only *delegates* to
-    Megatron) is appended innermost (most-latency-sensitive allreduces on the
-    shortest links) and only when ``tp > 1``, keeping 3-axis meshes unchanged.
+    ``dp * pp * ulysses * ring * tp`` must equal the device count (the
+    reference derives ``dp = world_size // (ud * rd)`` the same way,
+    `globals.py:29-30`). The tp axis (tensor parallelism — which the
+    reference only *delegates* to Megatron) sits innermost (most-latency-
+    sensitive allreduces on the shortest links); pp (pipeline — also
+    delegated by the reference) sits next to dp (stage hops tolerate DCN).
+    Both appear only when their degree > 1, keeping 3-axis meshes unchanged.
     """
-    n = dp * ulysses * ring * tp
-    names = (axes.dp, axes.ring, axes.ulysses) + ((axes.tp,) if tp > 1 else ())
+    n = dp * pp * ulysses * ring * tp
+    names = ((axes.dp,) + ((axes.pp,) if pp > 1 else ())
+             + (axes.ring, axes.ulysses) + ((axes.tp,) if tp > 1 else ()))
 
     def shape_for(order_swap: bool):
-        base = ((dp, ring, ulysses) if not order_swap else (dp, ulysses, ring))
+        base = ((dp,) + ((pp,) if pp > 1 else ())
+                + ((ring, ulysses) if not order_swap else (ulysses, ring)))
         return base + ((tp,) if tp > 1 else ())
+
+    r_idx = 1 + (1 if pp > 1 else 0)  # position of the ring axis
 
     if devices is None and n == len(jax.devices()):
         # ICI-topology-aware assignment (also correct across hosts/DCN): the
@@ -82,18 +90,18 @@ def make_usp_mesh(
             grid = mesh_utils.create_device_mesh(shape_for(False))
         else:
             grid = mesh_utils.create_device_mesh(shape_for(True))
-            grid = grid.swapaxes(1, 2)
+            grid = grid.swapaxes(r_idx, r_idx + 1)
         return Mesh(grid, axis_names=names)
 
     devs = list(devices) if devices is not None else jax.devices()
     if len(devs) < n:
-        raise ValueError(f"need {n} devices (dp={dp} x ring={ring} x "
-                         f"ulysses={ulysses} x tp={tp}), have {len(devs)}")
+        raise ValueError(f"need {n} devices (dp={dp} x pp={pp} x ring={ring} "
+                         f"x ulysses={ulysses} x tp={tp}), have {len(devs)}")
     devs = np.asarray(devs[:n], dtype=object)
     if ulysses_low:
         grid = devs.reshape(shape_for(False))
     else:
-        grid = devs.reshape(shape_for(True)).swapaxes(1, 2)
+        grid = devs.reshape(shape_for(True)).swapaxes(r_idx, r_idx + 1)
     return Mesh(grid, axis_names=names)
 
 

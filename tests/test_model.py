@@ -179,3 +179,42 @@ def test_train_grads_not_scaled_by_world_size(rng):
         an, bn = np.asarray(a, np.float32), np.asarray(b, np.float32)
         scale = np.max(np.abs(an)) + 1e-9
         assert np.max(np.abs(an - bn)) / scale < 0.05, jax.tree_util.keystr(path)
+
+
+def test_pp_training_matches_single_device(rng):
+    """5-D parallelism: GPipe pp=2 x ring=2 x ulysses=2 training trajectory
+    == single device (PP is exact; the reference only delegates PP)."""
+    from long_context_attention_tpu.models.llama import make_pp_train_step
+
+    opt = optax.adam(1e-2)
+    tokens, labels, mask = data(rng)
+
+    def run_ref():
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        opt_state = opt.init(params)
+        step = make_train_step(CFG, make_usp_mesh(1, 1, 1), opt)
+        losses = []
+        for _ in range(3):
+            params, opt_state, loss = step(params, opt_state, tokens, labels,
+                                           mask)
+            losses.append(float(loss))
+        return losses
+
+    def run_pp():
+        mesh = make_usp_mesh(dp=1, ulysses=2, ring=2, pp=2)
+        assert mesh.axis_names == ("dp", "pp", "ring", "ulysses")
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        opt_state = opt.init(params)
+        step = make_pp_train_step(CFG, mesh, opt, n_micro=2)
+        tp_, lp_, mp_ = (permute_for_layout(x, CFG.layout, 2, axis=1)
+                         for x in (tokens, labels, mask))
+        losses = []
+        for _ in range(3):
+            params, opt_state, loss = step(params, opt_state, tp_, lp_, mp_)
+            losses.append(float(loss))
+        return losses
+
+    ref = run_ref()
+    pp = run_pp()
+    np.testing.assert_allclose(pp, ref, atol=5e-3, rtol=0)
+    assert pp[-1] < pp[0]
