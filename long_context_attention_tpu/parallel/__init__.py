@@ -24,6 +24,12 @@ from long_context_attention_tpu.parallel.ulysses import (
     scatter_heads,
     ulysses_attention_local,
 )
+from long_context_attention_tpu.parallel.moe import (
+    MoEConfig,
+    init_moe_params,
+    moe_mlp_local,
+    moe_param_specs,
+)
 from long_context_attention_tpu.parallel.pipeline import pipeline_apply
 from long_context_attention_tpu.parallel.ring import RingConfig, ring_attention_local
 from long_context_attention_tpu.parallel.tp import (
@@ -55,6 +61,10 @@ __all__ = [
     "ulysses_attention_local",
     "RingConfig",
     "ring_attention_local",
+    "MoEConfig",
+    "init_moe_params",
+    "moe_mlp_local",
+    "moe_param_specs",
     "pipeline_apply",
     "psum_for_value",
     "tp_region_input",
