@@ -54,6 +54,7 @@ def usp_attention_local(
     impl: str = "pallas",
     segment_ids: Optional[jnp.ndarray] = None,
     kv_quant: Optional[str] = None,
+    bidirectional: bool = False,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
@@ -77,6 +78,7 @@ def usp_attention_local(
         axis_name=ring_axis, layout=layout, causal=causal,
         softmax_scale=softmax_scale, window_size=window_size, softcap=softcap,
         impl=impl, segment_ids=segment_ids, kv_quant=kv_quant,
+        bidirectional=bidirectional,
         block_sizes=block_sizes, interpret=interpret,
     )
     return gather_heads(out, ulysses_axis)
@@ -140,6 +142,7 @@ class _LayerBase:
     layout: str = "zigzag"
     impl: str = "pallas"
     kv_quant: Optional[str] = None
+    bidirectional: bool = False
     block_sizes: Optional[BlockSizes] = None
     interpret: Optional[bool] = None
 
@@ -181,7 +184,7 @@ class LongContextAttention(_LayerBase):
             ulysses_axis=self.axes.ulysses, ring_axis=self.axes.ring,
             layout=self.layout, causal=causal, softmax_scale=softmax_scale,
             window_size=window_size, softcap=softcap, impl=self.impl,
-            kv_quant=self.kv_quant,
+            kv_quant=self.kv_quant, bidirectional=self.bidirectional,
             block_sizes=self.block_sizes, interpret=self.interpret,
         )
         if segment_ids is None:

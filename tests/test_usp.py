@@ -164,3 +164,25 @@ def test_async_usp_matches_oracle(rng):
         np.testing.assert_allclose(np.asarray(gi, np.float32),
                                    np.asarray(ri, np.float32),
                                    err_msg=name, atol=1e-1, rtol=0)
+
+
+def test_usp_bidirectional_layer(rng):
+    """bidirectional=True through the public USP layer."""
+    mesh = make_usp_mesh(dp=1, ulysses=2, ring=4)
+    layer = LongContextAttention(mesh=mesh, layout="zigzag", bidirectional=True)
+    q, k, v = make_qkv(rng)
+    qp, kp, vp = (permute_for_layout(x, "zigzag", 4) for x in (q, k, v))
+    out = unpermute_from_layout(layer(qp, kp, vp, causal=True), "zigzag", 4)
+    ref, _ = xla_attention(q, k, v, causal=True)
+    check(out, ref)
+
+
+def test_usp_kv_quant_layer(rng):
+    """kv_quant='int8' through the public USP layer."""
+    mesh = make_usp_mesh(dp=1, ulysses=2, ring=4)
+    layer = LongContextAttention(mesh=mesh, layout="zigzag", kv_quant="int8")
+    q, k, v = make_qkv(rng)
+    qp, kp, vp = (permute_for_layout(x, "zigzag", 4) for x in (q, k, v))
+    out = unpermute_from_layout(layer(qp, kp, vp, causal=True), "zigzag", 4)
+    ref, _ = xla_attention(q, k, v, causal=True)
+    check(out, ref, atol=2e-1, rtol=0)
