@@ -64,21 +64,35 @@ def moe_param_specs(ep_axis: Optional[str]):
 
 
 def moe_mlp_local(params, x: jnp.ndarray, cfg: MoEConfig, *,
-                  ep_axis: Optional[str] = None) -> jnp.ndarray:
+                  ep_axis: Optional[str] = None,
+                  tokens_replicated: bool = False) -> jnp.ndarray:
     """(b, s, dim) -> (b, s, dim) through top-1 routed experts.
 
     Inside shard_map when ``ep_axis`` is set: ``params["w_up"]/["w_down"]``
-    arrive as this rank's (n_experts/ep, ...) shard; tokens are whatever this
-    rank holds (any sequence sharding composes — routing is per-token).
+    arrive as this rank's (n_experts/ep, ...) shard. Two token conventions:
+
+    * ``tokens_replicated=False`` (default): tokens are whatever this rank
+      holds (ep composes with data/sequence sharding — routing is per-token).
+    * ``tokens_replicated=True``: activations are replicated along ep (the
+      dense-model-embedding case — ep is a dedicated axis): each rank slices
+      its 1/ep of the tokens before routing and the outputs all_gather back,
+      so every token is routed exactly once (correct gradients, ep-way
+      routing/FFN speedup).
     """
     b, s, dim = x.shape
     E = cfg.n_experts
     ep = lax.axis_size(ep_axis) if ep_axis else 1
     e_loc = E // ep
-    T = b * s
-    cap = max(int(cfg.capacity_factor * T / E), 1)
 
-    xf = x.reshape(T, dim)
+    if tokens_replicated and ep > 1:
+        assert (b * s) % ep == 0
+        xf_all = x.reshape(ep, (b * s) // ep, dim)
+        xf = lax.dynamic_index_in_dim(
+            xf_all, lax.axis_index(ep_axis), axis=0, keepdims=False)
+    else:
+        xf = x.reshape(b * s, dim)
+    T = xf.shape[0]
+    cap = max(int(cfg.capacity_factor * T / E), 1)
     logits = (xf @ params["router"]).astype(jnp.float32)  # (T, E)
     probs = jax.nn.softmax(logits, axis=-1)
     expert = jnp.argmax(probs, axis=-1)                   # (T,)
@@ -114,4 +128,7 @@ def moe_mlp_local(params, x: jnp.ndarray, cfg: MoEConfig, *,
 
     combined = jnp.einsum("ecd,tec->td", out_b.astype(jnp.float32), disp)
     combined = combined * (gate * keep.astype(jnp.float32))[:, None]
+
+    if tokens_replicated and ep > 1:
+        combined = lax.all_gather(combined, ep_axis, axis=0, tiled=True)
     return combined.reshape(b, s, dim).astype(x.dtype)

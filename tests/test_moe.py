@@ -97,3 +97,24 @@ def test_moe_capacity_drops_no_nan(rng):
     y = moe_mlp_local(params, x, cfg)
     assert y.shape == x.shape
     assert not bool(jnp.any(jnp.isnan(y)))
+
+
+def test_ep_tokens_replicated_mode(setup):
+    """Dedicated-ep-axis mode: activations replicated, each rank routes its
+    1/ep token slice, outputs all_gather back — matches unsharded exactly
+    (per-slice capacity kept generous so drop sets align)."""
+    cfg = MoEConfig(dim=64, ffn_hidden=128, n_experts=8, capacity_factor=8.0)
+    params = init_moe_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, S, cfg.dim)), jnp.bfloat16)
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("ep",))
+    out = jax.jit(jax.shard_map(
+        lambda p, xx: moe_mlp_local(p, xx, cfg, ep_axis="ep",
+                                    tokens_replicated=True),
+        mesh=mesh, in_specs=(moe_param_specs("ep"), P()),
+        out_specs=P(), check_vma=False))(params, x)
+    ref = jax.jit(lambda p, xx: jax.vmap(
+        lambda xr: moe_mlp_local(p, xr[None], cfg)[0])(xx))(params, x)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=5e-2, rtol=0)
