@@ -14,7 +14,7 @@ Public surface (the analog of `yunchang/__init__.py:1-12`):
 * kernels: flash_attention (Pallas), xla_attention (oracle), get_attn_impl
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from long_context_attention_tpu.ops import (
     flash_attention,
