@@ -150,4 +150,7 @@ def test_tri_grid_matches_rect(rng):
     v = jnp.asarray(rng.normal(size=(1, 512, 2, 64)), jnp.bfloat16)
     a = flash_attention(q, k, v, causal=True)
     b = flash_attention(q, k, v, causal=True, tri_grid=True)
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # default path computes softmax in exp2 units; tri in natural exp —
+    # results agree to bf16 rounding
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32), atol=2e-2, rtol=0)
