@@ -731,8 +731,12 @@ def _dq_kernel(
 
     if cfg.needs_mask:
         iq = pl.program_id(2)
-        q_first, q_last = _positions(q_off_ref, iq * bq, bq, chunk_q, cfg.q_stride)
-        kv_first, kv_last = _positions(kv_off_ref, ik * bkv, bkv, chunk_kv, cfg.kv_stride)
+        if q_off_ref is None:  # static path: positions are the grid ids
+            q_first, q_last = iq * bq, iq * bq + bq - 1
+            kv_first, kv_last = ik * bkv, ik * bkv + bkv - 1
+        else:
+            q_first, q_last = _positions(q_off_ref, iq * bq, bq, chunk_q, cfg.q_stride)
+            kv_first, kv_last = _positions(kv_off_ref, ik * bkv, bkv, chunk_kv, cfg.kv_stride)
         active = jnp.logical_not(_tile_skip(cfg, q_first, q_last, kv_first, kv_last))
         interior = _tile_interior(cfg, q_first, q_last, kv_first, kv_last)
     else:
@@ -799,8 +803,12 @@ def _dkv_kernel(
 
     if cfg.needs_mask:
         ik = pl.program_id(2)
-        q_first, q_last = _positions(q_off_ref, iq * bq, bq, chunk_q, cfg.q_stride)
-        kv_first, kv_last = _positions(kv_off_ref, ik * bkv, bkv, chunk_kv, cfg.kv_stride)
+        if q_off_ref is None:  # static path
+            q_first, q_last = iq * bq, iq * bq + bq - 1
+            kv_first, kv_last = ik * bkv, ik * bkv + bkv - 1
+        else:
+            q_first, q_last = _positions(q_off_ref, iq * bq, bq, chunk_q, cfg.q_stride)
+            kv_first, kv_last = _positions(kv_off_ref, ik * bkv, bkv, chunk_kv, cfg.kv_stride)
         active = jnp.logical_not(_tile_skip(cfg, q_first, q_last, kv_first, kv_last))
         interior = _tile_interior(cfg, q_first, q_last, kv_first, kv_last)
     else:
@@ -867,10 +875,26 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
     delta = delta.reshape(b * h, 1, s_q)
     lse_r = lse.reshape(b * h, 1, s_q)
 
+    # Static (no-scalar-prefetch) path for plain self-attention, like the
+    # forward fast path: positions come straight from grid ids.
+    static = (cfg.trivial_offsets and not cfg.segmented
+              and cfg.n_q_chunks == 1 and cfg.n_kv_chunks == 1
+              and cfg.q_stride == 1 and cfg.kv_stride == 1)
+
     # DMA-eliding clamped index maps (see _kv_clamp_index_map) for the
     # streamed operand of each backward kernel.
     bwd_cfg = dataclasses.replace(cfg, block_q=bq, block_kv=bkv)
-    if cfg.needs_mask and cfg.n_kv_chunks == 1 and cfg.kv_stride == 1:
+    if static and cfg.needs_mask:
+        def kv_index_map(ib, ih, iq, ik, *_):
+            ikc = ik
+            if cfg.mask_right >= 0:
+                hi = (iq * bq + bq - 1 + cfg.mask_right) // bkv
+                ikc = jnp.minimum(ikc, jnp.clip(hi, 0, nk - 1))
+            if cfg.mask_left >= 0:
+                lo = (iq * bq - cfg.mask_left) // bkv
+                ikc = jnp.maximum(ikc, jnp.clip(lo, 0, nk - 1))
+            return (ib, ih // g, ikc, 0)
+    elif cfg.needs_mask and cfg.n_kv_chunks == 1 and cfg.kv_stride == 1:
         kv_index_map = _kv_clamp_index_map(bwd_cfg, g, chunk_q, nk)
     else:
         kv_index_map = lambda ib, ih, iq, ik, *_: (ib, ih // g, ik, 0)
@@ -892,24 +916,41 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
         dq_inputs += [q_seg.reshape(b, s_q, 1), kv_seg.reshape(b, 1, s_kv)]
 
     # --- dq: grid (b, h, q_tiles, kv_tiles), kv inner ---
-    dq_grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b, h, nq, nk),
-        in_specs=dq_in_specs,
-        out_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
-        ],
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
-    )
-    (dq,) = pl.pallas_call(
-        functools.partial(_dq_kernel, cfg=cfg, chunk_q=chunk_q, chunk_kv=chunk_kv),
-        grid_spec=dq_grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((b, h, s_q, d), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        interpret=cfg.interpret,
-    )(q_off, kv_off, *dq_inputs)
+    dq_out_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
+    ]
+    dq_scratch = [pltpu.VMEM((bq, d), jnp.float32)]
+    dq_sem = ("parallel", "parallel", "parallel", "arbitrary")
+    if static:
+        (dq,) = pl.pallas_call(
+            functools.partial(
+                lambda *refs, cfg, chunk_q, chunk_kv: _dq_kernel(
+                    None, None, *refs, cfg=cfg, chunk_q=chunk_q,
+                    chunk_kv=chunk_kv),
+                cfg=cfg, chunk_q=chunk_q, chunk_kv=chunk_kv),
+            grid=(b, h, nq, nk),
+            in_specs=dq_in_specs,
+            out_specs=dq_out_specs,
+            out_shape=[jax.ShapeDtypeStruct((b, h, s_q, d), jnp.float32)],
+            scratch_shapes=dq_scratch,
+            compiler_params=pltpu.CompilerParams(dimension_semantics=dq_sem),
+            interpret=cfg.interpret,
+        )(*dq_inputs)
+    else:
+        dq_grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, h, nq, nk),
+            in_specs=dq_in_specs,
+            out_specs=dq_out_specs,
+            scratch_shapes=dq_scratch,
+        )
+        (dq,) = pl.pallas_call(
+            functools.partial(_dq_kernel, cfg=cfg, chunk_q=chunk_q, chunk_kv=chunk_kv),
+            grid_spec=dq_grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((b, h, s_q, d), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(dimension_semantics=dq_sem),
+            interpret=cfg.interpret,
+        )(q_off, kv_off, *dq_inputs)
 
     # --- dk/dv: grid (b, h_kv, kv_tiles, group, q_tiles), q inner ---
     # Clamp the q-tile stream into the kv tile's active band (transpose of the
@@ -934,12 +975,30 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
         def _q_clamped(iq, ik, q_off, kv_off):
             return iq
 
-    def _q_im(ib, ihk, ik, ig, iq, q_off, kv_off):
-        return (ib, ihk * g + ig, _q_clamped(iq, ik, q_off, kv_off), 0)
+    if static and cfg.needs_mask:
+        def _q_clamped_static(iq, ik):
+            iqc = iq
+            if cfg.mask_right >= 0:
+                lo = (ik * bkv - cfg.mask_right) // bq
+                iqc = jnp.maximum(iqc, jnp.clip(lo, 0, nq - 1))
+            if cfg.mask_left >= 0:
+                hi = (ik * bkv + bkv - 1 + cfg.mask_left) // bq
+                iqc = jnp.minimum(iqc, jnp.clip(hi, 0, nq - 1))
+            return iqc
 
-    def _row_im(ib, ihk, ik, ig, iq, q_off, kv_off):
-        return (ib * (h_kv * g) + ihk * g + ig, 0,
-                _q_clamped(iq, ik, q_off, kv_off))
+        def _q_im(ib, ihk, ik, ig, iq, *_):
+            return (ib, ihk * g + ig, _q_clamped_static(iq, ik), 0)
+
+        def _row_im(ib, ihk, ik, ig, iq, *_):
+            return (ib * (h_kv * g) + ihk * g + ig, 0,
+                    _q_clamped_static(iq, ik))
+    else:
+        def _q_im(ib, ihk, ik, ig, iq, q_off=None, kv_off=None):
+            return (ib, ihk * g + ig, _q_clamped(iq, ik, q_off, kv_off), 0)
+
+        def _row_im(ib, ihk, ik, ig, iq, q_off=None, kv_off=None):
+            return (ib * (h_kv * g) + ihk * g + ig, 0,
+                    _q_clamped(iq, ik, q_off, kv_off))
 
     dkv_in_specs = [
         pl.BlockSpec((1, 1, bq, d), _q_im),
@@ -957,29 +1016,48 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
         ]
         dkv_inputs += [q_seg.reshape(b, s_q, 1), kv_seg.reshape(b, 1, s_kv)]
 
+    dkv_out_specs = [
+        pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
+        pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
+    ]
+    dkv_out_shape = [
+        jax.ShapeDtypeStruct((b, h_kv, s_kv, d), jnp.float32),
+        jax.ShapeDtypeStruct((b, h_kv, s_kv, d), jnp.float32),
+    ]
+    dkv_scratch = [
+        pltpu.VMEM((bkv, d), jnp.float32),
+        pltpu.VMEM((bkv, d), jnp.float32),
+    ]
+    dkv_sem = ("parallel", "parallel", "parallel", "arbitrary", "arbitrary")
+    if static:
+        dk, dv = pl.pallas_call(
+            functools.partial(
+                lambda *refs, cfg, chunk_q, chunk_kv, group: _dkv_kernel(
+                    None, None, *refs, cfg=cfg, chunk_q=chunk_q,
+                    chunk_kv=chunk_kv, group=group),
+                cfg=cfg, chunk_q=chunk_q, chunk_kv=chunk_kv, group=g),
+            grid=(b, h_kv, nk, g, nq),
+            in_specs=dkv_in_specs,
+            out_specs=dkv_out_specs,
+            out_shape=dkv_out_shape,
+            scratch_shapes=dkv_scratch,
+            compiler_params=pltpu.CompilerParams(dimension_semantics=dkv_sem),
+            interpret=cfg.interpret,
+        )(*dkv_inputs)
+        return dq, dk, dv
+
     dkv_grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, h_kv, nk, g, nq),
         in_specs=dkv_in_specs,
-        out_specs=[
-            pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
-            pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bkv, d), jnp.float32),
-            pltpu.VMEM((bkv, d), jnp.float32),
-        ],
+        out_specs=dkv_out_specs,
+        scratch_shapes=dkv_scratch,
     )
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, cfg=cfg, chunk_q=chunk_q, chunk_kv=chunk_kv, group=g),
         grid_spec=dkv_grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h_kv, s_kv, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, h_kv, s_kv, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary", "arbitrary"),
-        ),
+        out_shape=dkv_out_shape,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=dkv_sem),
         interpret=cfg.interpret,
     )(q_off, kv_off, *dkv_inputs)
     return dq, dk, dv
