@@ -1,0 +1,83 @@
+"""End-to-end serving benchmark: tokens/s/chip with a ~1B-param model.
+
+The BASELINE.json north-star asks for tokens/s/chip at long context — this
+drives the full Engine (chunked prefill + jitted decode loop) with a
+1.3B-parameter Llama-family config on the real chip, sweeping cache dtype
+(bf16 vs int8) and batch.
+
+Usage: python benchmarks/bench_engine.py [--ctx 32768] [--batch 1 4]
+       [--new 16] [--dtypes bfloat16 int8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ctx", type=int, default=32768)
+    ap.add_argument("--chunk", type=int, default=8192)
+    ap.add_argument("--new", type=int, default=16)
+    ap.add_argument("--batch", type=int, nargs="+", default=[1, 4])
+    ap.add_argument("--dtypes", nargs="+", default=["bfloat16", "int8"])
+    ap.add_argument("--layers", type=int, default=16)
+    ap.add_argument("--dim", type=int, default=2048)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from long_context_attention_tpu.models.llama import ModelConfig, init_params
+    from long_context_attention_tpu.serving import Engine
+
+    cfg = ModelConfig(
+        vocab=32000, dim=args.dim, n_layers=args.layers, n_heads=16,
+        n_kv_heads=8, head_dim=args.dim // 16, ffn_hidden=int(args.dim * 2.7),
+        layout="basic",
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"# model: {n_params/1e9:.2f}B params, ctx={args.ctx}, "
+          f"platform={jax.default_backend()}", file=sys.stderr)
+    print(f"{'batch':>5} {'cache':>8} {'prefill_s':>10} {'ms/tok':>8} "
+          f"{'tok/s/chip':>10}")
+
+    for b in args.batch:
+        prompt = jax.random.randint(jax.random.PRNGKey(1), (b, args.ctx), 0,
+                                    cfg.vocab, jnp.int32)
+        for dt in args.dtypes:
+            s_max = ((args.ctx + args.new + 4095) // 4096) * 4096
+            eng = Engine(cfg=cfg, s_max=s_max, cache_dtype=dt)
+            t0 = time.perf_counter()
+            logits, cache = eng.prefill_chunked(params, prompt, args.chunk)
+            jax.block_until_ready(logits)
+            float(jnp.sum(logits))
+            prefill_s = time.perf_counter() - t0
+
+            first = jnp.argmax(logits, -1).astype(jnp.int32)
+            # compile the decode scan, then time a fresh scan
+            toks, cache2 = eng._decode_scan(
+                params, cache, args.new, first,
+                __import__("long_context_attention_tpu.serving.engine",
+                           fromlist=["SamplingParams"]).SamplingParams(),
+                jax.random.PRNGKey(0))
+            float(jnp.sum(toks))
+            t0 = time.perf_counter()
+            toks, cache3 = eng._decode_scan(
+                params, cache2, args.new, first,
+                __import__("long_context_attention_tpu.serving.engine",
+                           fromlist=["SamplingParams"]).SamplingParams(),
+                jax.random.PRNGKey(0))
+            float(jnp.sum(toks))
+            dt_tok = (time.perf_counter() - t0) / args.new
+            print(f"{b:>5} {dt[:8]:>8} {prefill_s:>10.2f} "
+                  f"{dt_tok*1e3:>8.2f} {b/dt_tok:>10.0f}", flush=True)
+            del cache, cache2, cache3
+
+
+if __name__ == "__main__":
+    main()

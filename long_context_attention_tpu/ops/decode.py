@@ -116,6 +116,9 @@ def decode_attention(
     assert g * h_kv == h
     quantized = k_scale is not None
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
+    assert s_max % 128 == 0, (
+        f"cache s_max ({s_max}) must be a multiple of 128 (ideally of the "
+        f"{block_kv} kv block) — size caches to aligned lengths")
     bkv = min(block_kv, s_max)
     while s_max % bkv:
         bkv //= 2
