@@ -457,28 +457,56 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
             x = x + ((gate * (hh @ lp["w_up"])) @ lp["w_down"]).astype(x.dtype)
             return x, (kc, vc, ksc, vsc)
 
-        def wrow(buf, val, t):
-            return jax.lax.dynamic_update_slice(buf, val, (0, t, 0))
+        raise AssertionError("unsharded path handled by _decode_body_layered")
 
-        kc = jax.vmap(wrow)(kc, kq, pos)
-        vc = jax.vmap(wrow)(vc, vq, pos)
-        if ksc is not None:
-            wsc = lambda buf, val, t: jax.lax.dynamic_update_slice(buf, val, (0, t))
-            ksc = jax.vmap(wsc)(ksc, ks1, pos)
-            vsc = jax.vmap(wsc)(vsc, vs1, pos)
+    if shard_axes is not None:
+        xs = (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+        x, (kc, vc, ksc, vsc) = lax.scan(body, x, xs)
+        cache = _dc.replace(cache, k=kc, v=vc, k_scale=ksc, v_scale=vsc,
+                            length=cache.length + 1)
+        x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+        logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
+        return logits, cache
+
+    # Unsharded hot path: the stacked cache rides in the scan CARRY (aliased
+    # in place by XLA) and the kernel indexes the layer internally — no
+    # per-step per-layer cache slicing/copies.
+    def body_layered(carry, lp):
+        x, li, kc_all, vc_all, ksc_all, vsc_all = carry
+        h = rmsnorm(x, lp["attn_norm"], cfg.norm_eps)
+        q = (h @ lp["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
+        k = (h @ lp["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        v = (h @ lp["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        q = rope(q, pos[:, None], cfg.rope_theta)
+        k = rope(k, pos[:, None], cfg.rope_theta)
+
+        dt = cache.dtype
+        kq, ks1 = quantize_kv(jnp.transpose(k, (0, 2, 1, 3)), dt)  # (b,h,1,d)
+        vq, vs1 = quantize_kv(jnp.transpose(v, (0, 2, 1, 3)), dt)
+        for bi in range(b):  # write only the new token's row, in place
+            kc_all = jax.lax.dynamic_update_slice(
+                kc_all, kq[bi][None, None], (li, bi, 0, pos[bi], 0))
+            vc_all = jax.lax.dynamic_update_slice(
+                vc_all, vq[bi][None, None], (li, bi, 0, pos[bi], 0))
+            if ksc_all is not None:
+                ksc_all = jax.lax.dynamic_update_slice(
+                    ksc_all, ks1[bi][None, None], (li, bi, 0, pos[bi]))
+                vsc_all = jax.lax.dynamic_update_slice(
+                    vsc_all, vs1[bi][None, None], (li, bi, 0, pos[bi]))
 
         attn = decode_attention(
-            q[:, 0], kc, vc, pos + 1, ksc, vsc,
-            softmax_scale=scale, interpret=interpret,
+            q[:, 0], kc_all, vc_all, pos + 1, ksc_all, vsc_all,
+            softmax_scale=scale, interpret=interpret, layer=li,
         )  # (b, h, d)
         x = x + (attn.reshape(b, 1, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
         hh = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
         gate = jax.nn.silu((hh @ lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
         x = x + ((gate * (hh @ lp["w_up"])) @ lp["w_down"]).astype(x.dtype)
-        return x, (kc, vc, ksc, vsc)
+        return (x, li + 1, kc_all, vc_all, ksc_all, vsc_all), None
 
-    xs = (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
-    x, (kc, vc, ksc, vsc) = lax.scan(body, x, xs)
+    carry0 = (x, jnp.int32(0), cache.k, cache.v, cache.k_scale, cache.v_scale)
+    (x, _, kc, vc, ksc, vsc), _ = lax.scan(body_layered, carry0,
+                                           params["layers"])
     cache = _dc.replace(cache, k=kc, v=vc, k_scale=ksc, v_scale=vsc,
                         length=cache.length + 1)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)

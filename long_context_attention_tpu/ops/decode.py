@@ -33,12 +33,23 @@ def _decode_kernel(
     len_ref,  # scalar prefetch: (b,) int32 filled length per batch row
     *refs,
     scale: float, block_kv: int, quantized: bool, g: int,
+    layered: bool = False,
 ):
+    refs = list(refs)
+    if layered:
+        del refs[0]  # the layer-index prefetch ref (consumed by index maps)
     if quantized:
         q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, lse_ref, m_scr, l_scr, acc_scr = refs
     else:
         q_ref, k_ref, v_ref, out_ref, lse_ref, m_scr, l_scr, acc_scr = refs
         ks_ref = vs_ref = None
+
+    def kv_tile(ref):
+        return ref[0, 0, 0, :, :] if layered else ref[0, 0, :, :]
+
+    def sc_tile(ref):
+        return ref[0, 0, 0, :, :] if layered else ref[0, 0, :, :]
+
     ib = pl.program_id(0)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -53,12 +64,12 @@ def _decode_kernel(
     @pl.when(ik * block_kv < length)
     def _compute():
         q = q_ref[0, 0, :, :]  # (g, d)
-        k = k_ref[0, 0, :, :].astype(jnp.bfloat16)  # (bkv, d), dequant cast
+        k = kv_tile(k_ref).astype(jnp.bfloat16)  # (bkv, d), dequant cast
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (g, bkv)
         if ks_ref is not None:
-            s = s * ks_ref[0, 0, :, :]  # (1, bkv) broadcasts over g rows
+            s = s * sc_tile(ks_ref)  # (1, bkv) broadcasts over g rows
         cols = ik * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, dimension=1)
         s = jnp.where(cols >= length, NEG_INF, s)
@@ -71,8 +82,8 @@ def _decode_kernel(
         l_scr[...] = l_scr[...] * alpha + jnp.broadcast_to(
             jnp.sum(p, axis=1, keepdims=True), l_scr.shape)
         if vs_ref is not None:
-            p = p * vs_ref[0, 0, :, :]
-        v = v_ref[0, 0, :, :].astype(jnp.bfloat16)
+            p = p * sc_tile(vs_ref)
+        v = kv_tile(v_ref).astype(jnp.bfloat16)
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
             p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
         )
@@ -104,57 +115,83 @@ def decode_attention(
     block_kv: int = 1024,
     interpret: Optional[bool] = None,
     return_lse: bool = False,
+    layer: Optional[jnp.ndarray] = None,
 ):
     """Single-step decode attention over a (quantized) cache.
 
     Returns out (b, h, d) bf16 (+ lse (b, h) fp32 when return_lse for the
     sequence-sharded merge).
+
+    ``layer``: optional traced int32 layer index. When given, the cache
+    arrays carry the full stacked (n_layers, b, h_kv, s_max, d) buffers and
+    this call reads layer ``layer`` via its index maps — no host-side slice
+    of the stacked cache (which would copy a whole layer per step in the
+    serving decode loop).
     """
     b, h, d = q.shape
-    _, h_kv, s_max, _ = k_cache.shape
+    layered = layer is not None
+    if layered:
+        _, _, h_kv, s_max, _ = k_cache.shape
+    else:
+        _, h_kv, s_max, _ = k_cache.shape
     g = h // h_kv
     assert g * h_kv == h
     quantized = k_scale is not None
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
-    assert s_max % 128 == 0, (
-        f"cache s_max ({s_max}) must be a multiple of 128 (ideally of the "
-        f"{block_kv} kv block) — size caches to aligned lengths")
     bkv = min(block_kv, s_max)
     while s_max % bkv:
         bkv //= 2
+    assert bkv % 128 == 0 or bkv == s_max, (
+        f"cache s_max ({s_max}) down-fits the kv block to {bkv}, which "
+        f"violates Mosaic's 128-lane tiling — size caches to multiples of "
+        f"128 (ideally of {block_kv})")
     nk = s_max // bkv
     interp = default_interpret() if interpret is None else bool(interpret)
 
     qg = q.reshape(b, h_kv, g, d)
 
-    def kv_im(ibb, ihk, ik, lens):
+    def _clamped_ik(ibb, ik, lens):
         # clamp the kv tile index into the filled prefix: tiles past the
         # length re-map to the last live tile (Mosaic elides their DMA)
         last = jnp.maximum((lens[ibb] - 1) // bkv, 0)
-        return (ibb, ihk, jnp.minimum(ik, last), 0)
+        return jnp.minimum(ik, last)
 
-    def sc_im(ibb, ihk, ik, lens):
-        last = jnp.maximum((lens[ibb] - 1) // bkv, 0)
-        return (ibb, ihk, 0, jnp.minimum(ik, last))
+    if layered:
+        def kv_im(ibb, ihk, ik, lens, li):
+            return (li[0], ibb, ihk, _clamped_ik(ibb, ik, lens), 0)
+
+        def sc_im(ibb, ihk, ik, lens, li):
+            return (li[0], ibb, ihk, 0, _clamped_ik(ibb, ik, lens))
+
+        kv_block = (1, 1, 1, bkv, d)
+        sc_block = (1, 1, 1, 1, bkv)
+    else:
+        def kv_im(ibb, ihk, ik, lens):
+            return (ibb, ihk, _clamped_ik(ibb, ik, lens), 0)
+
+        def sc_im(ibb, ihk, ik, lens):
+            return (ibb, ihk, 0, _clamped_ik(ibb, ik, lens))
+
+        kv_block = (1, 1, bkv, d)
+        sc_block = (1, 1, 1, bkv)
 
     in_specs = [
         pl.BlockSpec((1, 1, g, d), lambda ibb, ihk, ik, *_: (ibb, ihk, 0, 0)),
-        pl.BlockSpec((1, 1, bkv, d), kv_im),
-        pl.BlockSpec((1, 1, bkv, d), kv_im),
+        pl.BlockSpec(kv_block, kv_im),
+        pl.BlockSpec(kv_block, kv_im),
     ]
     inputs = [qg, k_cache, v_cache]
     if quantized:
-        # scales ride as (b, h_kv, 1, s_max) so the (1, bkv) tile satisfies
-        # Mosaic's last-two-dims constraint (unit dim == array dim)
-        in_specs += [
-            pl.BlockSpec((1, 1, 1, bkv), lambda ibb, ihk, ik, lens: sc_im(ibb, ihk, ik, lens)),
-            pl.BlockSpec((1, 1, 1, bkv), lambda ibb, ihk, ik, lens: sc_im(ibb, ihk, ik, lens)),
-        ]
-        inputs += [k_scale.reshape(b, h_kv, 1, s_max),
-                   v_scale.reshape(b, h_kv, 1, s_max)]
+        # scales ride with a unit dim before s_max so the (1, bkv) tile
+        # satisfies Mosaic's last-two-dims constraint (unit dim == array dim)
+        sc_shape = ((k_scale.shape[0], b, h_kv, 1, s_max) if layered
+                    else (b, h_kv, 1, s_max))
+        in_specs += [pl.BlockSpec(sc_block, sc_im),
+                     pl.BlockSpec(sc_block, sc_im)]
+        inputs += [k_scale.reshape(sc_shape), v_scale.reshape(sc_shape)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if layered else 1,
         grid=(b, h_kv, nk),
         in_specs=in_specs,
         out_specs=[
@@ -167,9 +204,12 @@ def decode_attention(
             pltpu.VMEM((g, d), jnp.float32),
         ],
     )
+    prefetch = [jnp.asarray(lengths, jnp.int32)]
+    if layered:
+        prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
     out, lse = pl.pallas_call(
         functools.partial(_decode_kernel, scale=float(scale), block_kv=bkv,
-                          quantized=quantized, g=g),
+                          quantized=quantized, g=g, layered=layered),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, h_kv, g, d), jnp.bfloat16),
@@ -179,7 +219,7 @@ def decode_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interp,
-    )(jnp.asarray(lengths, jnp.int32), *inputs)
+    )(*prefetch, *inputs)
     out = out.reshape(b, h, d)
     lse = lse.reshape(b, h)
     return (out, lse) if return_lse else out
