@@ -427,50 +427,9 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
     pos = cache.length  # (b,) per-row positions of the new token
     scale = cfg.head_dim ** -0.5
 
-    def body(x, inp):
-        lp, kc, vc, ksc, vsc = inp
-        h = rmsnorm(x, lp["attn_norm"], cfg.norm_eps)
-        q = (h @ lp["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
-        k = (h @ lp["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
-        v = (h @ lp["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
-        q = rope(q, pos[:, None], cfg.rope_theta)
-        k = rope(k, pos[:, None], cfg.rope_theta)
-
-        # append this token's KV at position `length` (quantized like the cache)
-        dt = cache.dtype
-        kq, ks1 = quantize_kv(jnp.transpose(k, (0, 2, 1, 3)), dt)  # (b,h,1,d)
-        vq, vs1 = quantize_kv(jnp.transpose(v, (0, 2, 1, 3)), dt)
-
-        if shard_axes is not None:
-            kc = sharded_append(kc, kq, pos, axis_name=shard_axes)
-            vc = sharded_append(vc, vq, pos, axis_name=shard_axes)
-            if ksc is not None:
-                ksc = sharded_append_scale(ksc, ks1, pos, axis_name=shard_axes)
-                vsc = sharded_append_scale(vsc, vs1, pos, axis_name=shard_axes)
-            attn = sharded_decode_attention(
-                q[:, 0], kc, vc, pos + 1, ksc, vsc,
-                axis_name=shard_axes, softmax_scale=scale, interpret=interpret,
-            )
-            x = x + (attn.reshape(b, 1, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
-            hh = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
-            gate = jax.nn.silu((hh @ lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-            x = x + ((gate * (hh @ lp["w_up"])) @ lp["w_down"]).astype(x.dtype)
-            return x, (kc, vc, ksc, vsc)
-
-        raise AssertionError("unsharded path handled by _decode_body_layered")
-
-    if shard_axes is not None:
-        xs = (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
-        x, (kc, vc, ksc, vsc) = lax.scan(body, x, xs)
-        cache = _dc.replace(cache, k=kc, v=vc, k_scale=ksc, v_scale=vsc,
-                            length=cache.length + 1)
-        x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
-        logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
-        return logits, cache
-
-    # Unsharded hot path: the stacked cache rides in the scan CARRY (aliased
-    # in place by XLA) and the kernel indexes the layer internally — no
-    # per-step per-layer cache slicing/copies.
+    # The stacked cache rides in the scan CARRY (aliased in place by XLA) and
+    # the kernel indexes the layer internally — no per-step per-layer cache
+    # slicing/copies (which cost 3.5x in serving decode throughput).
     def body_layered(carry, lp):
         x, li, kc_all, vc_all, ksc_all, vsc_all = carry
         h = rmsnorm(x, lp["attn_norm"], cfg.norm_eps)
@@ -483,21 +442,38 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
         dt = cache.dtype
         kq, ks1 = quantize_kv(jnp.transpose(k, (0, 2, 1, 3)), dt)  # (b,h,1,d)
         vq, vs1 = quantize_kv(jnp.transpose(v, (0, 2, 1, 3)), dt)
-        for bi in range(b):  # write only the new token's row, in place
-            kc_all = jax.lax.dynamic_update_slice(
-                kc_all, kq[bi][None, None], (li, bi, 0, pos[bi], 0))
-            vc_all = jax.lax.dynamic_update_slice(
-                vc_all, vq[bi][None, None], (li, bi, 0, pos[bi], 0))
-            if ksc_all is not None:
-                ksc_all = jax.lax.dynamic_update_slice(
-                    ksc_all, ks1[bi][None, None], (li, bi, 0, pos[bi]))
-                vsc_all = jax.lax.dynamic_update_slice(
-                    vsc_all, vs1[bi][None, None], (li, bi, 0, pos[bi]))
 
-        attn = decode_attention(
-            q[:, 0], kc_all, vc_all, pos + 1, ksc_all, vsc_all,
-            softmax_scale=scale, interpret=interpret, layer=li,
-        )  # (b, h, d)
+        if shard_axes is not None:
+            kc_all = sharded_append(kc_all, kq, pos, axis_name=shard_axes,
+                                    layer=li)
+            vc_all = sharded_append(vc_all, vq, pos, axis_name=shard_axes,
+                                    layer=li)
+            if ksc_all is not None:
+                ksc_all = sharded_append_scale(
+                    ksc_all, ks1, pos, axis_name=shard_axes, layer=li)
+                vsc_all = sharded_append_scale(
+                    vsc_all, vs1, pos, axis_name=shard_axes, layer=li)
+            attn = sharded_decode_attention(
+                q[:, 0], kc_all, vc_all, pos + 1, ksc_all, vsc_all,
+                axis_name=shard_axes, softmax_scale=scale,
+                interpret=interpret, layer=li,
+            )
+        else:
+            for bi in range(b):  # write only the new token's row, in place
+                kc_all = jax.lax.dynamic_update_slice(
+                    kc_all, kq[bi][None, None], (li, bi, 0, pos[bi], 0))
+                vc_all = jax.lax.dynamic_update_slice(
+                    vc_all, vq[bi][None, None], (li, bi, 0, pos[bi], 0))
+                if ksc_all is not None:
+                    ksc_all = jax.lax.dynamic_update_slice(
+                        ksc_all, ks1[bi][None, None], (li, bi, 0, pos[bi]))
+                    vsc_all = jax.lax.dynamic_update_slice(
+                        vsc_all, vs1[bi][None, None], (li, bi, 0, pos[bi]))
+            attn = decode_attention(
+                q[:, 0], kc_all, vc_all, pos + 1, ksc_all, vsc_all,
+                softmax_scale=scale, interpret=interpret, layer=li,
+            )  # (b, h, d)
+
         x = x + (attn.reshape(b, 1, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
         hh = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
         gate = jax.nn.silu((hh @ lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)

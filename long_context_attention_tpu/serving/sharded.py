@@ -33,7 +33,7 @@ AxisNames = Union[str, Sequence[str]]
 def sharded_decode_attention(
     q: jnp.ndarray,           # (b, h, d) replicated queries
     k_shard: jnp.ndarray,     # (b, h_kv, slots, d) this rank's cache block
-    v_shard: jnp.ndarray,
+    v_shard: jnp.ndarray,     # (stacked (L, b, h_kv, slots, d) with `layer`)
     global_lengths: jnp.ndarray,  # (b,) int32 total filled length
     k_scale: Optional[jnp.ndarray] = None,  # (b, h_kv, slots)
     v_scale: Optional[jnp.ndarray] = None,
@@ -42,6 +42,7 @@ def sharded_decode_attention(
     softmax_scale: Optional[float] = None,
     block_kv: int = 1024,
     interpret: Optional[bool] = None,
+    layer: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Decode attention over a ring-sharded cache. Returns (b, h, d) bf16.
 
@@ -53,12 +54,12 @@ def sharded_decode_attention(
     n = 1
     for a in axes:
         n *= lax.axis_size(a)
-    slots = k_shard.shape[2]
+    slots = k_shard.shape[3 if layer is not None else 2]
     local_len = jnp.clip(global_lengths - r * slots, 0, slots)
     out, lse = decode_attention(
         q, k_shard, v_shard, local_len, k_scale, v_scale,
         softmax_scale=softmax_scale, block_kv=block_kv, interpret=interpret,
-        return_lse=True,
+        return_lse=True, layer=layer,
     )  # (b, h, d), (b, h)
 
     outs = lax.all_gather(out.astype(jnp.float32), axes)  # (n, b, h, d)
@@ -79,45 +80,66 @@ def sharded_decode_attention(
     return merged.astype(jnp.bfloat16)
 
 
+def _owner_slots(global_pos, slots, axes):
+    r = lax.axis_index(axes)
+    local_pos = global_pos - r * slots
+    owner = (local_pos >= 0) & (local_pos < slots)
+    return jnp.clip(local_pos, 0, slots - 1), owner
+
+
 def sharded_append(
-    buf: jnp.ndarray,         # (b, h_kv, slots, d) this rank's block
+    buf: jnp.ndarray,         # (b, h_kv, slots, d) this rank's block — or
+                              # stacked (L, b, h_kv, slots, d) with `layer`
     val: jnp.ndarray,         # (b, h_kv, 1, d) new token value (quantized)
     global_pos: jnp.ndarray,  # (b,) int32 global slot of the new token
     *,
     axis_name: str,
+    layer: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Write each row's new token into its owner rank's block (masked SPMD
-    dynamic-update: every rank executes, only the owner's write sticks)."""
+    """Write each row's new token into its owner rank's block. SPMD: every
+    rank executes; a non-owner writes back the slot's existing value (the
+    select happens on the one-token slice, never on the whole cache)."""
     axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
-    r = lax.axis_index(axes)
-    slots = buf.shape[2]
-    local_pos = global_pos - r * slots
-    owner = (local_pos >= 0) & (local_pos < slots)
-    idx = jnp.clip(local_pos, 0, slots - 1)
-
-    def row(bb, vv, t, ok):
-        upd = lax.dynamic_update_slice(bb, vv.astype(bb.dtype), (0, t, 0))
-        return jnp.where(ok, upd, bb)
-
-    return jax.vmap(row)(buf, val, idx, owner)
+    layered = layer is not None
+    slots = buf.shape[3 if layered else 2]
+    idx, owner = _owner_slots(global_pos, slots, axes)
+    b = val.shape[0]
+    for bi in range(b):
+        vrow = val[bi]  # (h, 1, d)
+        if layered:
+            start = (layer, bi, 0, idx[bi], 0)
+            vrow = vrow[None, None]  # (1, 1, h, 1, d)
+        else:
+            start = (bi, 0, idx[bi], 0)
+            vrow = vrow[None]  # (1, h, 1, d)
+        cur = lax.dynamic_slice(buf, start, vrow.shape)
+        new = jnp.where(owner[bi], vrow.astype(buf.dtype), cur)
+        buf = lax.dynamic_update_slice(buf, new, start)
+    return buf
 
 
 def sharded_append_scale(
-    buf: jnp.ndarray,         # (b, h_kv, slots)
+    buf: jnp.ndarray,         # (b, h_kv, slots) — or (L, b, h_kv, slots)
     val: jnp.ndarray,         # (b, h_kv, 1)
     global_pos: jnp.ndarray,
     *,
     axis_name: str,
+    layer: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
-    r = lax.axis_index(axes)
-    slots = buf.shape[2]
-    local_pos = global_pos - r * slots
-    owner = (local_pos >= 0) & (local_pos < slots)
-    idx = jnp.clip(local_pos, 0, slots - 1)
-
-    def row(bb, vv, t, ok):
-        upd = lax.dynamic_update_slice(bb, vv.astype(bb.dtype), (0, t))
-        return jnp.where(ok, upd, bb)
-
-    return jax.vmap(row)(buf, val, idx, owner)
+    layered = layer is not None
+    slots = buf.shape[3 if layered else 2]
+    idx, owner = _owner_slots(global_pos, slots, axes)
+    b = val.shape[0]
+    for bi in range(b):
+        vrow = val[bi]  # (h, 1)
+        if layered:
+            start = (layer, bi, 0, idx[bi])
+            vrow = vrow[None, None]
+        else:
+            start = (bi, 0, idx[bi])
+            vrow = vrow[None]
+        cur = lax.dynamic_slice(buf, start, vrow.shape)
+        new = jnp.where(owner[bi], vrow.astype(buf.dtype), cur)
+        buf = lax.dynamic_update_slice(buf, new, start)
+    return buf
