@@ -84,17 +84,18 @@ class FlashConfig:
     # positions are arange): a *static* fact that enables the triangular-grid
     # causal forward (offsets themselves are traced, so cfg must carry it).
     trivial_offsets: bool = False
-    # Opt-in (flash_attention(tri_grid=True)): the triangular grid removes
-    # all skipped causal steps (+~4% at 32K) but its dynamic index maps make
-    # Mosaic compile time grow with grid size — unusable at 128K+ grids, so
-    # it is not the default.
+    # Triangular-grid causal forward: enumerates only the nq*(nq+1)/2 live
+    # (q-tile, kv-tile) pairs via scalar-prefetched (iq, ik) tables, so there
+    # are no skipped grid steps and Mosaic compile time stays flat in grid
+    # size (the index maps are O(1) SMEM lookups). Default ON for plain
+    # causal self-attention; flash_attention(tri_grid=False) opts out.
     tri_grid: bool = False
 
     @property
     def use_tri_grid(self) -> bool:
         return (self.tri_grid and self.causal and self.window == (-1, -1)
-                and self.trivial_offsets and not self.segmented
-                and not self.kv_quantized)
+                and self.softcap == 0.0 and self.trivial_offsets
+                and not self.segmented and not self.kv_quantized)
 
     @property
     def needs_mask(self) -> bool:
@@ -179,30 +180,22 @@ def _scores(cfg: FlashConfig, q, k, ks_row=None):
     return s, t
 
 
-def _tri_decode(idx):
-    """Linear lower-triangle index -> (iq, ik) with row iq holding iq+1 tiles.
-
-    fp32 sqrt + two integer corrections (exact for idx < 2^22)."""
-    f = jnp.floor((jnp.sqrt(idx.astype(jnp.float32) * 8.0 + 1.0) - 1.0) * 0.5)
-    iq = f.astype(jnp.int32)
-    iq = jnp.where((iq + 1) * (iq + 2) // 2 <= idx, iq + 1, iq)
-    iq = jnp.where(iq * (iq + 1) // 2 > idx, iq - 1, iq)
-    ik = idx - iq * (iq + 1) // 2
-    return iq, ik
-
-
 def _fwd_kernel_tri(
-    q_off_ref, kv_off_ref,  # scalar prefetch (unused: positions are arange)
+    iq_tab_ref, ik_tab_ref,  # scalar prefetch: linear step -> (iq, ik) tile
     q_ref, k_ref, v_ref, out_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *, cfg: FlashConfig,
 ):
     """Self-causal forward over a *triangular* grid: program 2 enumerates only
     the nq*(nq+1)/2 live (q-tile, kv-tile) pairs — no skipped steps, no wasted
-    DMA. Requires block_q == block_kv, single chunk, stride 1 (the standalone
-    / ulysses-only flagship path; rings use the rectangular kernel)."""
+    DMA. The (iq, ik) decode is a scalar-prefetched table (O(1) SMEM lookup in
+    the index maps, so Mosaic compile time is flat in grid size). Softmax runs
+    in exp2 units like the static fast path. Requires block_q == block_kv,
+    single chunk, stride 1 (the standalone / ulysses-only flagship path; rings
+    use the rectangular kernel)."""
     idx = pl.program_id(2)
-    iq, ik = _tri_decode(idx)
+    iq = iq_tab_ref[idx]
+    ik = ik_tab_ref[idx]
     bq = cfg.block_q
 
     @pl.when(ik == 0)
@@ -215,7 +208,9 @@ def _fwd_kernel_tri(
         q = q_ref[0, 0, :, :]
         k = k_ref[0, 0, :, :]
         v = v_ref[0, 0, :, :]
-        s, _ = _scores(cfg, q, k)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s * (cfg.scale * _LOG2E)
         if masked:  # diagonal tile: triangular in-tile mask
             rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 1)
@@ -223,10 +218,10 @@ def _fwd_kernel_tri(
             s = jnp.where(mask, NEG_INF, s)
         m_prev = m_scr[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        p = jnp.exp2(s - m_new)
         if masked:
             p = jnp.where(mask, 0.0, p)
-        alpha = jnp.exp(m_prev - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
         l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -246,7 +241,7 @@ def _fwd_kernel_tri(
     def _emit():
         l = l_scr[:, :1]
         out_ref[...] = (acc_scr[...] / l).astype(out_ref.dtype).reshape(out_ref.shape)
-        lse_ref[...] = (m_scr[:, :1] + jnp.log(l)).reshape(lse_ref.shape)
+        lse_ref[...] = (m_scr[:, :1] * _LN2 + jnp.log(l)).reshape(lse_ref.shape)
 
 
 def _flash_fwd_tri_bhsd(q, k, v, cfg: FlashConfig):
@@ -257,18 +252,20 @@ def _flash_fwd_tri_bhsd(q, k, v, cfg: FlashConfig):
     bq = cfg.block_q
     nq = s // bq
     tri = nq * (nq + 1) // 2
+    # Row-major live-tile enumeration: row iq holds tiles ik = 0..iq. The q
+    # block stays resident within a row while kv streams (one fresh kv DMA
+    # per step), which is the pipelining-friendly order.
+    iq_tab = jnp.asarray(np.repeat(np.arange(nq), np.arange(1, nq + 1)), jnp.int32)
+    ik_tab = jnp.asarray(np.concatenate([np.arange(i + 1) for i in range(nq)]), jnp.int32)
 
-    def qi(ib, ih, idx, *_):
-        iq, _ik = _tri_decode(idx)
-        return (ib, ih, iq, 0)
+    def qi(ib, ih, idx, iq_t, ik_t):
+        return (ib, ih, iq_t[idx], 0)
 
-    def kvi(ib, ih, idx, *_):
-        _iq, ik = _tri_decode(idx)
-        return (ib, ih // g, ik, 0)
+    def kvi(ib, ih, idx, iq_t, ik_t):
+        return (ib, ih // g, ik_t[idx], 0)
 
-    def lsei(ib, ih, idx, *_):
-        iq, _ik = _tri_decode(idx)
-        return (ib * h + ih, 0, iq)
+    def lsei(ib, ih, idx, iq_t, ik_t):
+        return (ib * h + ih, 0, iq_t[idx])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -304,7 +301,7 @@ def _flash_fwd_tri_bhsd(q, k, v, cfg: FlashConfig):
             transcendentals=b * h * s * s // 2,
         ),
         interpret=cfg.interpret,
-    )(jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32), q, k, v)
+    )(iq_tab, ik_tab, q, k, v)
     return out, lse.reshape(b, h, s)
 
 
@@ -1178,7 +1175,7 @@ def flash_attention(
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     return_lse: bool = False,
-    tri_grid: bool = False,
+    tri_grid: Optional[bool] = None,
 ):
     """Flash attention with flash-attn semantics and global-position masking.
 
@@ -1213,8 +1210,12 @@ def flash_attention(
         interpret=interpret, segmented=segmented,
     )
     if q_offsets is None and kv_offsets is None:
+        # tri_grid defaults ON for plain causal self-attention (the table-
+        # driven triangular grid has flat compile times); pass False to force
+        # the rectangular grid.
         cfg = dataclasses.replace(cfg, trivial_offsets=(s_q == s_kv),
-                                  tri_grid=bool(tri_grid))
+                                  tri_grid=(True if tri_grid is None
+                                            else bool(tri_grid)))
         if s_q != s_kv:
             # flash-attn semantics: causal/window align bottom-right when the
             # lengths differ (`test/test_utils.py:8` construct_local_mask)
@@ -1244,6 +1245,10 @@ def flash_attention_fwd(q, k, v, **kwargs):
     _, s_kv, h_kv, _ = k.shape
     q_offsets = kwargs.pop("q_offsets", None)
     kv_offsets = kwargs.pop("kv_offsets", None)
+    if q_offsets is None and kv_offsets is None and s_q != s_kv:
+        # flash-attn semantics: causal/window align bottom-right when the
+        # lengths differ — mirror flash_attention's default
+        q_offsets = jnp.array([s_kv - s_q], jnp.int32)
     q_segment_ids = kwargs.pop("q_segment_ids", None)
     kv_segment_ids = kwargs.pop("kv_segment_ids", None)
     kwargs.pop("return_lse", None)
@@ -1319,6 +1324,9 @@ def flash_attention_bwd(
     """
     b, s_q, h, d = q.shape
     _, s_kv, h_kv, _ = k.shape
+    if q_offsets is None and kv_offsets is None and s_q != s_kv:
+        # bottom-right causal alignment, matching flash_attention's forward
+        q_offsets = jnp.array([s_kv - s_q], jnp.int32)
     n_q_chunks = 1 if q_offsets is None else len(q_offsets)
     n_kv_chunks = 1 if kv_offsets is None else len(kv_offsets)
     segmented = q_segment_ids is not None
