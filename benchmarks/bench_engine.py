@@ -33,6 +33,7 @@ def main():
 
     from long_context_attention_tpu.models.llama import ModelConfig, init_params
     from long_context_attention_tpu.serving import Engine
+    from long_context_attention_tpu.serving.engine import SamplingParams
 
     cfg = ModelConfig(
         vocab=32000, dim=args.dim, n_layers=args.layers, n_heads=16,
@@ -59,24 +60,24 @@ def main():
             prefill_s = time.perf_counter() - t0
 
             first = jnp.argmax(logits, -1).astype(jnp.int32)
-            # compile the decode scan, then time a fresh scan
+            # _decode_scan donates the cache; keep an undonated copy so the
+            # timed run decodes from the *same* post-prefill state as the
+            # compile run (ADVICE r1 #4: timing from the already-advanced
+            # cache measured a longer context and could clamp past s_max)
+            cache_timed = jax.tree.map(jnp.copy, cache)
             toks, cache2 = eng._decode_scan(
-                params, cache, args.new, first,
-                __import__("long_context_attention_tpu.serving.engine",
-                           fromlist=["SamplingParams"]).SamplingParams(),
+                params, cache, args.new, first, SamplingParams(),
                 jax.random.PRNGKey(0))
             float(jnp.sum(toks))
             t0 = time.perf_counter()
             toks, cache3 = eng._decode_scan(
-                params, cache2, args.new, first,
-                __import__("long_context_attention_tpu.serving.engine",
-                           fromlist=["SamplingParams"]).SamplingParams(),
+                params, cache_timed, args.new, first, SamplingParams(),
                 jax.random.PRNGKey(0))
             float(jnp.sum(toks))
             dt_tok = (time.perf_counter() - t0) / args.new
             print(f"{b:>5} {dt[:8]:>8} {prefill_s:>10.2f} "
                   f"{dt_tok*1e3:>8.2f} {b/dt_tok:>10.0f}", flush=True)
-            del cache, cache2, cache3
+            del cache, cache2, cache3, cache_timed
 
 
 if __name__ == "__main__":

@@ -328,7 +328,8 @@ def make_pp_train_step(cfg: ModelConfig, mesh: Mesh, optimizer, n_micro: int,
 
 def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
                        start: int, cfg: ModelConfig, *,
-                       interpret: Optional[bool] = None):
+                       interpret: Optional[bool] = None,
+                       last_logit_only: bool = False):
     """Process one prompt chunk against the cache-so-far (chunked prefill).
 
     tokens (b, s_c) at global positions [start, start+s_c); activation memory
@@ -336,6 +337,10 @@ def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
     self-attention and its (all-visible) attention over the quantized cache
     prefix merge via online LSE — the same math as the ring. Returns
     (logits (b, s_c, vocab), cache with the chunk written at [start, ...)).
+    ``last_logit_only`` projects only the final position (logits (b, 1,
+    vocab)) — serving prefill needs just the next-token logits, and the full
+    (b, s_c, vocab) fp32 tensor is what OOMed batched 32K prefill (VERDICT
+    r1 #4: vocab 32K x chunk 8K x fp32 = 1 GiB per row).
     """
     import dataclasses as _dc
 
@@ -396,6 +401,8 @@ def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
     cache = _dc.replace(cache, k=kc, v=vc, k_scale=ksc, v_scale=vsc,
                         length=jnp.full_like(cache.length, start + s_c))
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    if last_logit_only:
+        x = x[:, -1:]
     logits = (x @ params["lm_head"]).astype(jnp.float32)
     return logits, cache
 

@@ -81,8 +81,6 @@ class RingConfig:
             raise ValueError(f"unknown layout {self.layout!r}")
         if self.kv_quant is not None and self.impl != "pallas":
             raise ValueError("kv_quant requires the pallas impl")
-        if self.bidirectional and self.kv_quant is not None:
-            raise ValueError("bidirectional + kv_quant not yet combined")
 
     def attn_kwargs(self, q_off, kv_off, q_stride, kv_stride,
                     q_seg=None, kv_seg=None):
@@ -119,7 +117,9 @@ def _rotate_back(x, axis_name: str, n: int):
 def _ring_fwd_bidir(cfg: RingConfig, q, k, v, q_seg, kv_seg):
     """Bidirectional forward: KV halves counter-rotate; each step's two
     sources are described by one 2-chunk position descriptor, so the same
-    kernel call covers both halves."""
+    kernel call covers both halves. With ``kv_quant`` the halves rotate
+    quantized (int8/fp8) with their fp32 scales — both ICI-bandwidth levers
+    stack: per-link bytes = full / (2 * quant_ratio)."""
     impl = get_attn_impl(cfg.impl)
     n = cfg.ring_size
     rank = lax.axis_index(cfg.axis_name)
@@ -132,6 +132,19 @@ def _ring_fwd_bidir(cfg: RingConfig, q, k, v, q_seg, kv_seg):
     acc_lse = jnp.full((b, h, s_q), -jnp.inf, jnp.float32)
     kA, kB = k[:, :half], k[:, half:]
     vA, vB = v[:, :half], v[:, half:]
+    scA = scB = None
+    if cfg.kv_quant is not None:
+        from long_context_attention_tpu.ops.kv_cache import quantize_kv
+
+        def _q(x):  # values (b,s,h_kv,d) quantized; scales -> kernel (b,h_kv,s)
+            xq, xs = quantize_kv(x, cfg.kv_quant)
+            return xq, jnp.transpose(xs, (0, 2, 1))
+
+        kA, ksA = _q(kA)
+        kB, ksB = _q(kB)
+        vA, vsA = _q(vA)
+        vB, vsB = _q(vB)
+        scA, scB = (ksA, vsA), (ksB, vsB)
     segA = segB = None
     if kv_seg is not None:
         segA, segB = kv_seg[:, :half], kv_seg[:, half:]
@@ -144,11 +157,12 @@ def _ring_fwd_bidir(cfg: RingConfig, q, k, v, q_seg, kv_seg):
         v_cur = jnp.concatenate([vA, vB], axis=1)
         seg_cur = (None if segA is None
                    else jnp.concatenate([segA, segB], axis=1))
-        blk_out, blk_lse = impl.fwd(
-            q, k_cur, v_cur,
-            **cfg.attn_kwargs(kv_off=kv_off, q_off=q_off, q_stride=q_stride,
-                              kv_stride=kv_stride, q_seg=q_seg,
-                              kv_seg=seg_cur))
+        kw = cfg.attn_kwargs(kv_off=kv_off, q_off=q_off, q_stride=q_stride,
+                             kv_stride=kv_stride, q_seg=q_seg, kv_seg=seg_cur)
+        if scA is not None:
+            kw["k_scale"] = jnp.concatenate([scA[0], scB[0]], axis=2)
+            kw["v_scale"] = jnp.concatenate([scA[1], scB[1]], axis=2)
+        blk_out, blk_lse = impl.fwd(q, k_cur, v_cur, **kw)
         acc_out, acc_lse = merge_attn_blocks(acc_out, acc_lse, blk_out, blk_lse)
         if step < n - 1:
             kA = _rotate(kA, cfg.axis_name, n)
@@ -158,6 +172,9 @@ def _ring_fwd_bidir(cfg: RingConfig, q, k, v, q_seg, kv_seg):
             if segA is not None:
                 segA = _rotate(segA, cfg.axis_name, n)
                 segB = _rotate_back(segB, cfg.axis_name, n)
+            if scA is not None:
+                scA = tuple(_rotate(s, cfg.axis_name, n) for s in scA)
+                scB = tuple(_rotate_back(s, cfg.axis_name, n) for s in scB)
     return acc_out.astype(q.dtype), acc_lse
 
 
@@ -260,7 +277,23 @@ def _ring(cfg: RingConfig, q, k, v, q_seg, kv_seg):
 
 def _ring_vjp_fwd(cfg, q, k, v, q_seg, kv_seg):
     out, lse = _ring_fwd_impl(cfg, q, k, v, q_seg, kv_seg)
-    return (out, lse), (q, k, v, q_seg, kv_seg, out, lse)
+    k_res, v_res = k, v
+    if cfg.kv_quant is not None:
+        # The backward recomputes p = exp(s - lse); (out, lse) came from the
+        # *quantized* KV, so the residual KV must be the dequantized values
+        # the forward actually attended to — otherwise the flash-decomposition
+        # identity (per-block p sums to softmax) breaks and grads are biased
+        # beyond quantization noise. Gradients w.r.t. the original k/v are
+        # straight-through (dequant∘quant has unit Jacobian a.e.). XLA CSEs
+        # the duplicate quantize with the forward's.
+        from long_context_attention_tpu.ops.kv_cache import (
+            dequantize_kv, quantize_kv)
+
+        kq, ks = quantize_kv(k, cfg.kv_quant)
+        vq, vs = quantize_kv(v, cfg.kv_quant)
+        k_res = dequantize_kv(kq, ks, k.dtype)
+        v_res = dequantize_kv(vq, vs, v.dtype)
+    return (out, lse), (q, k_res, v_res, q_seg, kv_seg, out, lse)
 
 
 def _ring_vjp_bwd(cfg, res, cot):

@@ -113,8 +113,11 @@ class Engine:
 
     @functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=2)
     def _prefill_chunk(self, params, cache, tokens, start: int):
+        # last_logit_only: serving needs only the next-token logits; the full
+        # (b, chunk, vocab) fp32 tensor OOMed batched 32K prefill.
         return prefill_chunk_step(params, cache, tokens, start, self.cfg,
-                                  interpret=self.interpret)
+                                  interpret=self.interpret,
+                                  last_logit_only=True)
 
     def prefill_chunked(self, params, tokens: jnp.ndarray, chunk_size: int
                         ) -> Tuple[jnp.ndarray, KVCache]:
@@ -124,6 +127,8 @@ class Engine:
         :meth:`prefill`."""
         b, s = tokens.shape
         assert s % chunk_size == 0, (s, chunk_size)
+        assert s <= self.s_max, (
+            f"prompt length {s} exceeds cache capacity s_max={self.s_max}")
         cache = self.init_cache(b)
         for start in range(0, s, chunk_size):
             logits, cache = self._prefill_chunk(
@@ -150,6 +155,13 @@ class Engine:
                  key: Optional[jax.Array] = None) -> GenerationResult:
         """Generate max_new tokens per row (greedy unless `sampling` says
         otherwise). prompt (b, s) int32."""
+        s = prompt.shape[1]
+        if s + max_new > self.s_max:
+            # dynamic_update_slice clamps out-of-range starts: overflow would
+            # silently overwrite the last cache slot instead of failing
+            raise ValueError(
+                f"prompt ({s}) + max_new ({max_new}) exceeds cache capacity "
+                f"s_max={self.s_max}")
         logits, cache = self.prefill(params, prompt)
         if key is None:
             key = jax.random.PRNGKey(0)

@@ -129,6 +129,12 @@ class ShardedEngine:
         )(params, cache, first_token)
 
     def generate(self, params, prompt: jnp.ndarray, max_new: int):
+        s = prompt.shape[1]
+        if s + max_new > self.s_max:
+            # overflow would clamp-and-overwrite the last slot silently
+            raise ValueError(
+                f"prompt ({s}) + max_new ({max_new}) exceeds cache capacity "
+                f"s_max={self.s_max}")
         logits, cache = self.prefill(params, prompt)
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         toks, cache = self._decode_scan(params, cache, max_new, first)

@@ -160,6 +160,83 @@ def test_ring_quantized_kv_grads_run(rng):
                                    err_msg=name, atol=3e-1, rtol=0)
 
 
+def test_ring_quantized_kv_grads_match_dequant_oracle(rng):
+    """ADVICE r1 #2: the kv_quant backward must see the *dequantized* KV the
+    forward attended to. Oracle: straight-through-estimator attention on
+    dequant(quant(kv)) — its forward equals the quantized ring's forward, so
+    grads must agree at the plain bf16 gate (not just 'finite')."""
+    from long_context_attention_tpu.ops.kv_cache import (
+        dequantize_kv, quantize_kv)
+
+    q, k, v = make_qkv(rng)
+    dout = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
+
+    def loss(q, k, v):
+        out = run_ring(q, k, v, "zigzag", "pallas", causal=True,
+                       kv_quant="int8")
+        return jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32))
+
+    def ste(x):
+        xd = dequantize_kv(*quantize_kv(x, "int8"), x.dtype)
+        return x + jax.lax.stop_gradient(xd - x)
+
+    def ref_loss(q, k, v):
+        out, _ = xla_attention(q, ste(k), ste(v), causal=True)
+        return jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32))
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    r = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for gi, ri, name in zip(g, r, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(gi, np.float32),
+                                   np.asarray(ri, np.float32),
+                                   err_msg=name, **TOL)
+
+
+@pytest.mark.parametrize("layout", ["basic", "zigzag", "stripe"])
+@pytest.mark.parametrize("kv_quant", ["int8", "float8_e4m3fn"])
+def test_ring_bidirectional_quantized(rng, layout, kv_quant):
+    """VERDICT r1 #8: both ICI-bandwidth levers stack — quantized KV halves
+    counter-rotate with their scales; forward matches the oracle within
+    quantization tolerance on every layout."""
+    q, k, v = make_qkv(rng)
+    out = run_ring(q, k, v, layout, "pallas", causal=True,
+                   bidirectional=True, kv_quant=kv_quant)
+    ref, _ = xla_attention(q, k, v, causal=True)
+    tol = 2e-1 if kv_quant == "int8" else 5e-1
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=tol, rtol=0)
+
+
+def test_ring_bidirectional_quantized_grads(rng):
+    """Bidirectional + kv_quant backward: dequantized-residual grads at the
+    bf16 gate vs the STE oracle."""
+    from long_context_attention_tpu.ops.kv_cache import (
+        dequantize_kv, quantize_kv)
+
+    q, k, v = make_qkv(rng)
+    dout = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
+
+    def loss(q, k, v):
+        out = run_ring(q, k, v, "zigzag", "pallas", causal=True,
+                       bidirectional=True, kv_quant="int8")
+        return jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32))
+
+    def ste(x):
+        xd = dequantize_kv(*quantize_kv(x, "int8"), x.dtype)
+        return x + jax.lax.stop_gradient(xd - x)
+
+    def ref_loss(q, k, v):
+        out, _ = xla_attention(q, ste(k), ste(v), causal=True)
+        return jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32))
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    r = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for gi, ri, name in zip(g, r, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(gi, np.float32),
+                                   np.asarray(ri, np.float32),
+                                   err_msg=name, **TOL)
+
+
 @pytest.mark.parametrize("layout", ["basic", "zigzag", "stripe"])
 @pytest.mark.parametrize("causal", [False, True])
 def test_ring_bidirectional_forward(rng, layout, causal):
