@@ -90,12 +90,35 @@ class FlashConfig:
     # size (the index maps are O(1) SMEM lookups). Default ON for plain
     # causal self-attention; flash_attention(tri_grid=False) opts out.
     tri_grid: bool = False
+    # One-pass backward (dq+dk+dv in one kernel; dq via aliased HBM
+    # accumulation): 9 -> 7 matmul passes. Applies on the static
+    # self-attention path; False falls back to the two-kernel backward.
+    fused_bwd: bool = True
+    # Attention dropout (training): keep-probability masking of the softmax
+    # output P with 1/(1-p) scaling, exactly the reference's dropout_p
+    # (`hybrid/attn_layer.py:62`). The mask is generated *in-kernel* from the
+    # TPU PRNG seeded by (seed, batch, global head, global tile positions) —
+    # so the backward regenerates it exactly, every ring step draws
+    # independent masks (kv positions differ), and the distributed pattern
+    # equals the single-device pattern.
+    dropout_p: float = 0.0
+    # ALiBi positional bias (`hybrid/attn_layer.py:67` alibi_slopes): per-head
+    # slope s adds -s*(q_pos-kv_pos) (causal) / -s*|q_pos-kv_pos| (non-causal)
+    # to the scores, evaluated against *global* positions so ring/USP shards
+    # see the same bias as a single device.
+    alibi: bool = False
 
     @property
     def use_tri_grid(self) -> bool:
         return (self.tri_grid and self.causal and self.window == (-1, -1)
                 and self.softcap == 0.0 and self.trivial_offsets
-                and not self.segmented and not self.kv_quantized)
+                and not self.segmented and not self.kv_quantized
+                and self.dropout_p == 0.0 and not self.alibi)
+
+    @property
+    def needs_positions(self) -> bool:
+        # global tile positions feed masks, the ALiBi bias, and dropout seeds
+        return self.needs_mask or self.alibi or self.dropout_p > 0.0
 
     @property
     def needs_mask(self) -> bool:
@@ -461,24 +484,75 @@ def _seg_mask(qseg_ref, kseg_ref):
     return qseg_ref[0, :, :] != kseg_ref[0, :, :]
 
 
+def _alibi_bias(cfg: FlashConfig, sl_ref, q_first, kv_first, bq, bkv):
+    """-slope * |q_pos - kv_pos| in fp32 (== -slope*(q-kv) in the causal
+    region). Evaluated on global positions, so ring/USP shards reproduce the
+    single-device bias."""
+    rows = q_first + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0) * cfg.q_stride
+    cols = kv_first + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1) * cfg.kv_stride
+    slope = sl_ref[0, 0, 0]
+    return -slope * jnp.abs(rows - cols).astype(jnp.float32)
+
+
+def _hash_u32(x):
+    """lowbias32 avalanche hash (public domain, Chris Wellons) — uint32."""
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * np.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _dropout_keep(cfg: FlashConfig, seed_ref, batch, head, q_first, kv_first,
+                  bq, bkv):
+    """Bernoulli(1-p) keep mask from a counter-based hash of (user seed,
+    batch, global head, global token positions).
+
+    Counter-based (not the hardware PRNG) on purpose: the mask is a pure
+    function of positions, so the backward regenerates the forward's pattern
+    exactly, every ring step draws independent bits (its kv positions
+    differ), the distributed pattern equals the single-device pattern, and
+    TPU-compiled and CPU-interpret modes agree bit-for-bit.
+    """
+    rows = (q_first + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+            * cfg.q_stride).astype(jnp.uint32)
+    cols = (kv_first + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+            * cfg.kv_stride).astype(jnp.uint32)
+    gold = np.uint32(0x9E3779B9)
+    salt = (seed_ref[0].astype(jnp.uint32)
+            + (batch.astype(jnp.uint32) * np.uint32(2654435761))
+            + (seed_ref[1] + head).astype(jnp.uint32) * gold)
+    bits = _hash_u32(cols + gold * _hash_u32(rows + _hash_u32(salt)))
+    thresh = np.uint32(min(int(cfg.dropout_p * 4294967296.0), 4294967295))
+    return bits >= thresh
+
+
 def _fwd_kernel(
     q_off_ref, kv_off_ref,  # scalar prefetch (SMEM)
     *refs,  # inputs / outputs / scratch, arity depends on cfg flags
     cfg: FlashConfig, chunk_q: int, chunk_kv: int,
 ):
     refs = list(refs)
+    seed_ref = None
+    if cfg.dropout_p > 0.0:
+        seed_ref = refs.pop(0)  # third scalar-prefetch operand
     q_ref, k_ref, v_ref = refs[:3]
     del refs[:3]
-    qseg_ref = kseg_ref = ksc_ref = vsc_ref = None
+    qseg_ref = kseg_ref = ksc_ref = vsc_ref = sl_ref = None
     if cfg.segmented:
         qseg_ref, kseg_ref = refs[:2]
         del refs[:2]
     if cfg.kv_quantized:
         ksc_ref, vsc_ref = refs[:2]
         del refs[:2]
+    if cfg.alibi:
+        sl_ref = refs.pop(0)
     out_ref, lse_ref, m_scr, l_scr, acc_scr = refs
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
+    batch_idx = pl.program_id(0)
+    head_idx = pl.program_id(1)
     bq, bkv = cfg.block_q, cfg.block_kv
 
     @pl.when(ik == 0)
@@ -487,10 +561,11 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    if cfg.needs_mask:
+    if cfg.needs_positions:
         iq = pl.program_id(2)
         q_first, q_last = _positions(q_off_ref, iq * bq, bq, chunk_q, cfg.q_stride)
         kv_first, kv_last = _positions(kv_off_ref, ik * bkv, bkv, chunk_kv, cfg.kv_stride)
+    if cfg.needs_mask:
         active = jnp.logical_not(_tile_skip(cfg, q_first, q_last, kv_first, kv_last))
         interior = _tile_interior(cfg, q_first, q_last, kv_first, kv_last)
     else:
@@ -506,6 +581,8 @@ def _fwd_kernel(
             v = v.astype(jnp.bfloat16)
         ks_row = ksc_ref[0, :, :] if ksc_ref is not None else None  # (1, bkv)
         s, _ = _scores(cfg, q, k, ks_row)
+        if cfg.alibi:
+            s = s + _alibi_bias(cfg, sl_ref, q_first, kv_first, bq, bkv)
         mask = None
         if masked:
             mask = _tile_mask(cfg, q_first, kv_first, bq, bkv)
@@ -520,7 +597,13 @@ def _fwd_kernel(
         if mask is not None:
             p = jnp.where(mask, 0.0, p)
         alpha = jnp.exp(m_prev - m_new)
+        # the softmax denominator uses the UNdropped probabilities (dropout
+        # applies after softmax, flash-attn semantics)
         l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if cfg.dropout_p > 0.0:
+            keep = _dropout_keep(cfg, seed_ref, batch_idx, head_idx,
+                                 q_first, kv_first, bq, bkv)
+            p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - cfg.dropout_p))
         if vsc_ref is not None:
             p = p * vsc_ref[0, :, :]  # V dequant scale, after the row-sum
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
@@ -566,7 +649,7 @@ def _kv_clamp_index_map(cfg: FlashConfig, g: int, chunk_q: int, nk: int):
     """
     bq, bkv = cfg.block_q, cfg.block_kv
 
-    def index_map(ib, ih, iq, ik, q_off, kv_off):
+    def index_map(ib, ih, iq, ik, q_off, kv_off, *_):
         local_start = iq * bq
         c = local_start // chunk_q
         q_first = q_off[c] + (local_start - c * chunk_q) * cfg.q_stride
@@ -585,11 +668,14 @@ def _kv_clamp_index_map(cfg: FlashConfig, g: int, chunk_q: int, nk: int):
 
 
 def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
-                    q_seg=None, kv_seg=None, k_scale=None, v_scale=None):
+                    q_seg=None, kv_seg=None, k_scale=None, v_scale=None,
+                    alibi_sl=None, dropout_seed=None):
     """q (b,h,s_q,d); k,v (b,h_kv,s_kv,d) -> out (b,h,s_q,d), lse (b,h,s_q).
 
     q_seg/kv_seg: (b, s) int32 segment ids when cfg.segmented.
     k_scale/v_scale: (b, h_kv, s_kv) fp32 dequant scales when cfg.kv_quantized.
+    alibi_sl: (h,) fp32 per-head slopes when cfg.alibi.
+    dropout_seed: (2,) int32 [seed, global-head base] when cfg.dropout_p > 0.
     """
     b, h, s_q, d = q.shape
     _, h_kv, s_kv, _ = k.shape
@@ -605,6 +691,7 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
         return _flash_fwd_tri_bhsd(q, k, v, tri_cfg)
 
     if (cfg.trivial_offsets and not cfg.segmented and not cfg.kv_quantized
+            and cfg.dropout_p == 0.0 and not cfg.alibi
             and cfg.n_q_chunks == 1 and cfg.n_kv_chunks == 1
             and cfg.q_stride == 1 and cfg.kv_stride == 1):
         # self-attention fast path: static masks, exp2 softmax (~8% faster)
@@ -640,11 +727,21 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
                      pl.BlockSpec((1, 1, bkv), sc_map)]
         inputs += [k_scale.reshape(b * h_kv, 1, s_kv),
                    v_scale.reshape(b * h_kv, 1, s_kv)]
+    if cfg.alibi:
+        # per-head slope as a (1,1,1) block (last dims equal array dims, so
+        # Mosaic's (8,128) tiling rule is satisfied without padding)
+        in_specs += [pl.BlockSpec((1, 1, 1),
+                                  lambda ib, ih, iq, ik, *_: (ih, 0, 0))]
+        inputs += [alibi_sl.reshape(h, 1, 1).astype(jnp.float32)]
+
+    prefetch = [q_off, kv_off]
+    if cfg.dropout_p > 0.0:
+        prefetch.append(jnp.asarray(dropout_seed, jnp.int32))
 
     grid = (b, h, nq, nk)
     kernel = functools.partial(_fwd_kernel, cfg=cfg, chunk_q=chunk_q, chunk_kv=chunk_kv)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(prefetch),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -674,7 +771,7 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
             transcendentals=b * h * s_q * s_kv,
         ),
         interpret=cfg.interpret,
-    )(q_off, kv_off, *inputs)
+    )(*prefetch, *inputs)
     return out, lse.reshape(b, h, s_q)
 
 
@@ -683,9 +780,11 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
 # ---------------------------------------------------------------------------
 
 
-def _recompute_p(cfg, q, k, mask, lse_row):
+def _recompute_p(cfg, q, k, mask, lse_row, bias=None):
     """exp(scores - lse), zeroed on masked/dead entries. Returns (p, tanh)."""
     s, t = _scores(cfg, q, k)
+    if bias is not None:
+        s = s + bias
     if mask is not None:
         s = jnp.where(mask, NEG_INF, s)
     dead = jnp.isneginf(lse_row)
@@ -711,22 +810,30 @@ def _dq_kernel(
     *refs,
     cfg: FlashConfig, chunk_q: int, chunk_kv: int,
 ):
+    refs = list(refs)
+    seed_ref = None
+    if cfg.dropout_p > 0.0:
+        seed_ref = refs.pop(0)
+    q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref = refs[:6]
+    del refs[:6]
+    qseg_ref = kseg_ref = sl_ref = None
     if cfg.segmented:
-        (q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
-         qseg_ref, kseg_ref, dq_ref, dq_scr) = refs
-    else:
-        (q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
-         dq_ref, dq_scr) = refs
-        qseg_ref = kseg_ref = None
+        qseg_ref, kseg_ref = refs[:2]
+        del refs[:2]
+    if cfg.alibi:
+        sl_ref = refs.pop(0)
+    dq_ref, dq_scr = refs
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
+    batch_idx = pl.program_id(0)
+    head_idx = pl.program_id(1)
     bq, bkv = cfg.block_q_bwd, cfg.block_kv_bwd
 
     @pl.when(ik == 0)
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    if cfg.needs_mask:
+    if cfg.needs_positions:
         iq = pl.program_id(2)
         if q_off_ref is None:  # static path: positions are the grid ids
             q_first, q_last = iq * bq, iq * bq + bq - 1
@@ -734,6 +841,7 @@ def _dq_kernel(
         else:
             q_first, q_last = _positions(q_off_ref, iq * bq, bq, chunk_q, cfg.q_stride)
             kv_first, kv_last = _positions(kv_off_ref, ik * bkv, bkv, chunk_kv, cfg.kv_stride)
+    if cfg.needs_mask:
         active = jnp.logical_not(_tile_skip(cfg, q_first, q_last, kv_first, kv_last))
         interior = _tile_interior(cfg, q_first, q_last, kv_first, kv_last)
     else:
@@ -751,10 +859,16 @@ def _dq_kernel(
         if cfg.segmented:
             sm = _seg_mask(qseg_ref, kseg_ref)
             m = sm if m is None else (m | sm)
-        p, t = _recompute_p(cfg, q, k, m, lse_row)
+        bias = (_alibi_bias(cfg, sl_ref, q_first, kv_first, bq, bkv)
+                if cfg.alibi else None)
+        p, t = _recompute_p(cfg, q, k, m, lse_row, bias)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if cfg.dropout_p > 0.0:
+            keep = _dropout_keep(cfg, seed_ref, batch_idx, head_idx,
+                                 q_first, kv_first, bq, bkv)
+            dp = jnp.where(keep, dp, 0.0) * (1.0 / (1.0 - cfg.dropout_p))
         dqk = _ds_to_dqk(cfg, p, dp, delta_row, t)
         dq_scr[...] += jax.lax.dot(
             dqk.astype(k.dtype), k, preferred_element_type=jnp.float32
@@ -781,13 +895,146 @@ def _dkv_kernel(
     *refs,
     cfg: FlashConfig, chunk_q: int, chunk_kv: int, group: int,
 ):
+    refs = list(refs)
+    seed_ref = None
+    if cfg.dropout_p > 0.0:
+        seed_ref = refs.pop(0)
+    q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref = refs[:6]
+    del refs[:6]
+    qseg_ref = kseg_ref = sl_ref = None
+    if cfg.segmented:
+        qseg_ref, kseg_ref = refs[:2]
+        del refs[:2]
+    if cfg.alibi:
+        sl_ref = refs.pop(0)
+    dk_ref, dv_ref, dk_scr, dv_scr = refs
+    ig = pl.program_id(3)
+    iq = pl.program_id(4)
+    nq = pl.num_programs(4)
+    batch_idx = pl.program_id(0)
+    # global head id = ihk * group + ig, matching the forward's (b, h) grid
+    head_idx = pl.program_id(1) * group + ig
+    bq, bkv = cfg.block_q_bwd, cfg.block_kv_bwd
+
+    @pl.when(jnp.logical_and(ig == 0, iq == 0))
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    if cfg.needs_positions:
+        ik = pl.program_id(2)
+        if q_off_ref is None:  # static path
+            q_first, q_last = iq * bq, iq * bq + bq - 1
+            kv_first, kv_last = ik * bkv, ik * bkv + bkv - 1
+        else:
+            q_first, q_last = _positions(q_off_ref, iq * bq, bq, chunk_q, cfg.q_stride)
+            kv_first, kv_last = _positions(kv_off_ref, ik * bkv, bkv, chunk_kv, cfg.kv_stride)
+    if cfg.needs_mask:
+        active = jnp.logical_not(_tile_skip(cfg, q_first, q_last, kv_first, kv_last))
+        interior = _tile_interior(cfg, q_first, q_last, kv_first, kv_last)
+    else:
+        active = jnp.bool_(True)
+        interior = jnp.bool_(True)
+
+    def _compute(masked: bool):
+        q = q_ref[0, 0, :, :]
+        k = k_ref[0, 0, :, :]
+        v = v_ref[0, 0, :, :]
+        do = dout_ref[0, 0, :, :]
+        lse_row = lse_ref[...].reshape(bq, 1)
+        delta_row = delta_ref[...].reshape(bq, 1)
+        m = _tile_mask(cfg, q_first, kv_first, bq, bkv) if masked else None
+        if cfg.segmented:
+            sm = _seg_mask(qseg_ref, kseg_ref)
+            m = sm if m is None else (m | sm)
+        bias = (_alibi_bias(cfg, sl_ref, q_first, kv_first, bq, bkv)
+                if cfg.alibi else None)
+        p, t = _recompute_p(cfg, q, k, m, lse_row, bias)
+        keep = None
+        if cfg.dropout_p > 0.0:
+            keep = _dropout_keep(cfg, seed_ref, batch_idx, head_idx,
+                                 q_first, kv_first, bq, bkv)
+        inv = 1.0 / (1.0 - cfg.dropout_p) if cfg.dropout_p > 0.0 else 1.0
+        p_v = p if keep is None else jnp.where(keep, p, 0.0) * inv
+        # dV += (dropped P)^T @ dOut
+        dv_scr[...] += jax.lax.dot_general(
+            p_v.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if keep is not None:
+            dp = jnp.where(keep, dp, 0.0) * inv
+        dqk = _ds_to_dqk(cfg, p, dp, delta_row, t)
+        # dK += dQK^T @ Q
+        dk_scr[...] += jax.lax.dot_general(
+            dqk.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if cfg.needs_mask:
+        @pl.when(active & interior)
+        def _():
+            _compute(masked=False)
+
+        @pl.when(active & jnp.logical_not(interior))
+        def _():
+            _compute(masked=True)
+    else:
+        _compute(masked=False)
+
+    @pl.when(jnp.logical_and(ig == group - 1, iq == nq - 1))
+    def _emit():
+        dk_ref[...] = dk_scr[...].reshape(dk_ref.shape)
+        dv_ref[...] = dv_scr[...].reshape(dv_ref.shape)
+
+
+def _q_band_static(cfg: FlashConfig, ik, bq, bkv, nq):
+    """[lo, hi] q-tile band that kv tile `ik` interacts with (static
+    self-attention positions). Shared by the fused-backward index maps and
+    the in-kernel residency logic — the two MUST agree."""
+    lo = jnp.int32(0)
+    hi = jnp.int32(nq - 1)
+    if cfg.mask_right >= 0:
+        lo = jnp.clip((ik * bkv - cfg.mask_right) // bq, 0, nq - 1)
+    if cfg.mask_left >= 0:
+        hi = jnp.clip((ik * bkv + bkv - 1 + cfg.mask_left) // bq, 0, nq - 1)
+    return lo, hi
+
+
+def _bwd_fused_kernel(
+    *refs,
+    cfg: FlashConfig, group: int,
+):
+    """One-pass backward (static self-attention path): grid
+    (b, h_kv, kv_tiles, group, q_tiles), q inner. Per (q, kv) tile the kernel
+    computes p and dp ONCE and feeds all three grads — dk/dv accumulate in
+    VMEM scratch across the inner (group, q) loops exactly like _dkv_kernel,
+    while dq accumulates *in HBM* through an aliased fp32 input/output pair
+    (out = in + contrib on each revisit). This removes the separate dq kernel
+    and its p/dp recomputation: 9 -> 7 matmul passes for fwd+bwd
+    (docs/PERF.md "Backward"; the fusion the reference gets from FA's fused
+    CUDA backward, `ring/ring_flash_attn.py:65-147`).
+
+    dq residency protocol: the dq block index is the *clamped* q tile
+    ``clip(iq, lo, hi)`` (same map as the streamed q operand), so one HBM
+    block stays resident across consecutive grid steps. On the first step of
+    each residency the kernel seeds the output window from the aliased input
+    (the running dq sum in HBM); compute steps then read-modify-write the
+    window. Fully-masked residencies just copy through, so every block is
+    always written and no garbage ever flushes. ik iterates sequentially
+    ("arbitrary"), which orders all revisits of a given dq block.
+    """
     if cfg.segmented:
         (q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
-         qseg_ref, kseg_ref, dk_ref, dv_ref, dk_scr, dv_scr) = refs
+         qseg_ref, kseg_ref, dqin_ref,
+         dk_ref, dv_ref, dq_ref, dk_scr, dv_scr) = refs
     else:
-        (q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
-         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+        (q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref, dqin_ref,
+         dk_ref, dv_ref, dq_ref, dk_scr, dv_scr) = refs
         qseg_ref = kseg_ref = None
+    ik = pl.program_id(2)
     ig = pl.program_id(3)
     iq = pl.program_id(4)
     nq = pl.num_programs(4)
@@ -799,18 +1046,22 @@ def _dkv_kernel(
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
     if cfg.needs_mask:
-        ik = pl.program_id(2)
-        if q_off_ref is None:  # static path
-            q_first, q_last = iq * bq, iq * bq + bq - 1
-            kv_first, kv_last = ik * bkv, ik * bkv + bkv - 1
-        else:
-            q_first, q_last = _positions(q_off_ref, iq * bq, bq, chunk_q, cfg.q_stride)
-            kv_first, kv_last = _positions(kv_off_ref, ik * bkv, bkv, chunk_kv, cfg.kv_stride)
+        q_first, q_last = iq * bq, iq * bq + bq - 1
+        kv_first, kv_last = ik * bkv, ik * bkv + bkv - 1
         active = jnp.logical_not(_tile_skip(cfg, q_first, q_last, kv_first, kv_last))
         interior = _tile_interior(cfg, q_first, q_last, kv_first, kv_last)
+        lo, hi = _q_band_static(cfg, ik, bq, bkv, nq)
+        iqc = jnp.clip(iq, lo, hi)
+        iqc_prev = jnp.clip(iq - 1, lo, hi)
+        is_first = jnp.logical_or(iq == 0, iqc != iqc_prev)
     else:
         active = jnp.bool_(True)
         interior = jnp.bool_(True)
+        is_first = jnp.bool_(True)  # unclamped: single-step residencies
+
+    @pl.when(is_first)
+    def _seed_dq():
+        dq_ref[...] = dqin_ref[...]
 
     def _compute(masked: bool):
         q = q_ref[0, 0, :, :]
@@ -838,6 +1089,10 @@ def _dkv_kernel(
             dqk.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        # dQ += dQK @ K  (into the resident aliased HBM window)
+        dq_ref[...] += jax.lax.dot(
+            dqk.astype(k.dtype), k, preferred_element_type=jnp.float32
+        ).reshape(dq_ref.shape)
 
     if cfg.needs_mask:
         @pl.when(active & interior)
@@ -856,8 +1111,81 @@ def _dkv_kernel(
         dv_ref[...] = dv_scr[...].reshape(dv_ref.shape)
 
 
+def _flash_bwd_fused_static(q, k, v, dout, lse_r, delta, cfg: FlashConfig):
+    """Single-kernel backward for the static self-attention path.
+
+    lse_r / delta: (b*h, 1, s_q) fp32. Returns fp32 (dq, dk, dv).
+    """
+    b, h, s_q, d = q.shape
+    _, h_kv, s_kv, _ = k.shape
+    g = h // h_kv
+    bq, bkv = cfg.block_q_bwd, cfg.block_kv_bwd
+    nq, nk = s_q // bq, s_kv // bkv
+
+    def _iqc(iq, ik):
+        if not cfg.needs_mask:
+            return iq
+        lo, hi = _q_band_static(cfg, ik, bq, bkv, nq)
+        return jnp.clip(iq, lo, hi)
+
+    def _q_im(ib, ihk, ik, ig, iq):
+        return (ib, ihk * g + ig, _iqc(iq, ik), 0)
+
+    def _row_im(ib, ihk, ik, ig, iq):
+        return (ib * h + ihk * g + ig, 0, _iqc(iq, ik))
+
+    def kv_im(ib, ihk, ik, ig, iq):
+        return (ib, ihk, ik, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), _q_im),      # q
+        pl.BlockSpec((1, 1, bkv, d), kv_im),     # k
+        pl.BlockSpec((1, 1, bkv, d), kv_im),     # v
+        pl.BlockSpec((1, 1, bq, d), _q_im),      # dout
+        pl.BlockSpec((1, 1, bq), _row_im),       # lse
+        pl.BlockSpec((1, 1, bq), _row_im),       # delta
+        pl.BlockSpec((1, 1, bq, d), _q_im),      # dq running sum (aliased in)
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, bkv, d), kv_im),     # dk
+        pl.BlockSpec((1, 1, bkv, d), kv_im),     # dv
+        pl.BlockSpec((1, 1, bq, d), _q_im),      # dq (aliased out)
+    ]
+    dq0 = jnp.zeros((b, h, s_q, d), jnp.float32)
+    dk, dv, dq = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, cfg=cfg, group=g),
+        grid=(b, h_kv, nk, g, nq),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h_kv, s_kv, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_kv, s_kv, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, s_q, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv, d), jnp.float32),
+            pltpu.VMEM((bkv, d), jnp.float32),
+        ],
+        input_output_aliases={6: 2},
+        compiler_params=pltpu.CompilerParams(
+            # ik must iterate sequentially: it orders the aliased-HBM dq
+            # revisits (megacore still splits the parallel (b, h_kv) dims,
+            # whose dq head ranges are disjoint).
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * s_q * s_kv * d,
+            bytes_accessed=q.size * 2 * 4 + k.size * 2 * 2 + q.size * 4 * 3,
+            transcendentals=b * h * s_q * s_kv,
+        ),
+        interpret=cfg.interpret,
+    )(q, k, v, dout, lse_r, delta, dq0)
+    return dq, dk, dv
+
+
 def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
-                    q_seg=None, kv_seg=None):
+                    q_seg=None, kv_seg=None, alibi_sl=None, dropout_seed=None):
     """BHSD backward. Returns fp32 (dq, dk, dv). `lse` is (b, h, s_q) fp32."""
     b, h, s_q, d = q.shape
     _, h_kv, s_kv, _ = k.shape
@@ -875,8 +1203,16 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
     # Static (no-scalar-prefetch) path for plain self-attention, like the
     # forward fast path: positions come straight from grid ids.
     static = (cfg.trivial_offsets and not cfg.segmented
+              and cfg.dropout_p == 0.0 and not cfg.alibi
               and cfg.n_q_chunks == 1 and cfg.n_kv_chunks == 1
               and cfg.q_stride == 1 and cfg.kv_stride == 1)
+
+    # Fused path only when compiled: Mosaic's sequential-grid semantics make
+    # the aliased dq read-modify-write exact (validated bit-identical on
+    # hardware incl. GQA/causal/window), but pallas interpret mode does not
+    # replay flush-then-refetch on aliased buffers, so CPU keeps two kernels.
+    if static and cfg.fused_bwd and not cfg.interpret:
+        return _flash_bwd_fused_static(q, k, v, dout, lse_r, delta, cfg)
 
     # DMA-eliding clamped index maps (see _kv_clamp_index_map) for the
     # streamed operand of each backward kernel.
@@ -911,6 +1247,13 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
             pl.BlockSpec((1, 1, bkv), lambda ib, ih, iq, ik, *_: (ib, 0, ik)),
         ]
         dq_inputs += [q_seg.reshape(b, s_q, 1), kv_seg.reshape(b, 1, s_kv)]
+    if cfg.alibi:
+        dq_in_specs += [pl.BlockSpec((1, 1, 1),
+                                     lambda ib, ih, iq, ik, *_: (ih, 0, 0))]
+        dq_inputs += [alibi_sl.reshape(h, 1, 1).astype(jnp.float32)]
+    bwd_prefetch = [q_off, kv_off]
+    if cfg.dropout_p > 0.0:
+        bwd_prefetch.append(jnp.asarray(dropout_seed, jnp.int32))
 
     # --- dq: grid (b, h, q_tiles, kv_tiles), kv inner ---
     dq_out_specs = [
@@ -935,7 +1278,7 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
         )(*dq_inputs)
     else:
         dq_grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=len(bwd_prefetch),
             grid=(b, h, nq, nk),
             in_specs=dq_in_specs,
             out_specs=dq_out_specs,
@@ -947,7 +1290,7 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
             out_shape=[jax.ShapeDtypeStruct((b, h, s_q, d), jnp.float32)],
             compiler_params=pltpu.CompilerParams(dimension_semantics=dq_sem),
             interpret=cfg.interpret,
-        )(q_off, kv_off, *dq_inputs)
+        )(*bwd_prefetch, *dq_inputs)
 
     # --- dk/dv: grid (b, h_kv, kv_tiles, group, q_tiles), q inner ---
     # Clamp the q-tile stream into the kv tile's active band (transpose of the
@@ -990,10 +1333,10 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
             return (ib * (h_kv * g) + ihk * g + ig, 0,
                     _q_clamped_static(iq, ik))
     else:
-        def _q_im(ib, ihk, ik, ig, iq, q_off=None, kv_off=None):
+        def _q_im(ib, ihk, ik, ig, iq, q_off=None, kv_off=None, *_rest):
             return (ib, ihk * g + ig, _q_clamped(iq, ik, q_off, kv_off), 0)
 
-        def _row_im(ib, ihk, ik, ig, iq, q_off=None, kv_off=None):
+        def _row_im(ib, ihk, ik, ig, iq, q_off=None, kv_off=None, *_rest):
             return (ib * (h_kv * g) + ihk * g + ig, 0,
                     _q_clamped(iq, ik, q_off, kv_off))
 
@@ -1012,6 +1355,10 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
             pl.BlockSpec((1, 1, bkv), lambda ib, ihk, ik, ig, iq, *_: (ib, 0, ik)),
         ]
         dkv_inputs += [q_seg.reshape(b, s_q, 1), kv_seg.reshape(b, 1, s_kv)]
+    if cfg.alibi:
+        dkv_in_specs += [pl.BlockSpec(
+            (1, 1, 1), lambda ib, ihk, ik, ig, iq, *_: (ihk * g + ig, 0, 0))]
+        dkv_inputs += [alibi_sl.reshape(h, 1, 1).astype(jnp.float32)]
 
     dkv_out_specs = [
         pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
@@ -1044,7 +1391,7 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
         return dq, dk, dv
 
     dkv_grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(bwd_prefetch),
         grid=(b, h_kv, nk, g, nq),
         in_specs=dkv_in_specs,
         out_specs=dkv_out_specs,
@@ -1056,7 +1403,7 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
         out_shape=dkv_out_shape,
         compiler_params=pltpu.CompilerParams(dimension_semantics=dkv_sem),
         interpret=cfg.interpret,
-    )(q_off, kv_off, *dkv_inputs)
+    )(*bwd_prefetch, *dkv_inputs)
     return dq, dk, dv
 
 
@@ -1071,30 +1418,35 @@ def _to_bhsd(x):
 
 @functools.lru_cache(maxsize=None)
 def _make_op(cfg: FlashConfig):
-    """custom_vjp op in the public BSHD layout. Segment ids (when
-    cfg.segmented) are non-differentiable extra primals (float0 grads)."""
+    """custom_vjp op in the public BSHD layout. Segment ids, ALiBi slopes and
+    the dropout seed (when the cfg flags are on) are non-differentiable extra
+    primals (float0 grads); the backward regenerates the dropout mask from
+    the same seed + tile positions."""
 
-    def fwd_impl(q, k, v, q_off, kv_off, q_seg, kv_seg):
+    def fwd_impl(q, k, v, q_off, kv_off, q_seg, kv_seg, alibi_sl, seed):
         out, lse = _flash_fwd_bhsd(
             _to_bhsd(q), _to_bhsd(k), _to_bhsd(v), q_off, kv_off, cfg,
-            q_seg, kv_seg,
+            q_seg, kv_seg, alibi_sl=alibi_sl, dropout_seed=seed,
         )
         return _to_bhsd(out), lse
 
     @jax.custom_vjp
-    def op(q, k, v, q_off, kv_off, q_seg, kv_seg):
-        return fwd_impl(q, k, v, q_off, kv_off, q_seg, kv_seg)
+    def op(q, k, v, q_off, kv_off, q_seg, kv_seg, alibi_sl, seed):
+        return fwd_impl(q, k, v, q_off, kv_off, q_seg, kv_seg, alibi_sl, seed)
 
-    def op_fwd(q, k, v, q_off, kv_off, q_seg, kv_seg):
-        out, lse = fwd_impl(q, k, v, q_off, kv_off, q_seg, kv_seg)
-        return (out, lse), (q, k, v, q_off, kv_off, q_seg, kv_seg, out, lse)
+    def op_fwd(q, k, v, q_off, kv_off, q_seg, kv_seg, alibi_sl, seed):
+        out, lse = fwd_impl(q, k, v, q_off, kv_off, q_seg, kv_seg,
+                            alibi_sl, seed)
+        return (out, lse), (q, k, v, q_off, kv_off, q_seg, kv_seg,
+                            alibi_sl, seed, out, lse)
 
     def op_bwd(res, cot):
         dout, _dlse = cot  # gradient w.r.t. LSE is not propagated (like FA)
-        q, k, v, q_off, kv_off, q_seg, kv_seg, out, lse = res
+        q, k, v, q_off, kv_off, q_seg, kv_seg, alibi_sl, seed, out, lse = res
         dq, dk, dv = _flash_bwd_bhsd(
             _to_bhsd(q), _to_bhsd(k), _to_bhsd(v), q_off, kv_off,
             _to_bhsd(out), lse, _to_bhsd(dout), cfg, q_seg, kv_seg,
+            alibi_sl=alibi_sl, dropout_seed=seed,
         )
         f0 = lambda x: (None if x is None
                         else np.zeros(x.shape, dtype=jax.dtypes.float0))
@@ -1106,6 +1458,10 @@ def _make_op(cfg: FlashConfig):
             f0(kv_off),
             f0(q_seg),
             f0(kv_seg),
+            # slopes are float primals: zero cotangent (treated as constants,
+            # like flash-attn); the int seed gets float0
+            None if alibi_sl is None else jnp.zeros_like(alibi_sl),
+            f0(seed),
         )
 
     op.defvjp(op_fwd, op_bwd)
@@ -1122,14 +1478,24 @@ def _fit_block(block: int, limit: int) -> int:
 def _resolve_cfg(
     h, h_kv, s_q, s_kv, d, *, causal, softmax_scale, window_size, softcap,
     n_q_chunks, n_kv_chunks, q_stride, kv_stride, block_sizes, interpret,
-    segmented=False,
+    segmented=False, dropout_p=0.0, alibi=False,
 ) -> FlashConfig:
     assert h % h_kv == 0, f"GQA requires h ({h}) % h_kv ({h_kv}) == 0"
     assert s_q % n_q_chunks == 0 and s_kv % n_kv_chunks == 0
+    assert 0.0 <= dropout_p < 1.0, dropout_p
     bs = block_sizes or BlockSizes()
     chunk_q = s_q // n_q_chunks
     chunk_kv = s_kv // n_kv_chunks
     scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(d)
+    block_q = _fit_block(bs.block_q, chunk_q)
+    block_kv = _fit_block(bs.block_kv, chunk_kv)
+    if dropout_p > 0.0:
+        # the backward regenerates the forward's PRNG mask per tile, which
+        # requires identical tile geometry in both passes
+        block_q_bwd, block_kv_bwd = block_q, block_kv
+    else:
+        block_q_bwd = _fit_block(bs.bq_bwd, chunk_q)
+        block_kv_bwd = _fit_block(bs.bkv_bwd, chunk_kv)
     return FlashConfig(
         causal=bool(causal),
         scale=float(scale),
@@ -1139,12 +1505,14 @@ def _resolve_cfg(
         kv_stride=int(kv_stride),
         n_q_chunks=int(n_q_chunks),
         n_kv_chunks=int(n_kv_chunks),
-        block_q=_fit_block(bs.block_q, chunk_q),
-        block_kv=_fit_block(bs.block_kv, chunk_kv),
-        block_q_bwd=_fit_block(bs.bq_bwd, chunk_q),
-        block_kv_bwd=_fit_block(bs.bkv_bwd, chunk_kv),
+        block_q=block_q,
+        block_kv=block_kv,
+        block_q_bwd=block_q_bwd,
+        block_kv_bwd=block_kv_bwd,
         interpret=default_interpret() if interpret is None else bool(interpret),
         segmented=bool(segmented),
+        dropout_p=float(dropout_p),
+        alibi=bool(alibi),
     )
 
 
@@ -1172,6 +1540,10 @@ def flash_attention(
     kv_stride: int = 1,
     q_segment_ids=None,
     kv_segment_ids=None,
+    dropout_p: float = 0.0,
+    dropout_key=None,
+    dropout_seed=None,
+    alibi_slopes=None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     return_lse: bool = False,
@@ -1191,6 +1563,14 @@ def flash_attention(
         replacement for the reference's cu_seqlens varlen API,
         `ring/ring_flash_attn_varlen.py:28`). Causality uses positions, which
         within a segment equals per-sequence causality.
+      dropout_p: attention dropout (train-time; the reference's ``dropout_p``,
+        `hybrid/attn_layer.py:62`). Requires ``dropout_key`` (a JAX PRNG key)
+        or ``dropout_seed`` ((2,) int32 [seed, global-head base] — the
+        low-level form the distributed layers pass). Deterministic per seed;
+        the backward regenerates the exact forward mask in-kernel.
+      alibi_slopes: optional (h,) per-head ALiBi slopes
+        (`hybrid/attn_layer.py:67`): adds -slope*|q_pos - kv_pos| to scores
+        against *global* positions (ring/USP-consistent). Non-differentiable.
       return_lse: also return the (b, h, s_q) fp32 log-sum-exp.
 
     Differentiable (custom VJP, flash-style recomputation backward).
@@ -1208,6 +1588,7 @@ def flash_attention(
         softcap=softcap, n_q_chunks=n_q_chunks, n_kv_chunks=n_kv_chunks,
         q_stride=q_stride, kv_stride=kv_stride, block_sizes=block_sizes,
         interpret=interpret, segmented=segmented,
+        dropout_p=dropout_p, alibi=alibi_slopes is not None,
     )
     if q_offsets is None and kv_offsets is None:
         # tri_grid defaults ON for plain causal self-attention (the table-
@@ -1224,8 +1605,27 @@ def flash_attention(
     kv_off = _resolve_offsets(kv_offsets, n_kv_chunks)
     q_seg = None if q_segment_ids is None else jnp.asarray(q_segment_ids, jnp.int32)
     kv_seg = None if kv_segment_ids is None else jnp.asarray(kv_segment_ids, jnp.int32)
-    out, lse = _make_op(cfg)(q, k, v, q_off, kv_off, q_seg, kv_seg)
+    seed = _resolve_dropout_seed(dropout_p, dropout_key, dropout_seed)
+    sl = (None if alibi_slopes is None
+          else jnp.asarray(alibi_slopes, jnp.float32))
+    out, lse = _make_op(cfg)(q, k, v, q_off, kv_off, q_seg, kv_seg, sl, seed)
     return (out, lse) if return_lse else out
+
+
+def _resolve_dropout_seed(dropout_p, dropout_key, dropout_seed):
+    """(2,) int32 [seed, global-head base] from either a PRNG key or the
+    low-level seed pair."""
+    if dropout_p <= 0.0:
+        return None
+    if dropout_seed is not None:
+        seed = jnp.asarray(dropout_seed, jnp.int32)
+        assert seed.shape == (2,), seed.shape
+        return seed
+    if dropout_key is None:
+        raise ValueError("dropout_p > 0 requires dropout_key (a JAX PRNG "
+                         "key) or dropout_seed ((2,) int32)")
+    bits = jax.random.bits(dropout_key, (1,), jnp.uint32).astype(jnp.int32)
+    return jnp.concatenate([bits, jnp.zeros((1,), jnp.int32)])
 
 
 def flash_attention_fwd(q, k, v, **kwargs):
@@ -1252,6 +1652,11 @@ def flash_attention_fwd(q, k, v, **kwargs):
     q_segment_ids = kwargs.pop("q_segment_ids", None)
     kv_segment_ids = kwargs.pop("kv_segment_ids", None)
     kwargs.pop("return_lse", None)
+    alibi_slopes = kwargs.pop("alibi_slopes", None)
+    dropout_p = kwargs.pop("dropout_p", 0.0)
+    dropout_seed = _resolve_dropout_seed(dropout_p,
+                                         kwargs.pop("dropout_key", None),
+                                         kwargs.pop("dropout_seed", None))
     n_q_chunks = 1 if q_offsets is None else len(q_offsets)
     n_kv_chunks = 1 if kv_offsets is None else len(kv_offsets)
     cfg = _resolve_cfg(
@@ -1266,6 +1671,7 @@ def flash_attention_fwd(q, k, v, **kwargs):
         block_sizes=kwargs.pop("block_sizes", None),
         interpret=kwargs.pop("interpret", None),
         segmented=q_segment_ids is not None,
+        dropout_p=dropout_p, alibi=alibi_slopes is not None,
     )
     cfg = dataclasses.replace(cfg, kv_quantized=True)
     assert not kwargs, f"unexpected kwargs {sorted(kwargs)}"
@@ -1273,9 +1679,12 @@ def flash_attention_fwd(q, k, v, **kwargs):
     kv_off = _resolve_offsets(kv_offsets, n_kv_chunks)
     q_seg = None if q_segment_ids is None else jnp.asarray(q_segment_ids, jnp.int32)
     kv_seg = None if kv_segment_ids is None else jnp.asarray(kv_segment_ids, jnp.int32)
+    sl = (None if alibi_slopes is None
+          else jnp.asarray(alibi_slopes, jnp.float32))
     out, lse = _flash_fwd_bhsd(
         _to_bhsd(q), _to_bhsd(k), _to_bhsd(v), q_off, kv_off, cfg,
-        q_seg, kv_seg, k_scale, v_scale,
+        q_seg, kv_seg, k_scale, v_scale, alibi_sl=sl,
+        dropout_seed=dropout_seed,
     )
     return _to_bhsd(out), lse
 
@@ -1313,6 +1722,7 @@ def flash_attention_bwd(
     causal=False, softmax_scale=None, window_size=(-1, -1), softcap=0.0,
     q_offsets=None, kv_offsets=None, q_stride=1, kv_stride=1,
     q_segment_ids=None, kv_segment_ids=None,
+    dropout_p=0.0, dropout_key=None, dropout_seed=None, alibi_slopes=None,
     block_sizes=None, interpret=None,
 ):
     """bwd-only entry (the ring backward's per-step call). BSHD in/out.
@@ -1320,7 +1730,8 @@ def flash_attention_bwd(
     Returns fp32 (dq, dk, dv) partials for this KV block — fp32 so the ring
     can accumulate rotating partial sums without precision loss (the
     reference's dq.to(bfloat16) bug at `ring/ring_flash_attn.py:147` is
-    exactly what this avoids).
+    exactly what this avoids). ``dropout_seed`` must be the seed the forward
+    used — the kernel regenerates the identical mask from (seed, positions).
     """
     b, s_q, h, d = q.shape
     _, s_kv, h_kv, _ = k.shape
@@ -1336,13 +1747,18 @@ def flash_attention_bwd(
         softcap=softcap, n_q_chunks=n_q_chunks, n_kv_chunks=n_kv_chunks,
         q_stride=q_stride, kv_stride=kv_stride, block_sizes=block_sizes,
         interpret=interpret, segmented=segmented,
+        dropout_p=dropout_p, alibi=alibi_slopes is not None,
     )
     q_off = _resolve_offsets(q_offsets, n_q_chunks)
     kv_off = _resolve_offsets(kv_offsets, n_kv_chunks)
     q_seg = None if q_segment_ids is None else jnp.asarray(q_segment_ids, jnp.int32)
     kv_seg = None if kv_segment_ids is None else jnp.asarray(kv_segment_ids, jnp.int32)
+    sl = (None if alibi_slopes is None
+          else jnp.asarray(alibi_slopes, jnp.float32))
+    seed = _resolve_dropout_seed(dropout_p, dropout_key, dropout_seed)
     dq, dk, dv = _flash_bwd_bhsd(
         _to_bhsd(q), _to_bhsd(k), _to_bhsd(v), q_off, kv_off,
         _to_bhsd(out), lse, _to_bhsd(dout), cfg, q_seg, kv_seg,
+        alibi_sl=sl, dropout_seed=seed,
     )
     return _to_bhsd(dq), _to_bhsd(dk), _to_bhsd(dv)

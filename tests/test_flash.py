@@ -154,3 +154,46 @@ def test_tri_grid_matches_rect(rng):
     # results agree to bf16 rounding
     np.testing.assert_allclose(np.asarray(a, np.float32),
                                np.asarray(b, np.float32), atol=2e-2, rtol=0)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="fused backward runs compiled-only (aliased dq "
+                           "RMW is exact under Mosaic's sequential grid; "
+                           "interpret mode does not replay aliasing)")
+@pytest.mark.parametrize("causal,win", [(False, (-1, -1)), (True, (-1, -1)),
+                                        (True, (1024, 0))])
+def test_fused_bwd_matches_two_kernel_tpu(rng, causal, win):
+    """Real-chip gate: the one-pass fused backward (dq via aliased HBM
+    accumulation) must be bit-identical to the two-kernel backward across
+    residency patterns (GQA, causal clamp-from-below, window clamp-above)."""
+    import dataclasses
+    import functools
+
+    from long_context_attention_tpu.ops import flash as F
+
+    b, s, h, hkv, d = 1, 4096, 4, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.float32)
+    dout = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    bs = BlockSizes(block_q=512, block_kv=512)  # nq=nk=8: many residencies
+
+    out, lse = F.flash_attention(q, k, v, causal=causal, window_size=win,
+                                 return_lse=True, tri_grid=False,
+                                 block_sizes=bs)
+    cfg = F._resolve_cfg(
+        h, hkv, s, s, d, causal=causal, softmax_scale=None, window_size=win,
+        softcap=0.0, n_q_chunks=1, n_kv_chunks=1, q_stride=1, kv_stride=1,
+        block_sizes=bs, interpret=False)
+    cfg = dataclasses.replace(cfg, trivial_offsets=True)
+    B = F._to_bhsd
+    zo = jnp.zeros((1,), jnp.int32)
+    fused = jax.jit(functools.partial(
+        F._flash_bwd_bhsd, cfg=dataclasses.replace(cfg, fused_bwd=True)))
+    twok = jax.jit(functools.partial(
+        F._flash_bwd_bhsd, cfg=dataclasses.replace(cfg, fused_bwd=False)))
+    a = fused(B(q), B(k), B(v), zo, zo, out=B(out), lse=lse, dout=B(dout))
+    r = twok(B(q), B(k), B(v), zo, zo, out=B(out), lse=lse, dout=B(dout))
+    for x, y, name in zip(a, r, ("dq", "dk", "dv")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
