@@ -75,15 +75,22 @@ class RingConfig:
     # Correctness is layout-independent thanks to the position descriptors;
     # the bandwidth benefit appears on real multi-chip ICI.
     bidirectional: bool = False
+    # attention dropout (the reference threads dropout_p through every ring
+    # func, `ring/ring_flash_attn.py:169`): the kernel's mask is a pure
+    # function of (seed, global positions), so every ring step draws
+    # independent bits and the backward replays the forward exactly.
+    dropout_p: float = 0.0
 
     def __post_init__(self):
         if self.layout not in LAYOUTS:
             raise ValueError(f"unknown layout {self.layout!r}")
         if self.kv_quant is not None and self.impl != "pallas":
             raise ValueError("kv_quant requires the pallas impl")
+        if self.dropout_p > 0.0 and self.impl != "pallas":
+            raise ValueError("dropout requires the pallas impl")
 
     def attn_kwargs(self, q_off, kv_off, q_stride, kv_stride,
-                    q_seg=None, kv_seg=None):
+                    q_seg=None, kv_seg=None, alibi_sl=None, seed=None):
         kw = dict(
             causal=self.causal,
             softmax_scale=self.softmax_scale,
@@ -97,6 +104,11 @@ class RingConfig:
         if q_seg is not None:
             kw["q_segment_ids"] = q_seg
             kw["kv_segment_ids"] = kv_seg
+        if alibi_sl is not None:
+            kw["alibi_slopes"] = alibi_sl
+        if self.dropout_p > 0.0:
+            kw["dropout_p"] = self.dropout_p
+            kw["dropout_seed"] = seed
         if self.impl == "pallas":
             kw["block_sizes"] = self.block_sizes
             kw["interpret"] = self.interpret
@@ -114,7 +126,8 @@ def _rotate_back(x, axis_name: str, n: int):
     return lax.ppermute(x, axis_name, [(j, (j - 1) % n) for j in range(n)])
 
 
-def _ring_fwd_bidir(cfg: RingConfig, q, k, v, q_seg, kv_seg):
+def _ring_fwd_bidir(cfg: RingConfig, q, k, v, q_seg, kv_seg, alibi_sl=None,
+                    seed=None):
     """Bidirectional forward: KV halves counter-rotate; each step's two
     sources are described by one 2-chunk position descriptor, so the same
     kernel call covers both halves. With ``kv_quant`` the halves rotate
@@ -158,7 +171,8 @@ def _ring_fwd_bidir(cfg: RingConfig, q, k, v, q_seg, kv_seg):
         seg_cur = (None if segA is None
                    else jnp.concatenate([segA, segB], axis=1))
         kw = cfg.attn_kwargs(kv_off=kv_off, q_off=q_off, q_stride=q_stride,
-                             kv_stride=kv_stride, q_seg=q_seg, kv_seg=seg_cur)
+                             kv_stride=kv_stride, q_seg=q_seg, kv_seg=seg_cur,
+                             alibi_sl=alibi_sl, seed=seed)
         if scA is not None:
             kw["k_scale"] = jnp.concatenate([scA[0], scB[0]], axis=2)
             kw["v_scale"] = jnp.concatenate([scA[1], scB[1]], axis=2)
@@ -179,7 +193,7 @@ def _ring_fwd_bidir(cfg: RingConfig, q, k, v, q_seg, kv_seg):
 
 
 def _ring_bwd_bidir(cfg: RingConfig, res, dout):
-    q, k, v, q_seg, kv_seg, out, lse = res
+    q, k, v, q_seg, kv_seg, alibi_sl, seed, out, lse = res
     impl = get_attn_impl(cfg.impl)
     n = cfg.ring_size
     rank = lax.axis_index(cfg.axis_name)
@@ -210,7 +224,7 @@ def _ring_bwd_bidir(cfg: RingConfig, res, dout):
             q, k_cur, v_cur, out, lse, dout,
             **cfg.attn_kwargs(kv_off=kv_off, q_off=q_off, q_stride=q_stride,
                               kv_stride=kv_stride, q_seg=q_seg,
-                              kv_seg=seg_cur))
+                              kv_seg=seg_cur, alibi_sl=alibi_sl, seed=seed))
         dq = dq + dq_p
         dkA = _rotate(dkA + dk_p[:, :half], cfg.axis_name, n)
         dvA = _rotate(dvA + dv_p[:, :half], cfg.axis_name, n)
@@ -227,12 +241,14 @@ def _ring_bwd_bidir(cfg: RingConfig, res, dout):
     dk = jnp.concatenate([dkA, dkB], axis=1)
     dv = jnp.concatenate([dvA, dvB], axis=1)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            None, None)
+            None, None,
+            None if alibi_sl is None else jnp.zeros_like(alibi_sl), None)
 
 
-def _ring_fwd_impl(cfg: RingConfig, q, k, v, q_seg, kv_seg):
+def _ring_fwd_impl(cfg: RingConfig, q, k, v, q_seg, kv_seg, alibi_sl=None,
+                   seed=None):
     if cfg.bidirectional and cfg.ring_size > 1:
-        return _ring_fwd_bidir(cfg, q, k, v, q_seg, kv_seg)
+        return _ring_fwd_bidir(cfg, q, k, v, q_seg, kv_seg, alibi_sl, seed)
     impl = get_attn_impl(cfg.impl)
     n = cfg.ring_size
     rank = lax.axis_index(cfg.axis_name)
@@ -255,7 +271,8 @@ def _ring_fwd_impl(cfg: RingConfig, q, k, v, q_seg, kv_seg):
     for step in range(n):
         src = jax.lax.rem(rank - step + n, n)  # whose KV we hold this step
         kv_off, kv_stride = position_descriptor(cfg.layout, src, n, s_kv)
-        kw = cfg.attn_kwargs(q_off, kv_off, q_stride, kv_stride, q_seg, kseg_cur)
+        kw = cfg.attn_kwargs(q_off, kv_off, q_stride, kv_stride, q_seg,
+                             kseg_cur, alibi_sl=alibi_sl, seed=seed)
         if sc_cur is not None:
             kw["k_scale"], kw["v_scale"] = sc_cur
         blk_out, blk_lse = impl.fwd(q, k_cur, v_cur, **kw)
@@ -271,12 +288,12 @@ def _ring_fwd_impl(cfg: RingConfig, q, k, v, q_seg, kv_seg):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _ring(cfg: RingConfig, q, k, v, q_seg, kv_seg):
-    return _ring_fwd_impl(cfg, q, k, v, q_seg, kv_seg)
+def _ring(cfg: RingConfig, q, k, v, q_seg, kv_seg, alibi_sl, seed):
+    return _ring_fwd_impl(cfg, q, k, v, q_seg, kv_seg, alibi_sl, seed)
 
 
-def _ring_vjp_fwd(cfg, q, k, v, q_seg, kv_seg):
-    out, lse = _ring_fwd_impl(cfg, q, k, v, q_seg, kv_seg)
+def _ring_vjp_fwd(cfg, q, k, v, q_seg, kv_seg, alibi_sl, seed):
+    out, lse = _ring_fwd_impl(cfg, q, k, v, q_seg, kv_seg, alibi_sl, seed)
     k_res, v_res = k, v
     if cfg.kv_quant is not None:
         # The backward recomputes p = exp(s - lse); (out, lse) came from the
@@ -293,11 +310,11 @@ def _ring_vjp_fwd(cfg, q, k, v, q_seg, kv_seg):
         vq, vs = quantize_kv(v, cfg.kv_quant)
         k_res = dequantize_kv(kq, ks, k.dtype)
         v_res = dequantize_kv(vq, vs, v.dtype)
-    return (out, lse), (q, k_res, v_res, q_seg, kv_seg, out, lse)
+    return (out, lse), (q, k_res, v_res, q_seg, kv_seg, alibi_sl, seed, out, lse)
 
 
 def _ring_vjp_bwd(cfg, res, cot):
-    q, k, v, q_seg, kv_seg, out, lse = res
+    q, k, v, q_seg, kv_seg, alibi_sl, seed, out, lse = res
     dout, _dlse = cot  # LSE cotangent not propagated (flash-attn convention)
     if cfg.bidirectional and cfg.ring_size > 1:
         return _ring_bwd_bidir(cfg, res, dout)
@@ -316,7 +333,8 @@ def _ring_vjp_bwd(cfg, res, cot):
         kv_off, kv_stride = position_descriptor(cfg.layout, src, n, s_kv)
         dq_p, dk_p, dv_p = impl.bwd(
             q, k_cur, v_cur, out, lse, dout,
-            **cfg.attn_kwargs(q_off, kv_off, q_stride, kv_stride, q_seg, kseg_cur),
+            **cfg.attn_kwargs(q_off, kv_off, q_stride, kv_stride, q_seg,
+                              kseg_cur, alibi_sl=alibi_sl, seed=seed),
         )
         dq = dq + dq_p
         dk = dk + dk_p
@@ -331,7 +349,8 @@ def _ring_vjp_bwd(cfg, res, cot):
             if kseg_cur is not None:
                 kseg_cur = _rotate(kseg_cur, cfg.axis_name, n)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            None, None)
+            None, None,
+            None if alibi_sl is None else jnp.zeros_like(alibi_sl), None)
 
 
 _ring.defvjp(_ring_vjp_fwd, _ring_vjp_bwd)
@@ -353,6 +372,9 @@ def ring_attention_local(
     segment_ids: Optional[jnp.ndarray] = None,
     kv_quant: Optional[str] = None,
     bidirectional: bool = False,
+    dropout_p: float = 0.0,
+    dropout_seed=None,
+    alibi_slopes=None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     return_lse: bool = False,
@@ -366,14 +388,26 @@ def ring_attention_local(
     the kv-side ids rotate around the ring with their kv. Differentiable;
     the public analog of the reference's ``*_ring_flash_attn_func`` family
     (`ring/__init__.py:1-39`), with the schedule as data instead of code.
+
+    ``dropout_p``/``dropout_seed`` ((2,) int32 [seed, head base]) and
+    ``alibi_slopes`` ((h_local,) fp32) reach the kernel with *global*
+    positions, so the distributed result equals the single-device one.
     """
     n = ring_size if ring_size is not None else lax.axis_size(axis_name)
     cfg = RingConfig(
         axis_name=axis_name, ring_size=n, layout=layout, causal=causal,
         softmax_scale=softmax_scale, window=(int(window_size[0]), int(window_size[1])),
         softcap=softcap, impl=impl, block_sizes=block_sizes, interpret=interpret,
-        kv_quant=kv_quant, bidirectional=bidirectional,
+        kv_quant=kv_quant, bidirectional=bidirectional, dropout_p=float(dropout_p),
     )
+    if dropout_p > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_p > 0 requires dropout_seed ((2,) int32); "
+                         "derive it once outside the ring (e.g. "
+                         "jax.random.bits(key, (1,), uint32))")
     seg = None if segment_ids is None else jnp.asarray(segment_ids, jnp.int32)
-    out, lse = _ring(cfg, q, k, v, seg, seg)
+    sl = (None if alibi_slopes is None
+          else jnp.asarray(alibi_slopes, jnp.float32))
+    seed = (None if dropout_seed is None
+            else jnp.asarray(dropout_seed, jnp.int32))
+    out, lse = _ring(cfg, q, k, v, seg, seg, sl, seed)
     return (out, lse) if return_lse else out

@@ -55,6 +55,9 @@ def usp_attention_local(
     segment_ids: Optional[jnp.ndarray] = None,
     kv_quant: Optional[str] = None,
     bidirectional: bool = False,
+    dropout_p: float = 0.0,
+    dropout_key=None,
+    alibi_slopes=None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
@@ -65,6 +68,11 @@ def usp_attention_local(
     (`hybrid/attn_layer.py:57-161`). Requires h (and h_kv for GQA) divisible
     by the ulysses degree, like the reference (`README.md:18-21`).
     ``segment_ids`` (b, s/(U*R)) int32 enables varlen/packed batches.
+
+    ``alibi_slopes`` are the GLOBAL (h,) per-head slopes; each ulysses rank
+    slices its contiguous head block after the a2a. ``dropout_key`` is a
+    (replicated) JAX PRNG key; the dropout seed carries the rank's global
+    head base so every global head draws independent bits.
     """
     q = scatter_heads(q, ulysses_axis)
     k = scatter_heads(k, ulysses_axis)
@@ -73,12 +81,27 @@ def usp_attention_local(
         # ids have no head dim to scatter: gather the ring-local sequence.
         segment_ids = lax.all_gather(
             segment_ids, ulysses_axis, axis=1, tiled=True)
+    h_local = q.shape[2]
+    sl_local = None
+    if alibi_slopes is not None:
+        sl = jnp.asarray(alibi_slopes, jnp.float32)
+        # all_to_all(split_axis=head) hands rank r the r-th contiguous block
+        rank = lax.axis_index(ulysses_axis)
+        sl_local = lax.dynamic_slice(sl, (rank * h_local,), (h_local,))
+    seed = None
+    if dropout_p > 0.0:
+        if dropout_key is None:
+            raise ValueError("dropout_p > 0 requires dropout_key")
+        bits = jax.random.bits(dropout_key, (1,), jnp.uint32).astype(jnp.int32)
+        head_base = (lax.axis_index(ulysses_axis) * h_local).astype(jnp.int32)
+        seed = jnp.concatenate([bits, head_base[None]])
     out = ring_attention_local(
         q, k, v,
         axis_name=ring_axis, layout=layout, causal=causal,
         softmax_scale=softmax_scale, window_size=window_size, softcap=softcap,
         impl=impl, segment_ids=segment_ids, kv_quant=kv_quant,
         bidirectional=bidirectional,
+        dropout_p=dropout_p, dropout_seed=seed, alibi_slopes=sl_local,
         block_sizes=block_sizes, interpret=interpret,
     )
     return gather_heads(out, ulysses_axis)
@@ -178,25 +201,48 @@ class LongContextAttention(_LayerBase):
                  softmax_scale: Optional[float] = None,
                  window_size: Tuple[int, int] = (-1, -1),
                  softcap: float = 0.0,
-                 segment_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 segment_ids: Optional[jnp.ndarray] = None,
+                 dropout_p: float = 0.0,
+                 dropout_key=None,
+                 alibi_slopes=None) -> jnp.ndarray:
+        """``dropout_p``/``dropout_key`` and ``alibi_slopes`` ((h,) global
+        slopes) match the reference layer's training knobs
+        (`hybrid/attn_layer.py:62-67`); both are replicated operands — the
+        local shards slice/seed by rank inside ``usp_attention_local``."""
         fn = functools.partial(
             usp_attention_local,
             ulysses_axis=self.axes.ulysses, ring_axis=self.axes.ring,
             layout=self.layout, causal=causal, softmax_scale=softmax_scale,
             window_size=window_size, softcap=softcap, impl=self.impl,
             kv_quant=self.kv_quant, bidirectional=self.bidirectional,
+            dropout_p=dropout_p,
             block_sizes=self.block_sizes, interpret=self.interpret,
         )
-        if segment_ids is None:
+        # optional operands ride as extra shard_map inputs with their specs
+        extras, specs, names = [], [], []
+        if segment_ids is not None:
+            extras.append(segment_ids)
+            specs.append(P(self.axes.dp, self.axes.seq))
+            names.append("segment_ids")
+        if alibi_slopes is not None:
+            extras.append(jnp.asarray(alibi_slopes, jnp.float32))
+            specs.append(P())  # replicated: global per-head slopes
+            names.append("alibi_slopes")
+        if dropout_p > 0.0:
+            if dropout_key is None:
+                raise ValueError("dropout_p > 0 requires dropout_key")
+            extras.append(dropout_key)
+            specs.append(P())  # replicated key; rank-seeded locally
+            names.append("dropout_key")
+        if not extras:
             return self._shard_map(fn, 3)(q, k, v)
-        seg_spec = P(self.axes.dp, self.axes.seq)
         mapped = jax.shard_map(
-            lambda q, k, v, s: fn(q, k, v, segment_ids=s),
+            lambda q, k, v, *ex: fn(q, k, v, **dict(zip(names, ex))),
             mesh=self.mesh,
-            in_specs=(self._spec(),) * 3 + (seg_spec,),
+            in_specs=(self._spec(),) * 3 + tuple(specs),
             out_specs=self._spec(), check_vma=False,
         )
-        return jax.jit(mapped)(q, k, v, segment_ids)
+        return jax.jit(mapped)(q, k, v, *extras)
 
     def packed(self, qkv, *, causal: bool = False,
                softmax_scale: Optional[float] = None,
