@@ -40,7 +40,7 @@ from long_context_attention_tpu.parallel.usp import usp_attention_local
 from long_context_attention_tpu.utils.config import BlockSizes
 
 __all__ = ["ModelConfig", "init_params", "forward_local", "make_forward",
-           "make_train_step", "local_positions", "param_specs"]
+           "make_train_step", "local_positions", "param_specs", "moe_cfg"]
 
 Params = Dict[str, Any]
 
@@ -63,6 +63,16 @@ class ModelConfig:
     layout: str = "zigzag"
     attn_impl: str = "pallas"
     block_sizes: Optional[BlockSizes] = None
+    # Mixture-of-Experts FFN (Switch-style top-1, parallel/moe.py). When
+    # ``n_experts > 0`` every layer's dense FFN is replaced by a routed MoE
+    # FFN; the ep mesh axis (make_usp_mesh(ep=...)) shards the expert weights
+    # and the dispatch all_to_all. 0 = dense model (the default).
+    n_experts: int = 0
+    moe_capacity_factor: float = 2.0
+
+    @property
+    def moe(self) -> bool:
+        return self.n_experts > 0
 
     @property
     def q_dim(self) -> int:
@@ -83,17 +93,27 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
 
     def layer(k):
         ks = jax.random.split(k, 7)
-        return {
+        attn = {
             "attn_norm": jnp.ones((cfg.dim,), jnp.float32),
             "wq": dense(ks[0], cfg.dim, (cfg.dim, cfg.q_dim)),
             "wk": dense(ks[1], cfg.dim, (cfg.dim, cfg.kv_dim)),
             "wv": dense(ks[2], cfg.dim, (cfg.dim, cfg.kv_dim)),
             "wo": dense(ks[3], cfg.q_dim, (cfg.q_dim, cfg.dim)),
             "mlp_norm": jnp.ones((cfg.dim,), jnp.float32),
-            "w_gate": dense(ks[4], cfg.dim, (cfg.dim, cfg.ffn_hidden)),
-            "w_up": dense(ks[5], cfg.dim, (cfg.dim, cfg.ffn_hidden)),
-            "w_down": dense(ks[6], cfg.ffn_hidden, (cfg.ffn_hidden, cfg.dim)),
         }
+        if cfg.moe:
+            E = cfg.n_experts
+            return {**attn,
+                    "router": dense(ks[4], cfg.dim, (cfg.dim, E)),
+                    "moe_up": dense(ks[5], cfg.dim,
+                                    (E, cfg.dim, cfg.ffn_hidden)),
+                    "moe_down": dense(ks[6], cfg.ffn_hidden,
+                                      (E, cfg.ffn_hidden, cfg.dim))}
+        return {**attn,
+                "w_gate": dense(ks[4], cfg.dim, (cfg.dim, cfg.ffn_hidden)),
+                "w_up": dense(ks[5], cfg.dim, (cfg.dim, cfg.ffn_hidden)),
+                "w_down": dense(ks[6], cfg.ffn_hidden,
+                                (cfg.ffn_hidden, cfg.dim))}
 
     layers = jax.vmap(layer)(jax.random.split(k_layers, cfg.n_layers))
     return {
@@ -140,8 +160,44 @@ def local_positions(cfg: ModelConfig, s_local: int, *, ulysses_axis: str,
     return lax.dynamic_slice(ring_pos, (u * s_local,), (s_local,))
 
 
+def moe_cfg(cfg: ModelConfig):
+    """The parallel/moe.py config corresponding to this model's MoE FFN."""
+    from long_context_attention_tpu.parallel.moe import MoEConfig
+
+    return MoEConfig(dim=cfg.dim, ffn_hidden=cfg.ffn_hidden,
+                     n_experts=cfg.n_experts,
+                     capacity_factor=cfg.moe_capacity_factor, dtype=cfg.dtype)
+
+
+def _ffn(cfg: ModelConfig, lp, h, *, ep_axis: Optional[str] = None,
+         tokens_replicated: bool = True, full_capacity: bool = False):
+    """Post-norm FFN body: dense SwiGLU or routed MoE per ``cfg.n_experts``.
+
+    ``ep_axis``: mesh axis sharding the expert weights (tokens stay replicated
+    along it — the dedicated-ep-axis mode of parallel/moe.py). None = this
+    rank holds every expert (single device, or serving with replicated
+    weights). ``full_capacity`` raises the expert capacity to the token count
+    so routing never drops — the serving decode path, where T = batch is tiny
+    and a dropped token would zero a generated position's FFN."""
+    if cfg.moe:
+        import dataclasses as _dc
+
+        from long_context_attention_tpu.parallel.moe import moe_mlp_local
+
+        mc = moe_cfg(cfg)
+        if full_capacity:
+            mc = _dc.replace(mc, capacity_factor=float(cfg.n_experts))
+        mp = {"router": lp["router"], "w_up": lp["moe_up"],
+              "w_down": lp["moe_down"]}
+        return moe_mlp_local(mp, h, mc, ep_axis=ep_axis,
+                             tokens_replicated=tokens_replicated)
+    gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32)).astype(h.dtype)
+    return (gate * (h @ lp["w_up"])) @ lp["w_down"]
+
+
 def _layer(cfg: ModelConfig, x, lp, positions, *, ulysses_axis, ring_axis,
-           interpret, tp_axis: Optional[str] = None):
+           interpret, tp_axis: Optional[str] = None,
+           ep_axis: Optional[str] = None):
     from long_context_attention_tpu.parallel.tp import (
         tp_region_input,
         tp_region_output,
@@ -170,12 +226,15 @@ def _layer(cfg: ModelConfig, x, lp, positions, *, ulysses_axis, ring_axis,
         o = tp_region_output(o, tp_axis)  # Megatron "g": allreduce, bwd identity
     x = x + o.astype(x.dtype)
     h = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
-    if tp_axis:
-        h = tp_region_input(h, tp_axis)
-    gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-    m = (gate * (h @ lp["w_up"])) @ lp["w_down"]
-    if tp_axis:
-        m = tp_region_output(m, tp_axis)
+    if cfg.moe:
+        assert tp_axis is None, "MoE FFN does not compose with tp yet"
+        m = _ffn(cfg, lp, h, ep_axis=ep_axis)
+    else:
+        if tp_axis:
+            h = tp_region_input(h, tp_axis)
+        m = _ffn(cfg, lp, h)
+        if tp_axis:
+            m = tp_region_output(m, tp_axis)
     x = x + m.astype(x.dtype)
     return x, (k, v)
 
@@ -184,7 +243,8 @@ def forward_local(params: Params, tokens: jnp.ndarray, cfg: ModelConfig, *,
                   ulysses_axis: str, ring_axis: str,
                   interpret: Optional[bool] = None,
                   return_kv: bool = False,
-                  tp_axis: Optional[str] = None):
+                  tp_axis: Optional[str] = None,
+                  ep_axis: Optional[str] = None):
     """Device-local forward: tokens (b, s_local) int32 -> logits fp32
     (b, s_local, vocab). Call inside shard_map over the USP mesh.
 
@@ -200,7 +260,7 @@ def forward_local(params: Params, tokens: jnp.ndarray, cfg: ModelConfig, *,
     def body(x, lp):
         x, kv = _layer(cfg, x, lp, positions, ulysses_axis=ulysses_axis,
                        ring_axis=ring_axis, interpret=interpret,
-                       tp_axis=tp_axis)
+                       tp_axis=tp_axis, ep_axis=ep_axis)
         return x, (kv if return_kv else None)
 
     x, kv = lax.scan(body, x, params["layers"])
@@ -209,25 +269,35 @@ def forward_local(params: Params, tokens: jnp.ndarray, cfg: ModelConfig, *,
     return (logits, kv) if return_kv else logits
 
 
-def param_specs(axes: "MeshAxes", tp: bool, pp: bool = False):
+def param_specs(axes: "MeshAxes", tp: bool, pp: bool = False,
+                ep: bool = False, moe: bool = False):
     """PartitionSpec pytree for the params.
 
     Layer weights are stacked (n_layers, ...): the pp axis shards their
     *leading* (layer) dimension into pipeline stages; the tp axis shards the
     last (column-parallel: wq/wk/wv/w_gate/w_up) or middle (row-parallel:
-    wo/w_down) weight dimension; norms/embed/lm_head stay replicated."""
-    if not tp and not pp:
+    wo/w_down) weight dimension; norms/embed/lm_head stay replicated. MoE
+    expert weights (n_layers, n_experts, ...) shard the *expert* dimension
+    over the ep axis; the router is replicated."""
+    if not tp and not pp and not (ep and moe) and not moe:
         return P()
     lead = axes.pp if pp else None
     tpa = axes.tp if tp else None
     col = P(lead, None, tpa)
     row = P(lead, tpa, None)
     norm = P(lead, None)
+    if moe:
+        epa = axes.ep if ep else None
+        ffn = {"router": P(lead, None, None),
+               "moe_up": P(lead, epa, None, None),
+               "moe_down": P(lead, epa, None, None)}
+    else:
+        ffn = {"w_gate": col, "w_up": col, "w_down": row}
     return {
         "embed": P(),
         "layers": {
             "attn_norm": norm, "wq": col, "wk": col, "wv": col, "wo": row,
-            "mlp_norm": norm, "w_gate": col, "w_up": col, "w_down": row,
+            "mlp_norm": norm, **ffn,
         },
         "final_norm": P(),
         "lm_head": P(),
@@ -245,6 +315,7 @@ def make_pp_train_step(cfg: ModelConfig, mesh: Mesh, optimizer, n_micro: int,
     """
     from long_context_attention_tpu.parallel.pipeline import pipeline_apply
 
+    assert not cfg.moe, "MoE + pipeline parallelism not supported yet"
     tp = axes.tp in mesh.axis_names
     assert axes.pp in mesh.axis_names, "mesh has no pp axis (pp degree > 1)"
     n_stages = mesh.shape[axes.pp]
@@ -392,8 +463,7 @@ def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
 
         x = x + (out.reshape(b, s_c, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
         hh = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu((hh @ lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        x = x + ((gate * (hh @ lp["w_up"])) @ lp["w_down"]).astype(x.dtype)
+        x = x + _ffn(cfg, lp, hh).astype(x.dtype)
         return x, (kc, vc, ksc, vsc)
 
     xs = (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
@@ -483,8 +553,7 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
 
         x = x + (attn.reshape(b, 1, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
         hh = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu((hh @ lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        x = x + ((gate * (hh @ lp["w_up"])) @ lp["w_down"]).astype(x.dtype)
+        x = x + _ffn(cfg, lp, hh, full_capacity=True).astype(x.dtype)
         return (x, li + 1, kc_all, vc_all, ksc_all, vsc_all), None
 
     carry0 = (x, jnp.int32(0), cache.k, cache.v, cache.k_scale, cache.v_scale)
@@ -501,24 +570,28 @@ def make_forward(cfg: ModelConfig, mesh: Mesh, axes: MeshAxes = MeshAxes(), *,
                  interpret: Optional[bool] = None):
     """Jitted global forward: (params, tokens (b, s) sharded dp x seq) -> logits."""
     tp = axes.tp in mesh.axis_names
+    ep = axes.ep in mesh.axis_names
     tok_spec = P(axes.dp, axes.seq)
     out_spec = P(axes.dp, axes.seq, None)
 
     def fwd(params, tokens):
         return forward_local(params, tokens, cfg, ulysses_axis=axes.ulysses,
                              ring_axis=axes.ring, interpret=interpret,
-                             tp_axis=axes.tp if tp else None)
+                             tp_axis=axes.tp if tp else None,
+                             ep_axis=axes.ep if ep else None)
 
-    mapped = jax.shard_map(fwd, mesh=mesh,
-                           in_specs=(param_specs(axes, tp), tok_spec),
-                           out_specs=out_spec, check_vma=False)
+    mapped = jax.shard_map(
+        fwd, mesh=mesh,
+        in_specs=(param_specs(axes, tp, ep=ep, moe=cfg.moe), tok_spec),
+        out_specs=out_spec, check_vma=False)
     return jax.jit(mapped)
 
 
 def loss_local(params: Params, tokens, labels, mask, cfg: ModelConfig, *,
                ulysses_axis: str, ring_axis: str, dp_axis: Optional[str] = None,
                interpret: Optional[bool] = None,
-               tp_axis: Optional[str] = None) -> jnp.ndarray:
+               tp_axis: Optional[str] = None,
+               ep_axis: Optional[str] = None) -> jnp.ndarray:
     """This shard's *contribution* to the global-mean next-token cross-entropy
     (psum over (dp, ring, ulysses) of the returned scalar = the global loss).
 
@@ -529,13 +602,20 @@ def loss_local(params: Params, tokens, labels, mask, cfg: ModelConfig, *,
     """
     logits = forward_local(params, tokens, cfg, ulysses_axis=ulysses_axis,
                            ring_axis=ring_axis, interpret=interpret,
-                           tp_axis=tp_axis)
+                           tp_axis=tp_axis, ep_axis=ep_axis)
     logp = jax.nn.log_softmax(logits, axis=-1)
     ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     maskf = mask.astype(jnp.float32)
     num = jnp.sum(ll * maskf)
     den = jnp.sum(maskf)
-    axes = (ulysses_axis, ring_axis) + ((dp_axis,) if dp_axis else ())
+    # ep (when present) joins the denominator reduction: tokens are
+    # REPLICATED along ep, so including it scales den by the ep degree and
+    # each ep rank's contribution becomes L/ep — exactly what makes
+    # psum-over-all-axes of the per-rank losses (and of the per-rank grads,
+    # per leaf over the axes that leaf is replicated on) equal the global
+    # mean loss/gradient.
+    axes = ((ulysses_axis, ring_axis) + ((dp_axis,) if dp_axis else ())
+            + ((ep_axis,) if ep_axis else ()))
     # Only the (param-independent) denominator reduces here. The numerator
     # stays LOCAL: under shard_map, psum's transpose is psum, so a psum in
     # the gradient path multiplies every weight gradient by the axis-group
@@ -549,8 +629,14 @@ def loss_local(params: Params, tokens, labels, mask, cfg: ModelConfig, *,
 def make_train_step(cfg: ModelConfig, mesh: Mesh, optimizer,
                     axes: MeshAxes = MeshAxes(), *,
                     interpret: Optional[bool] = None):
-    """Jitted train step over up to 4-D parallelism (dp x ring x ulysses x tp):
+    """Jitted train step over up to 5-D parallelism
+    (dp x ep x ring x ulysses x tp):
     (params, opt_state, tokens, labels, mask) -> (params, opt_state, loss).
+
+    When the mesh has an ep axis (and ``cfg.n_experts > 0``) the MoE expert
+    weights shard over it: activations stay replicated along ep, each ep rank
+    routes its 1/ep slice of the tokens, and the dispatch/return all_to_all
+    rides the ep axis (parallel/moe.py tokens_replicated mode).
 
     Gradients psum over (dp, ring, ulysses) — the DP sync the reference
     delegates to DeepSpeed plus Megatron-style sequence-parallel weight-grad
@@ -560,20 +646,37 @@ def make_train_step(cfg: ModelConfig, mesh: Mesh, optimizer,
     OUTSIDE shard_map so GSPMD shards Adam state along the param shardings.
     """
     tp = axes.tp in mesh.axis_names
-    pspecs = param_specs(axes, tp)
+    ep = axes.ep in mesh.axis_names
+    pspecs = param_specs(axes, tp, ep=ep, moe=cfg.moe)
     tok_spec = P(axes.dp, axes.seq)
     base_axes = (axes.dp, axes.ring, axes.ulysses)
+    all_axes = base_axes + ((axes.ep,) if ep else ())
 
     def local_grads(params, tokens, labels, mask):
         def lf(p):
             return loss_local(p, tokens, labels, mask, cfg,
                               ulysses_axis=axes.ulysses, ring_axis=axes.ring,
                               dp_axis=axes.dp, interpret=interpret,
-                              tp_axis=axes.tp if tp else None)
+                              tp_axis=axes.tp if tp else None,
+                              ep_axis=axes.ep if ep else None)
 
         loss, grads = jax.value_and_grad(lf)(params)
-        loss = lax.psum(loss, base_axes)  # reporting only (post-grad)
+        loss = lax.psum(loss, all_axes)  # reporting only (post-grad)
+        # Each leaf psums over the axes it is REPLICATED on: everything over
+        # (dp, ring, ulysses); additionally over ep for all but the
+        # ep-SHARDED expert weights (whose cross-ep cotangents the MoE
+        # all_to_all transpose already accumulated).
         grads = jax.tree.map(lambda g: lax.psum(g, base_axes), grads)
+        if ep:
+            sharded = ("moe_up", "moe_down") if cfg.moe else ()
+            lg = grads["layers"]
+            ep_repl = {k: lax.psum(v, axes.ep) for k, v in lg.items()
+                       if k not in sharded}
+            grads = {
+                **{k: lax.psum(v, axes.ep) for k, v in grads.items()
+                   if k != "layers"},
+                "layers": {**lg, **ep_repl},
+            }
         return loss, grads
 
     mapped = jax.shard_map(

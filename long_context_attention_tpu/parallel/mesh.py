@@ -36,6 +36,7 @@ class MeshAxes:
     ulysses: str = "ulysses"
     tp: str = "tp"  # tensor-parallel axis (only present when tp degree > 1)
     pp: str = "pp"  # pipeline-parallel axis (only present when pp degree > 1)
+    ep: str = "ep"  # expert-parallel axis (only present when ep degree > 1)
 
     @property
     def seq(self):
@@ -54,31 +55,37 @@ def make_usp_mesh(
     ring: int = 1,
     tp: int = 1,
     pp: int = 1,
+    ep: int = 1,
     *,
     devices: Optional[Sequence[jax.Device]] = None,
     ulysses_low: bool = True,
     axes: MeshAxes = MeshAxes(),
 ) -> Mesh:
-    """Build the ``(dp[, pp], ring, ulysses[, tp])`` mesh.
+    """Build the ``(dp[, pp][, ep], ring, ulysses[, tp])`` mesh.
 
-    ``dp * pp * ulysses * ring * tp`` must equal the device count (the
+    ``dp * pp * ep * ulysses * ring * tp`` must equal the device count (the
     reference derives ``dp = world_size // (ud * rd)`` the same way,
     `globals.py:29-30`). The tp axis (tensor parallelism — which the
     reference only *delegates* to Megatron) sits innermost (most-latency-
     sensitive allreduces on the shortest links); pp (pipeline — also
-    delegated by the reference) sits next to dp (stage hops tolerate DCN).
-    Both appear only when their degree > 1, keeping 3-axis meshes unchanged.
+    delegated by the reference) sits next to dp (stage hops tolerate DCN);
+    ep (expert parallelism — absent from the reference entirely) sits
+    between pp and ring (its all_to_all is bulk-bandwidth-bound, happy on
+    mid-distance ICI). Each appears only when its degree > 1, keeping 3-axis
+    meshes unchanged.
     """
-    n = dp * pp * ulysses * ring * tp
+    n = dp * pp * ep * ulysses * ring * tp
     names = ((axes.dp,) + ((axes.pp,) if pp > 1 else ())
+             + ((axes.ep,) if ep > 1 else ())
              + (axes.ring, axes.ulysses) + ((axes.tp,) if tp > 1 else ()))
 
     def shape_for(order_swap: bool):
-        base = ((dp,) + ((pp,) if pp > 1 else ())
+        base = ((dp,) + ((pp,) if pp > 1 else ()) + ((ep,) if ep > 1 else ())
                 + ((ring, ulysses) if not order_swap else (ulysses, ring)))
         return base + ((tp,) if tp > 1 else ())
 
-    r_idx = 1 + (1 if pp > 1 else 0)  # position of the ring axis
+    # position of the ring axis
+    r_idx = 1 + (1 if pp > 1 else 0) + (1 if ep > 1 else 0)
 
     if devices is None and n == len(jax.devices()):
         # ICI-topology-aware assignment (also correct across hosts/DCN): the
@@ -95,8 +102,9 @@ def make_usp_mesh(
 
     devs = list(devices) if devices is not None else jax.devices()
     if len(devs) < n:
-        raise ValueError(f"need {n} devices (dp={dp} x pp={pp} x ring={ring} "
-                         f"x ulysses={ulysses} x tp={tp}), have {len(devs)}")
+        raise ValueError(f"need {n} devices (dp={dp} x pp={pp} x ep={ep} x "
+                         f"ring={ring} x ulysses={ulysses} x tp={tp}), "
+                         f"have {len(devs)}")
     devs = np.asarray(devs[:n], dtype=object)
     if ulysses_low:
         grid = devs.reshape(shape_for(False))
