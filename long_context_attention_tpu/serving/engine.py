@@ -70,15 +70,19 @@ class Engine:
     """Single-host generation engine for the flagship model.
 
     ``cache_dtype``: "bfloat16" | "int8" | "float8_e4m3fn" (ops/kv_cache.py).
-    Prefill runs the full training forward (on a 1-device mesh here; the
-    USP-sharded prefill path is the same `forward_local` under the caller's
-    mesh). Decode is `models.llama.decode_step` scanned over steps.
+    Prefill runs the full training forward. With ``mesh=None`` that is a
+    1-device run; pass a USP mesh and long prompts prefill sequence-sharded
+    over it (tokens permuted into the model's training layout, KV reshuffled
+    back to natural order and replicated for the single-host decode loop).
+    Decode is `models.llama.decode_step` scanned over steps.
     """
 
     cfg: ModelConfig
     s_max: int
     cache_dtype: str = "bfloat16"
     interpret: Optional[bool] = None
+    mesh: Optional[jax.sharding.Mesh] = None
+    axes: MeshAxes = MeshAxes()
 
     def init_cache(self, b: int) -> KVCache:
         return KVCache.init(self.cfg.n_layers, b, self.s_max,
@@ -87,10 +91,33 @@ class Engine:
 
     @functools.partial(jax.jit, static_argnums=0)
     def prefill(self, params, tokens: jnp.ndarray) -> Tuple[jnp.ndarray, KVCache]:
-        """tokens (b, s_prompt) -> (last-token logits (b, vocab), cache)."""
+        """tokens (b, s_prompt) natural order -> (last-token logits (b,
+        vocab), cache). With ``self.mesh`` set, the prompt forward runs
+        USP-sharded over it (the prefill compute is the expensive part of
+        serving; decode stays single-host)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from long_context_attention_tpu.parallel.layouts import (
+            layout_permutation,
+            permute_for_layout,
+            unpermute_from_layout,
+        )
+
         b, s = tokens.shape
-        mesh = make_usp_mesh(1, 1, 1, devices=jax.devices()[:1])
-        axes = MeshAxes()
+        axes = self.axes
+        if self.mesh is None:
+            mesh = make_usp_mesh(1, 1, 1, devices=jax.devices()[:1])
+            ring = 1
+            tok_spec = P()
+            out_specs = P()
+        else:
+            mesh = self.mesh
+            ring = mesh.shape[axes.ring]
+            tokens = permute_for_layout(tokens, self.cfg.layout, ring, axis=1)
+            tok_spec = P(None, (axes.ring, axes.ulysses))
+            out_specs = (P(None, (axes.ring, axes.ulysses), None),
+                         (P(None, None, (axes.ring, axes.ulysses), None,
+                            None),) * 2)
 
         def fwd(params, tokens):
             return forward_local(params, tokens, self.cfg,
@@ -100,16 +127,31 @@ class Engine:
 
         logits, (kv_k, kv_v) = jax.shard_map(
             fwd, mesh=mesh,
-            in_specs=(jax.sharding.PartitionSpec(),) * 2,
-            out_specs=jax.sharding.PartitionSpec(),
+            in_specs=(P(), tok_spec),
+            out_specs=out_specs,
             check_vma=False,
         )(params, tokens)
+
+        last_idx = s - 1
+        if self.mesh is not None and self.cfg.layout != "basic":
+            # one static permutation back to natural slot order (GSPMD turns
+            # it into one all_to_all among the sequence shards); the logits
+            # stay put — the last natural token has a static permuted index
+            kv_k = unpermute_from_layout(kv_k, self.cfg.layout, ring, axis=2)
+            kv_v = unpermute_from_layout(kv_v, self.cfg.layout, ring, axis=2)
+            perm = layout_permutation(self.cfg.layout, ring, s)
+            last_idx = int((perm == s - 1).argmax())
+        if self.mesh is not None:
+            # replicate for the single-host decode loop
+            repl = NamedSharding(mesh, P())
+            kv_k = lax.with_sharding_constraint(kv_k, repl)
+            kv_v = lax.with_sharding_constraint(kv_v, repl)
 
         cache = self.init_cache(b)
         for layer in range(self.cfg.n_layers):
             cache = cache.write_prompt(layer, kv_k[layer], kv_v[layer])
         cache = cache.advance(s)
-        return logits[:, -1], cache
+        return logits[:, last_idx], cache
 
     @functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=2)
     def _prefill_chunk(self, params, cache, tokens, start: int):

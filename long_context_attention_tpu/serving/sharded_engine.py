@@ -36,8 +36,14 @@ class ShardedEngine:
     """Generation over a mesh with a sequence-sharded cache.
 
     Requirements: prompt length and ``s_max`` divisible by the total
-    sequence-shard count (ring * ulysses); the model's ``layout`` must be
-    "basic" (cache slots are in natural order).
+    sequence-shard count (ring * ulysses). Any training ``layout`` serves:
+    prompts are permuted into the layout for the USP prefill (so zigzag/
+    stripe-trained models prefill exactly as they trained), then the
+    per-layer KV reshuffles ONCE into natural slot order (a single static
+    permutation of the sequence axis — GSPMD lowers it to one all_to_all
+    among the sequence shards, the layout-duality move of
+    `yunchang/comm/extract_local.py:29-49` run in reverse) so decode serves
+    from a contiguous cache.
     """
 
     cfg: ModelConfig
@@ -46,10 +52,6 @@ class ShardedEngine:
     cache_dtype: str = "bfloat16"
     axes: MeshAxes = MeshAxes()
     interpret: Optional[bool] = None
-
-    def __post_init__(self):
-        assert self.cfg.layout == "basic", (
-            "ShardedEngine serves from a contiguous cache: use layout='basic'")
 
     @property
     def seq_axes(self):
@@ -64,9 +66,18 @@ class ShardedEngine:
 
     @functools.partial(jax.jit, static_argnums=0)
     def prefill(self, params, tokens: jnp.ndarray) -> Tuple[jnp.ndarray, KVCache]:
-        """tokens (b, s) -> (last-token logits (b, vocab), sharded cache)."""
+        """tokens (b, s) in NATURAL order -> (last-token logits (b, vocab),
+        sharded cache in natural slot order)."""
+        from long_context_attention_tpu.parallel.layouts import (
+            layout_permutation,
+            permute_for_layout,
+            unpermute_from_layout,
+        )
+
         b, s = tokens.shape
+        ring = self.mesh.shape[self.axes.ring]
         tok_spec = P(None, self.seq_axes)
+        tokens = permute_for_layout(tokens, self.cfg.layout, ring, axis=1)
 
         def fwd(params, tokens):
             return forward_local(params, tokens, self.cfg,
@@ -81,7 +92,21 @@ class ShardedEngine:
                        (P(None, None, self.seq_axes, None, None),) * 2),
             check_vma=False,
         )(params, tokens)
-        # kk/vv: (L, b, s, h_kv, d) sharded over the sequence axis.
+        # kk/vv: (L, b, s, h_kv, d) sharded over the sequence axis, in layout
+        # order. Reshuffle ONCE to natural order for contiguous cache slots;
+        # the last natural token's logits sit at a static permuted index, so
+        # the (b, s, vocab) logits never move.
+        if self.cfg.layout != "basic":
+            kk = unpermute_from_layout(kk, self.cfg.layout, ring, axis=2)
+            vv = unpermute_from_layout(vv, self.cfg.layout, ring, axis=2)
+            kv_sh = NamedSharding(self.mesh,
+                                  P(None, None, self.seq_axes, None, None))
+            kk = lax.with_sharding_constraint(kk, kv_sh)
+            vv = lax.with_sharding_constraint(vv, kv_sh)
+            perm = layout_permutation(self.cfg.layout, ring, s)
+            last_idx = int((perm == s - 1).argmax())
+        else:
+            last_idx = s - 1
 
         dt = self.cache_dtype
         kq, ks = quantize_kv(jnp.transpose(kk, (0, 1, 3, 2, 4)), dt)
@@ -102,7 +127,7 @@ class ShardedEngine:
             v_scale=None if vs is None else pad(vs, sc_sh),
             length=jnp.full((b,), s, jnp.int32),
         )
-        return logits[:, -1], cache
+        return logits[:, last_idx], cache
 
     @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=2)
     def _decode_scan(self, params, cache: KVCache, max_new: int,
