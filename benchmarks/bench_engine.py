@@ -60,24 +60,26 @@ def main():
             prefill_s = time.perf_counter() - t0
 
             first = jnp.argmax(logits, -1).astype(jnp.int32)
-            # _decode_scan donates the cache; keep an undonated copy so the
-            # timed run decodes from the *same* post-prefill state as the
-            # compile run (ADVICE r1 #4: timing from the already-advanced
-            # cache measured a longer context and could clamp past s_max)
-            cache_timed = jax.tree.map(jnp.copy, cache)
+            # _decode_scan donates the cache, and the timed run must decode
+            # from the *same* post-prefill state as the compile run (ADVICE
+            # r1 #4). A full jnp.copy of the cache doubles cache HBM and
+            # OOMs b=8 @32K (2 x 9 GB int8) — instead re-run the (already
+            # compiled) prefill to regenerate the identical cache.
             toks, cache2 = eng._decode_scan(
                 params, cache, args.new, first, SamplingParams(),
                 jax.random.PRNGKey(0))
             float(jnp.sum(toks))
+            del cache, cache2
+            _, cache = eng.prefill_chunked(params, prompt, args.chunk)
             t0 = time.perf_counter()
             toks, cache3 = eng._decode_scan(
-                params, cache_timed, args.new, first, SamplingParams(),
+                params, cache, args.new, first, SamplingParams(),
                 jax.random.PRNGKey(0))
             float(jnp.sum(toks))
             dt_tok = (time.perf_counter() - t0) / args.new
             print(f"{b:>5} {dt[:8]:>8} {prefill_s:>10.2f} "
                   f"{dt_tok*1e3:>8.2f} {b/dt_tok:>10.0f}", flush=True)
-            del cache, cache2, cache3, cache_timed
+            del cache, cache3
 
 
 if __name__ == "__main__":

@@ -427,12 +427,19 @@ def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
     x = params["embed"][tokens]
     scale = cfg.head_dim ** -0.5
 
-    def body(x, inp):
-        lp, kc, vc, ksc, vsc = inp
+    hkv, d = cfg.n_kv_heads, cfg.head_dim
+
+    # The stacked cache rides in the scan CARRY (aliased in place by XLA) —
+    # streaming it through scan xs/ys forced XLA to allocate input AND output
+    # copies of the whole cache on top of the donated buffer, OOMing batched
+    # 32K prefill (two 4.5 GB AllocateBuffer temps at b=8/int8). Same
+    # structure as decode_step's body_layered.
+    def body(carry, lp):
+        x, li, kc_all, vc_all, ksc_all, vsc_all = carry
         h = rmsnorm(x, lp["attn_norm"], cfg.norm_eps)
         q = (h @ lp["wq"]).reshape(b, s_c, cfg.n_heads, cfg.head_dim)
-        k = (h @ lp["wk"]).reshape(b, s_c, cfg.n_kv_heads, cfg.head_dim)
-        v = (h @ lp["wv"]).reshape(b, s_c, cfg.n_kv_heads, cfg.head_dim)
+        k = (h @ lp["wk"]).reshape(b, s_c, hkv, d)
+        v = (h @ lp["wv"]).reshape(b, s_c, hkv, d)
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
 
@@ -440,10 +447,18 @@ def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
                                        softmax_scale=scale,
                                        interpret=interpret)
         if start > 0:
+            kcl = lax.dynamic_slice(
+                kc_all, (li, 0, 0, 0, 0), (1, b, hkv, start, d))[0]
+            vcl = lax.dynamic_slice(
+                vc_all, (li, 0, 0, 0, 0), (1, b, hkv, start, d))[0]
+            kscl = vscl = None
+            if ksc_all is not None:
+                kscl = lax.dynamic_slice(
+                    ksc_all, (li, 0, 0, 0), (1, b, hkv, start))[0]
+                vscl = lax.dynamic_slice(
+                    vsc_all, (li, 0, 0, 0), (1, b, hkv, start))[0]
             c_out, c_lse = flash_attention_fwd_cache(
-                q, kc[:, :, :start], vc[:, :, :start],
-                k_scale=None if ksc is None else ksc[:, :, :start],
-                v_scale=None if vsc is None else vsc[:, :, :start],
+                q, kcl, vcl, k_scale=kscl, v_scale=vscl,
                 softmax_scale=scale, interpret=interpret,
             )
             acc, acc_lse = merge_attn_blocks(
@@ -451,23 +466,27 @@ def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
             out = acc.astype(x.dtype)
 
         # write the chunk's KV into the cache at [start, start+s_c)
-        dt_name = ("bfloat16" if ksc is None
-                   else jnp.dtype(kc.dtype).name)
+        dt_name = ("bfloat16" if ksc_all is None
+                   else jnp.dtype(kc_all.dtype).name)
         kq, ks1 = quantize_kv(jnp.transpose(k, (0, 2, 1, 3)), dt_name)
         vq, vs1 = quantize_kv(jnp.transpose(v, (0, 2, 1, 3)), dt_name)
-        kc = lax.dynamic_update_slice(kc, kq, (0, 0, start, 0))
-        vc = lax.dynamic_update_slice(vc, vq, (0, 0, start, 0))
-        if ksc is not None:
-            ksc = lax.dynamic_update_slice(ksc, ks1, (0, 0, start))
-            vsc = lax.dynamic_update_slice(vsc, vs1, (0, 0, start))
+        kc_all = lax.dynamic_update_slice(kc_all, kq[None],
+                                          (li, 0, 0, start, 0))
+        vc_all = lax.dynamic_update_slice(vc_all, vq[None],
+                                          (li, 0, 0, start, 0))
+        if ksc_all is not None:
+            ksc_all = lax.dynamic_update_slice(ksc_all, ks1[None],
+                                               (li, 0, 0, start))
+            vsc_all = lax.dynamic_update_slice(vsc_all, vs1[None],
+                                               (li, 0, 0, start))
 
         x = x + (out.reshape(b, s_c, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
         hh = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
         x = x + _ffn(cfg, lp, hh).astype(x.dtype)
-        return x, (kc, vc, ksc, vsc)
+        return (x, li + 1, kc_all, vc_all, ksc_all, vsc_all), None
 
-    xs = (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
-    x, (kc, vc, ksc, vsc) = lax.scan(body, x, xs)
+    carry0 = (x, jnp.int32(0), cache.k, cache.v, cache.k_scale, cache.v_scale)
+    (x, _, kc, vc, ksc, vsc), _ = lax.scan(body, carry0, params["layers"])
     cache = _dc.replace(cache, k=kc, v=vc, k_scale=ksc, v_scale=vsc,
                         length=jnp.full_like(cache.length, start + s_c))
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
@@ -520,36 +539,33 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
         kq, ks1 = quantize_kv(jnp.transpose(k, (0, 2, 1, 3)), dt)  # (b,h,1,d)
         vq, vs1 = quantize_kv(jnp.transpose(v, (0, 2, 1, 3)), dt)
 
+        # Fused append+attention: the new token's KV is spliced into the
+        # cache INSIDE the kernel (input_output_aliases), the token attends
+        # to itself from VMEM, and the cache prefix is read with lengths =
+        # pos. A dynamic_update_slice-then-read structure here made XLA
+        # double-buffer the whole carried cache (2 extra full-cache copies
+        # per token: 985 ms/tok instead of ~50 at b=8 @32K).
         if shard_axes is not None:
-            kc_all = sharded_append(kc_all, kq, pos, axis_name=shard_axes,
-                                    layer=li)
-            vc_all = sharded_append(vc_all, vq, pos, axis_name=shard_axes,
-                                    layer=li)
-            if ksc_all is not None:
-                ksc_all = sharded_append_scale(
-                    ksc_all, ks1, pos, axis_name=shard_axes, layer=li)
-                vsc_all = sharded_append_scale(
-                    vsc_all, vs1, pos, axis_name=shard_axes, layer=li)
-            attn = sharded_decode_attention(
-                q[:, 0], kc_all, vc_all, pos + 1, ksc_all, vsc_all,
+            attn, (kc_all, vc_all, *sc) = sharded_decode_attention(
+                q[:, 0], kc_all, vc_all, pos, ksc_all, vsc_all,
                 axis_name=shard_axes, softmax_scale=scale,
                 interpret=interpret, layer=li,
+                append_kv=(kq, vq),
+                append_scales=None if ksc_all is None else (ks1, vs1),
+                global_pos=pos,
             )
+            if sc:
+                ksc_all, vsc_all = sc
         else:
-            for bi in range(b):  # write only the new token's row, in place
-                kc_all = jax.lax.dynamic_update_slice(
-                    kc_all, kq[bi][None, None], (li, bi, 0, pos[bi], 0))
-                vc_all = jax.lax.dynamic_update_slice(
-                    vc_all, vq[bi][None, None], (li, bi, 0, pos[bi], 0))
-                if ksc_all is not None:
-                    ksc_all = jax.lax.dynamic_update_slice(
-                        ksc_all, ks1[bi][None, None], (li, bi, 0, pos[bi]))
-                    vsc_all = jax.lax.dynamic_update_slice(
-                        vsc_all, vs1[bi][None, None], (li, bi, 0, pos[bi]))
-            attn = decode_attention(
-                q[:, 0], kc_all, vc_all, pos + 1, ksc_all, vsc_all,
+            attn, (kc_all, vc_all, *sc) = decode_attention(
+                q[:, 0], kc_all, vc_all, pos, ksc_all, vsc_all,
                 softmax_scale=scale, interpret=interpret, layer=li,
+                append_kv=(kq, vq),
+                append_scales=None if ksc_all is None else (ks1, vs1),
+                append_pos=pos,
             )  # (b, h, d)
+            if sc:
+                ksc_all, vsc_all = sc
 
         x = x + (attn.reshape(b, 1, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
         hh = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)

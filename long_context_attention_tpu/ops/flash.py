@@ -288,7 +288,7 @@ def _flash_fwd_tri_bhsd(q, k, v, cfg: FlashConfig):
         return (ib, ih // g, ik_t[idx], 0)
 
     def lsei(ib, ih, idx, iq_t, ik_t):
-        return (ib * h + ih, 0, iq_t[idx])
+        return (ib * h + ih, iq_t[idx], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -300,7 +300,7 @@ def _flash_fwd_tri_bhsd(q, k, v, cfg: FlashConfig):
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bq, d), qi),
-            pl.BlockSpec((1, 1, bq), lsei),
+            pl.BlockSpec((1, 1, 1, bq), lsei),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -313,7 +313,11 @@ def _flash_fwd_tri_bhsd(q, k, v, cfg: FlashConfig):
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, 1, s), jnp.float32),
+            # LSE rides as (rows, q_blocks, 1, bq): the trailing (1, bq)
+            # satisfies Mosaic's last-two-dims rule for EVERY bq (a flat
+            # (rows, 1, s) layout is illegal whenever bq < 128 and bq != s —
+            # the tiny-shape zigzag failure)
+            jax.ShapeDtypeStruct((b * h, s // bq, 1, bq), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -445,11 +449,12 @@ def _flash_fwd_static_bhsd(q, k, v, cfg: FlashConfig):
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, 1, bq), lambda ib, ih, iq, ik: (ib * h + ih, 0, iq)),
+            pl.BlockSpec((1, 1, 1, bq),
+                         lambda ib, ih, iq, ik: (ib * h + ih, iq, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, s_q, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, 1, s_q), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, s_q // bq, 1, bq), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -478,10 +483,10 @@ def _seg_mask(qseg_ref, kseg_ref):
     """(bq, bkv) True-=-drop mask from segment-id tiles.
 
     qseg rides as a (1, bq, 1) block (sublane-oriented) and kseg as a
-    (1, 1, bkv) block (lane-oriented) of the same (b, s) array, so the
+    (1, 1, 1, bkv) block (lane-oriented) of the same (b, s) ids, so the
     broadcasted compare needs no in-kernel transpose/relayout.
     """
-    return qseg_ref[0, :, :] != kseg_ref[0, :, :]
+    return qseg_ref[...].reshape(-1, 1) != kseg_ref[...].reshape(1, -1)
 
 
 def _alibi_bias(cfg: FlashConfig, sl_ref, q_first, kv_first, bq, bkv):
@@ -579,7 +584,8 @@ def _fwd_kernel(
         if cfg.kv_quantized:
             k = k.astype(jnp.bfloat16)
             v = v.astype(jnp.bfloat16)
-        ks_row = ksc_ref[0, :, :] if ksc_ref is not None else None  # (1, bkv)
+        ks_row = (ksc_ref[...].reshape(1, -1)
+                  if ksc_ref is not None else None)  # (1, bkv)
         s, _ = _scores(cfg, q, k, ks_row)
         if cfg.alibi:
             s = s + _alibi_bias(cfg, sl_ref, q_first, kv_first, bq, bkv)
@@ -605,7 +611,7 @@ def _fwd_kernel(
                                  q_first, kv_first, bq, bkv)
             p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - cfg.dropout_p))
         if vsc_ref is not None:
-            p = p * vsc_ref[0, :, :]  # V dequant scale, after the row-sum
+            p = p * vsc_ref[...].reshape(1, -1)  # V dequant, after row-sum
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
@@ -710,23 +716,27 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
     inputs = [q, k, v]
     if cfg.segmented:
         # Same (b, s) ids in two orientations: sublane (bq, 1) for the q side
-        # and lane (1, bkv) for the kv side — see _seg_mask.
+        # and lane (1, bkv) for the kv side — see _seg_mask. The kv side
+        # rides 4-d (b, kv_blocks, 1, bkv) so its (1, bkv) tile is Mosaic-
+        # legal for every bkv (cf. the LSE layout note above).
         in_specs += [
             pl.BlockSpec((1, bq, 1), lambda ib, ih, iq, ik, *_: (ib, iq, 0)),
-            pl.BlockSpec((1, 1, bkv), lambda ib, ih, iq, ik, *_: (ib, 0, ik)),
+            pl.BlockSpec((1, 1, 1, bkv),
+                         lambda ib, ih, iq, ik, *_: (ib, ik, 0, 0)),
         ]
-        inputs += [q_seg.reshape(b, s_q, 1), kv_seg.reshape(b, 1, s_kv)]
+        inputs += [q_seg.reshape(b, s_q, 1),
+                   kv_seg.reshape(b, s_kv // bkv, 1, bkv)]
     if cfg.kv_quantized:
-        # scales as (b*h_kv, 1, s_kv): lane-oriented (1, bkv) tiles, same
-        # (clamped) kv tile index as k/v
+        # scales as (b*h_kv, kv_blocks, 1, bkv): lane-oriented (1, bkv)
+        # tiles, same (clamped) kv tile index as k/v
         def sc_map(ib, ih, iq, ik, *pref):
             ibb, ihk, ikc, _ = kv_index_map(ib, ih, iq, ik, *pref)
-            return (ibb * h_kv + ihk, 0, ikc)
+            return (ibb * h_kv + ihk, ikc, 0, 0)
 
-        in_specs += [pl.BlockSpec((1, 1, bkv), sc_map),
-                     pl.BlockSpec((1, 1, bkv), sc_map)]
-        inputs += [k_scale.reshape(b * h_kv, 1, s_kv),
-                   v_scale.reshape(b * h_kv, 1, s_kv)]
+        in_specs += [pl.BlockSpec((1, 1, 1, bkv), sc_map),
+                     pl.BlockSpec((1, 1, 1, bkv), sc_map)]
+        inputs += [k_scale.reshape(b * h_kv, s_kv // bkv, 1, bkv),
+                   v_scale.reshape(b * h_kv, s_kv // bkv, 1, bkv)]
     if cfg.alibi:
         # per-head slope as a (1,1,1) block (last dims equal array dims, so
         # Mosaic's (8,128) tiling rule is satisfied without padding)
@@ -746,7 +756,8 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, 1, bq), lambda ib, ih, iq, ik, *_: (ib * h + ih, 0, iq)),
+            pl.BlockSpec((1, 1, 1, bq),
+                         lambda ib, ih, iq, ik, *_: (ib * h + ih, iq, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -760,7 +771,7 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, h, s_q, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, 1, s_q), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, s_q // bq, 1, bq), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -1132,7 +1143,7 @@ def _flash_bwd_fused_static(q, k, v, dout, lse_r, delta, cfg: FlashConfig):
         return (ib, ihk * g + ig, _iqc(iq, ik), 0)
 
     def _row_im(ib, ihk, ik, ig, iq):
-        return (ib * h + ihk * g + ig, 0, _iqc(iq, ik))
+        return (ib * h + ihk * g + ig, _iqc(iq, ik), 0, 0)
 
     def kv_im(ib, ihk, ik, ig, iq):
         return (ib, ihk, ik, 0)
@@ -1142,8 +1153,8 @@ def _flash_bwd_fused_static(q, k, v, dout, lse_r, delta, cfg: FlashConfig):
         pl.BlockSpec((1, 1, bkv, d), kv_im),     # k
         pl.BlockSpec((1, 1, bkv, d), kv_im),     # v
         pl.BlockSpec((1, 1, bq, d), _q_im),      # dout
-        pl.BlockSpec((1, 1, bq), _row_im),       # lse
-        pl.BlockSpec((1, 1, bq), _row_im),       # delta
+        pl.BlockSpec((1, 1, 1, bq), _row_im),    # lse
+        pl.BlockSpec((1, 1, 1, bq), _row_im),    # delta
         pl.BlockSpec((1, 1, bq, d), _q_im),      # dq running sum (aliased in)
     ]
     out_specs = [
@@ -1196,9 +1207,11 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
     chunk_kv = s_kv // cfg.n_kv_chunks
 
     # delta = rowsum(dout * out), fp32 — tiny elementwise pass, XLA fuses it.
+    # Both rows ride 4-d (rows, q_blocks, 1, bq) — Mosaic-legal per-bq tiles
+    # (see the LSE layout note in _flash_fwd_tri_bhsd).
     delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    delta = delta.reshape(b * h, 1, s_q)
-    lse_r = lse.reshape(b * h, 1, s_q)
+    delta = delta.reshape(b * h, s_q // bq, 1, bq)
+    lse_r = lse.reshape(b * h, s_q // bq, 1, bq)
 
     # Static (no-scalar-prefetch) path for plain self-attention, like the
     # forward fast path: positions come straight from grid ids.
@@ -1237,16 +1250,20 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
         pl.BlockSpec((1, 1, bkv, d), kv_index_map),
         pl.BlockSpec((1, 1, bkv, d), kv_index_map),
         pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
-        pl.BlockSpec((1, 1, bq), lambda ib, ih, iq, ik, *_: (ib * h + ih, 0, iq)),
-        pl.BlockSpec((1, 1, bq), lambda ib, ih, iq, ik, *_: (ib * h + ih, 0, iq)),
+        pl.BlockSpec((1, 1, 1, bq),
+                     lambda ib, ih, iq, ik, *_: (ib * h + ih, iq, 0, 0)),
+        pl.BlockSpec((1, 1, 1, bq),
+                     lambda ib, ih, iq, ik, *_: (ib * h + ih, iq, 0, 0)),
     ]
     dq_inputs = [q, k, v, dout, lse_r, delta]
     if cfg.segmented:
         dq_in_specs += [
             pl.BlockSpec((1, bq, 1), lambda ib, ih, iq, ik, *_: (ib, iq, 0)),
-            pl.BlockSpec((1, 1, bkv), lambda ib, ih, iq, ik, *_: (ib, 0, ik)),
+            pl.BlockSpec((1, 1, 1, bkv),
+                         lambda ib, ih, iq, ik, *_: (ib, ik, 0, 0)),
         ]
-        dq_inputs += [q_seg.reshape(b, s_q, 1), kv_seg.reshape(b, 1, s_kv)]
+        dq_inputs += [q_seg.reshape(b, s_q, 1),
+                      kv_seg.reshape(b, s_kv // bkv, 1, bkv)]
     if cfg.alibi:
         dq_in_specs += [pl.BlockSpec((1, 1, 1),
                                      lambda ib, ih, iq, ik, *_: (ih, 0, 0))]
@@ -1330,31 +1347,33 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
             return (ib, ihk * g + ig, _q_clamped_static(iq, ik), 0)
 
         def _row_im(ib, ihk, ik, ig, iq, *_):
-            return (ib * (h_kv * g) + ihk * g + ig, 0,
-                    _q_clamped_static(iq, ik))
+            return (ib * (h_kv * g) + ihk * g + ig,
+                    _q_clamped_static(iq, ik), 0, 0)
     else:
         def _q_im(ib, ihk, ik, ig, iq, q_off=None, kv_off=None, *_rest):
             return (ib, ihk * g + ig, _q_clamped(iq, ik, q_off, kv_off), 0)
 
         def _row_im(ib, ihk, ik, ig, iq, q_off=None, kv_off=None, *_rest):
-            return (ib * (h_kv * g) + ihk * g + ig, 0,
-                    _q_clamped(iq, ik, q_off, kv_off))
+            return (ib * (h_kv * g) + ihk * g + ig,
+                    _q_clamped(iq, ik, q_off, kv_off), 0, 0)
 
     dkv_in_specs = [
         pl.BlockSpec((1, 1, bq, d), _q_im),
         pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
         pl.BlockSpec((1, 1, bkv, d), lambda ib, ihk, ik, ig, iq, *_: (ib, ihk, ik, 0)),
         pl.BlockSpec((1, 1, bq, d), _q_im),
-        pl.BlockSpec((1, 1, bq), _row_im),
-        pl.BlockSpec((1, 1, bq), _row_im),
+        pl.BlockSpec((1, 1, 1, bq), _row_im),
+        pl.BlockSpec((1, 1, 1, bq), _row_im),
     ]
     dkv_inputs = [q, k, v, dout, lse_r, delta]
     if cfg.segmented:
         dkv_in_specs += [
             pl.BlockSpec((1, bq, 1), lambda ib, ihk, ik, ig, iq, *_: (ib, iq, 0)),
-            pl.BlockSpec((1, 1, bkv), lambda ib, ihk, ik, ig, iq, *_: (ib, 0, ik)),
+            pl.BlockSpec((1, 1, 1, bkv),
+                         lambda ib, ihk, ik, ig, iq, *_: (ib, ik, 0, 0)),
         ]
-        dkv_inputs += [q_seg.reshape(b, s_q, 1), kv_seg.reshape(b, 1, s_kv)]
+        dkv_inputs += [q_seg.reshape(b, s_q, 1),
+                       kv_seg.reshape(b, s_kv // bkv, 1, bkv)]
     if cfg.alibi:
         dkv_in_specs += [pl.BlockSpec(
             (1, 1, 1), lambda ib, ihk, ik, ig, iq, *_: (ihk * g + ig, 0, 0))]

@@ -43,11 +43,21 @@ def sharded_decode_attention(
     block_kv: int = 1024,
     interpret: Optional[bool] = None,
     layer: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
+    append_kv=None,          # (k_new, v_new) (b, h_kv, 1, d) cache dtype
+    append_scales=None,      # (ks_new, vs_new) (b, h_kv, 1) fp32
+    global_pos: Optional[jnp.ndarray] = None,  # (b,) global slot of new tok
+):
     """Decode attention over a ring-sharded cache. Returns (b, h, d) bf16.
 
     Rank r's filled prefix is ``clip(L - r*slots, 0, slots)``; empty shards
     contribute lse=-inf partials that merge to a no-op.
+
+    With ``append_kv``/``global_pos``, the new token's KV is spliced into
+    the owner rank's shard inside the kernel (in-place via aliasing; rows
+    route with ``append_pos=-1`` on non-owners, which also skip the
+    self-attention term so the token is counted exactly once across ranks).
+    ``global_lengths`` is then the PREFIX length. Returns
+    ``(out, (k_shard', v_shard'[, scales']))``.
     """
     axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
     r = lax.axis_index(axes)
@@ -56,11 +66,23 @@ def sharded_decode_attention(
         n *= lax.axis_size(a)
     slots = k_shard.shape[3 if layer is not None else 2]
     local_len = jnp.clip(global_lengths - r * slots, 0, slots)
-    out, lse = decode_attention(
-        q, k_shard, v_shard, local_len, k_scale, v_scale,
-        softmax_scale=softmax_scale, block_kv=block_kv, interpret=interpret,
-        return_lse=True, layer=layer,
-    )  # (b, h, d), (b, h)
+    caches = None
+    if append_kv is not None:
+        local_pos, owner = _owner_slots(global_pos, slots, axes)
+        append_pos = jnp.where(owner, local_pos, -1).astype(jnp.int32)
+        out, lse, caches = decode_attention(
+            q, k_shard, v_shard, local_len, k_scale, v_scale,
+            softmax_scale=softmax_scale, block_kv=block_kv,
+            interpret=interpret, return_lse=True, layer=layer,
+            append_kv=append_kv, append_scales=append_scales,
+            append_pos=append_pos,
+        )
+    else:
+        out, lse = decode_attention(
+            q, k_shard, v_shard, local_len, k_scale, v_scale,
+            softmax_scale=softmax_scale, block_kv=block_kv,
+            interpret=interpret, return_lse=True, layer=layer,
+        )  # (b, h, d), (b, h)
 
     outs = lax.all_gather(out.astype(jnp.float32), axes)  # (n, b, h, d)
     lses = lax.all_gather(lse, axes)                      # (n, b, h)
@@ -77,7 +99,8 @@ def sharded_decode_attention(
     merged = jnp.sum(outs * w[..., None], axis=0) / jnp.maximum(
         denom, 1e-37)[..., None]
     merged = jnp.where(dead[..., None], 0.0, merged)
-    return merged.astype(jnp.bfloat16)
+    merged = merged.astype(jnp.bfloat16)
+    return merged if caches is None else (merged, caches)
 
 
 def _owner_slots(global_pos, slots, axes):
