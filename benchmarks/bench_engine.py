@@ -71,6 +71,10 @@ def main():
             float(jnp.sum(toks))
             del cache, cache2
             _, cache = eng.prefill_chunked(params, prompt, args.chunk)
+            # fence the regenerated prefill before timing (the tunnel does
+            # not reliably fence on block_until_ready; reduce-transfer does)
+            float(jnp.sum(cache.length))
+            jax.block_until_ready(cache.k)
             t0 = time.perf_counter()
             toks, cache3 = eng._decode_scan(
                 params, cache, args.new, first, SamplingParams(),

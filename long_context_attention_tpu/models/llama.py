@@ -497,7 +497,8 @@ def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
 
 
 def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
-                *, interpret: Optional[bool] = None, shard_axes=None):
+                *, interpret: Optional[bool] = None, shard_axes=None,
+                active: Optional[jnp.ndarray] = None):
     """One single-token decode step against a KVCache (serving hot path).
 
     tokens (b,) int32 -> (logits (b, vocab) fp32, updated cache). The new
@@ -507,20 +508,32 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
     ``shard_axes``: mesh axis name(s) when running inside shard_map with the
     cache's slot axis sharded over them (serving/sharded.py): the append
     routes to the owner rank and attention merges cross-shard partials.
+
+    ``active``: optional (b,) bool — continuous batching. Inactive rows
+    (free request slots) write nothing into the cache and do not advance
+    ``length``; their logits are garbage the caller ignores.
     """
     import dataclasses as _dc
 
-    from long_context_attention_tpu.ops.decode import decode_attention
+    from long_context_attention_tpu.ops.decode import (
+        cache_append,
+        decode_attention,
+    )
     from long_context_attention_tpu.ops.kv_cache import quantize_kv
     from long_context_attention_tpu.serving.sharded import (
-        sharded_append,
-        sharded_append_scale,
+        sharded_cache_append,
         sharded_decode_attention,
     )
 
     b = tokens.shape[0]
     x = params["embed"][tokens][:, None]  # (b, 1, dim)
     pos = cache.length  # (b,) per-row positions of the new token
+    live = (jnp.ones((b,), jnp.int32) if active is None
+            else jnp.asarray(active).astype(jnp.int32))
+    # inactive rows: append_pos=-1 (cache_append writes nothing) and the
+    # attended length stays at the prefix (no phantom token)
+    append_pos = jnp.where(live > 0, pos, -1).astype(jnp.int32)
+    att_len = pos + live
     scale = cfg.head_dim ** -0.5
 
     # The stacked cache rides in the scan CARRY (aliased in place by XLA) and
@@ -539,33 +552,37 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
         kq, ks1 = quantize_kv(jnp.transpose(k, (0, 2, 1, 3)), dt)  # (b,h,1,d)
         vq, vs1 = quantize_kv(jnp.transpose(v, (0, 2, 1, 3)), dt)
 
-        # Fused append+attention: the new token's KV is spliced into the
-        # cache INSIDE the kernel (input_output_aliases), the token attends
-        # to itself from VMEM, and the cache prefix is read with lengths =
-        # pos. A dynamic_update_slice-then-read structure here made XLA
-        # double-buffer the whole carried cache (2 extra full-cache copies
-        # per token: 985 ms/tok instead of ~50 at b=8 @32K).
+        # Append-then-attend, both kernels aliasing the carried cache in
+        # place. The append is a micro-tile pallas kernel with
+        # input_output_aliases (ops/decode.py:cache_append) — a
+        # dynamic_update_slice here made XLA double-buffer the whole carried
+        # cache (2 extra full-cache copies per token: 985 ms/tok instead of
+        # ~50 at b=8 @32K), and fusing the splice into the attention kernel
+        # doubled its HBM write traffic (249 -> 120 GB/s at b=8).
         if shard_axes is not None:
-            attn, (kc_all, vc_all, *sc) = sharded_decode_attention(
-                q[:, 0], kc_all, vc_all, pos, ksc_all, vsc_all,
+            res = sharded_cache_append(
+                kc_all, vc_all, kq, vq, append_pos, ksc_all, vsc_all,
+                ks1, vs1, axis_name=shard_axes, layer=li,
+                interpret=interpret)
+            kc_all, vc_all = res[0], res[1]
+            if len(res) > 2:
+                ksc_all, vsc_all = res[2], res[3]
+            attn = sharded_decode_attention(
+                q[:, 0], kc_all, vc_all, att_len, ksc_all, vsc_all,
                 axis_name=shard_axes, softmax_scale=scale,
                 interpret=interpret, layer=li,
-                append_kv=(kq, vq),
-                append_scales=None if ksc_all is None else (ks1, vs1),
-                global_pos=pos,
             )
-            if sc:
-                ksc_all, vsc_all = sc
         else:
-            attn, (kc_all, vc_all, *sc) = decode_attention(
-                q[:, 0], kc_all, vc_all, pos, ksc_all, vsc_all,
+            res = cache_append(
+                kc_all, vc_all, kq, vq, append_pos, ksc_all, vsc_all,
+                ks1, vs1, layer=li, interpret=interpret)
+            kc_all, vc_all = res[0], res[1]
+            if len(res) > 2:
+                ksc_all, vsc_all = res[2], res[3]
+            attn = decode_attention(
+                q[:, 0], kc_all, vc_all, att_len, ksc_all, vsc_all,
                 softmax_scale=scale, interpret=interpret, layer=li,
-                append_kv=(kq, vq),
-                append_scales=None if ksc_all is None else (ks1, vs1),
-                append_pos=pos,
             )  # (b, h, d)
-            if sc:
-                ksc_all, vsc_all = sc
 
         x = x + (attn.reshape(b, 1, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
         hh = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
@@ -576,7 +593,7 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
     (x, _, kc, vc, ksc, vsc), _ = lax.scan(body_layered, carry0,
                                            params["layers"])
     cache = _dc.replace(cache, k=kc, v=vc, k_scale=ksc, v_scale=vsc,
-                        length=cache.length + 1)
+                        length=cache.length + live)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
     return logits, cache

@@ -5,12 +5,18 @@ time attention layer only; serving here means USP prefill of long prompts,
 per-layer KVCache (INT8/FP8) and a jit-compiled greedy decode loop.
 """
 
+from long_context_attention_tpu.serving.continuous import (
+    ContinuousEngine,
+    Request,
+    RequestResult,
+)
 from long_context_attention_tpu.serving.engine import Engine, GenerationResult
 from long_context_attention_tpu.serving.sharded import (
-    sharded_append,
+    sharded_cache_append,
     sharded_decode_attention,
 )
 from long_context_attention_tpu.serving.sharded_engine import ShardedEngine
 
-__all__ = ["Engine", "GenerationResult", "ShardedEngine",
-           "sharded_append", "sharded_decode_attention"]
+__all__ = ["ContinuousEngine", "Engine", "GenerationResult", "Request",
+           "RequestResult", "ShardedEngine", "sharded_cache_append",
+           "sharded_decode_attention"]

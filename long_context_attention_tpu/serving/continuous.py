@@ -1,0 +1,223 @@
+"""Continuous batching: request-level scheduling over a shared decode batch.
+
+The reference stops at a training-time attention layer; SURVEY.md §7 step 7
+("prefill/decode with continuous batching") is the serving north star this
+module completes. The engine keeps a fixed decode batch of ``max_batch``
+rows. Every model step decodes ALL rows in one jitted `decode_step`; rows
+whose request finished are freed immediately and the next queued request is
+admitted into the free row without stopping the others — the property that
+makes serving throughput batch-shaped instead of request-shaped (Orca-style
+iteration-level scheduling, re-expressed for a static-shape XLA program):
+
+* the jitted step is shape-static (`b = max_batch` always); scheduling state
+  lives in per-row ``length``/``active`` vectors, not in shapes;
+* per-row cache isolation is free: `ops/decode.py` attention is gated by
+  per-row ``lengths``, and `cache_append` skips rows with ``append_pos=-1``
+  (the in-place aliased splice kernel), so a fresh request simply resets its
+  row's length;
+* admission = one bucketed single-row prefill (padded to the bucket so each
+  bucket compiles once) + one donated in-place row insert.
+
+The decode loop syncs one (max_batch,) token vector to the host per step —
+needed for EOS detection and admission. On the axon tunnel that round trip
+dominates microbenchmarks; on a local chip it is ~10 us. A production server
+would overlap host scheduling with the next device step; kept sequential
+here for determinism.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import deque
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from long_context_attention_tpu.models.llama import (
+    ModelConfig,
+    decode_step,
+    forward_local,
+)
+from long_context_attention_tpu.ops.kv_cache import KVCache, quantize_kv
+from long_context_attention_tpu.parallel.mesh import make_usp_mesh
+from long_context_attention_tpu.serving.engine import (
+    SamplingParams,
+    sample_token,
+)
+
+__all__ = ["Request", "RequestResult", "ContinuousEngine"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Request:
+    """One generation request. ``tokens``: 1-d int32 prompt."""
+
+    id: int
+    tokens: Sequence[int]
+    max_new: int
+
+
+@dataclasses.dataclass
+class RequestResult:
+    id: int
+    tokens: List[int]          # generated ids (stops at eos, inclusive)
+    prompt_len: int
+
+
+def _bucket(n: int, quantum: int = 64) -> int:
+    """Pad prompts to power-of-two-ish buckets so prefill compiles O(log)
+    distinct shapes, not one per prompt length."""
+    b = quantum
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclasses.dataclass(frozen=True)
+class ContinuousEngine:
+    """Iteration-level scheduler over a fixed ``max_batch`` decode batch."""
+
+    cfg: ModelConfig
+    s_max: int
+    max_batch: int = 8
+    cache_dtype: str = "bfloat16"
+    interpret: Optional[bool] = None
+
+    def init_cache(self) -> KVCache:
+        return KVCache.init(self.cfg.n_layers, self.max_batch, self.s_max,
+                            self.cfg.n_kv_heads, self.cfg.head_dim,
+                            self.cache_dtype)
+
+    # --- jitted pieces -----------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _prefill_one(self, params, tokens: jnp.ndarray):
+        """(1, bucket) padded prompt -> (logits (1, bucket, vocab) fp32,
+        (kv_k, kv_v) (L, 1, bucket, h_kv, d)). Padding rides along; the
+        caller reads the true last token's logits and the row insert stores
+        only slots the row's ``length`` exposes."""
+        mesh = make_usp_mesh(1, 1, 1, devices=jax.devices()[:1])
+
+        def fwd(params, tokens):
+            return forward_local(params, tokens, self.cfg,
+                                 ulysses_axis="ulysses", ring_axis="ring",
+                                 interpret=self.interpret, return_kv=True)
+
+        return jax.shard_map(
+            fwd, mesh=mesh,
+            in_specs=(jax.sharding.PartitionSpec(),) * 2,
+            out_specs=jax.sharding.PartitionSpec(),
+            check_vma=False,
+        )(params, tokens)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _insert_row(self, cache: KVCache, kv_k, kv_v, row: jnp.ndarray,
+                    true_len: jnp.ndarray) -> KVCache:
+        """Quantize a prefilled row's KV and splice it into the shared cache
+        at batch row ``row`` (donated: in place). kv_k/kv_v (L, 1, s, h, d)
+        -> cache layout (L, b, h, s_max, d) slots [0, s)."""
+        kb = jnp.transpose(kv_k, (0, 1, 3, 2, 4))  # (L, 1, h, s, d)
+        vb = jnp.transpose(kv_v, (0, 1, 3, 2, 4))
+        kq, ks = quantize_kv(kb, self.cache_dtype)
+        vq, vs = quantize_kv(vb, self.cache_dtype)
+        start = (jnp.int32(0), row.astype(jnp.int32), jnp.int32(0),
+                 jnp.int32(0), jnp.int32(0))
+        k = jax.lax.dynamic_update_slice(cache.k, kq, start)
+        v = jax.lax.dynamic_update_slice(cache.v, vq, start)
+        ksc, vsc = cache.k_scale, cache.v_scale
+        if ksc is not None:
+            ksc = jax.lax.dynamic_update_slice(ksc, ks, start[:4])
+            vsc = jax.lax.dynamic_update_slice(vsc, vs, start[:4])
+        length = cache.length.at[row].set(true_len.astype(jnp.int32))
+        return dataclasses.replace(cache, k=k, v=v, k_scale=ksc, v_scale=vsc,
+                                   length=length)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _step(self, params, cache: KVCache, tokens: jnp.ndarray,
+              sampling: SamplingParams, active: jnp.ndarray,
+              key: jax.Array):
+        logits, cache = decode_step(params, cache, tokens, self.cfg,
+                                    interpret=self.interpret, active=active)
+        nxt = sample_token(logits, sampling, key)
+        return nxt, cache
+
+    # --- host-side scheduler ----------------------------------------------
+
+    def serve(self, params, requests: Sequence[Request], *,
+              sampling: SamplingParams = SamplingParams(),
+              eos_id: Optional[int] = None,
+              key: Optional[jax.Array] = None) -> Dict[int, RequestResult]:
+        """Run all requests to completion; returns {request.id: result}.
+
+        Admission happens the moment a row frees up — no barrier between
+        requests, decode keeps stepping for the rows still running.
+        """
+        B = self.max_batch
+        for r in requests:
+            if len(r.tokens) + r.max_new > self.s_max:
+                raise ValueError(
+                    f"request {r.id}: prompt ({len(r.tokens)}) + max_new "
+                    f"({r.max_new}) exceeds cache capacity s_max={self.s_max}")
+        queue = deque(requests)
+        cache = self.init_cache()
+        slot: List[Optional[Request]] = [None] * B
+        emitted: List[List[int]] = [[] for _ in range(B)]
+        cur = np.zeros((B,), np.int32)
+        results: Dict[int, RequestResult] = {}
+        key = jax.random.PRNGKey(0) if key is None else key
+
+        def admit():
+            nonlocal cache
+            for bi in range(B):
+                if slot[bi] is not None or not queue:
+                    continue
+                req = queue.popleft()
+                n = len(req.tokens)
+                pad = _bucket(n)
+                toks = np.zeros((1, pad), np.int32)
+                toks[0, :n] = np.asarray(req.tokens, np.int32)
+                logits, (kv_k, kv_v) = self._prefill_one(
+                    params, jnp.asarray(toks))
+                cache = self._insert_row(cache, kv_k, kv_v,
+                                         jnp.int32(bi), jnp.int32(n))
+                skey = jax.random.fold_in(key, req.id)
+                first = sample_token(logits[:, n - 1], sampling, skey)
+                slot[bi] = req
+                emitted[bi] = [int(first[0])]
+                cur[bi] = int(first[0])
+                self._maybe_finish(bi, slot, emitted, results, eos_id)
+
+        def live_mask():
+            return jnp.asarray([s is not None for s in slot], jnp.bool_)
+
+        while queue or any(s is not None for s in slot):
+            admit()
+            if not any(s is not None for s in slot):
+                continue  # everything admitted finished at its first token
+            key, skey = jax.random.split(key)
+            nxt, cache = self._step(params, cache, jnp.asarray(cur),
+                                    sampling, live_mask(), skey)
+            nxt = np.asarray(nxt)
+            for bi in range(B):
+                if slot[bi] is None:
+                    continue
+                emitted[bi].append(int(nxt[bi]))
+                cur[bi] = int(nxt[bi])
+                self._maybe_finish(bi, slot, emitted, results, eos_id)
+        return results
+
+    @staticmethod
+    def _maybe_finish(bi, slot, emitted, results, eos_id):
+        req = slot[bi]
+        if req is None:
+            return
+        done = (len(emitted[bi]) >= req.max_new
+                or (eos_id is not None and emitted[bi][-1] == eos_id))
+        if done:
+            results[req.id] = RequestResult(
+                id=req.id, tokens=list(emitted[bi]),
+                prompt_len=len(req.tokens))
+            slot[bi] = None

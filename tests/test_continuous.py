@@ -1,0 +1,76 @@
+"""Continuous batching: every request must produce exactly the tokens the
+dedicated single-request engine produces (iteration-level scheduling must be
+invisible to the math), across admission order, queueing, and EOS exits."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from long_context_attention_tpu.models.llama import ModelConfig, init_params
+from long_context_attention_tpu.serving import ContinuousEngine, Engine, Request
+
+CFG = ModelConfig(vocab=96, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                  head_dim=32, ffn_hidden=128, layout="basic")
+S_MAX = 256
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), CFG)
+
+
+def _prompt(seed, n):
+    return list(np.asarray(
+        jax.random.randint(jax.random.PRNGKey(seed), (n,), 0, CFG.vocab)))
+
+
+def _expected(params, prompt, max_new):
+    eng = Engine(CFG, s_max=S_MAX)
+    res = eng.generate(params, jnp.asarray([prompt], jnp.int32), max_new)
+    return list(np.asarray(res.tokens)[0])
+
+
+def test_matches_dedicated_engine_with_queueing(params):
+    """5 requests through 2 rows: queued admissions, different prompt
+    lengths and budgets — greedy outputs equal the b=1 engine's."""
+    reqs = [Request(id=i, tokens=_prompt(i, n), max_new=m)
+            for i, (n, m) in enumerate([(10, 6), (33, 4), (64, 8),
+                                        (17, 3), (50, 5)])]
+    eng = ContinuousEngine(CFG, s_max=S_MAX, max_batch=2)
+    results = eng.serve(params, reqs)
+    assert sorted(results) == [0, 1, 2, 3, 4]
+    for r in reqs:
+        want = _expected(params, r.tokens, r.max_new)
+        got = results[r.id].tokens
+        assert got == want, (r.id, got, want)
+
+
+def test_eos_frees_row_early(params):
+    """A request that hits EOS stops (inclusive) and its row serves the
+    next request; survivors are unaffected."""
+    base = _prompt(7, 21)
+    full = _expected(params, base, 8)
+    eos = full[3]  # force an early exit 4 tokens in
+    reqs = [Request(id=0, tokens=base, max_new=8),
+            Request(id=1, tokens=_prompt(8, 12), max_new=5),
+            Request(id=2, tokens=_prompt(9, 40), max_new=4)]
+    eng = ContinuousEngine(CFG, s_max=S_MAX, max_batch=1)  # pure queueing
+    results = eng.serve(params, reqs, eos_id=eos)
+    assert results[0].tokens == full[:4]
+    # others unaffected unless they also hit the eos token
+    for r in reqs[1:]:
+        want = _expected(params, r.tokens, r.max_new)
+        if eos in want:
+            want = want[:want.index(eos) + 1]
+        assert results[r.id].tokens == want
+
+
+def test_int8_cache_and_capacity_guard(params):
+    eng = ContinuousEngine(CFG, s_max=S_MAX, max_batch=2, cache_dtype="int8")
+    reqs = [Request(id=0, tokens=_prompt(3, 16), max_new=4)]
+    out = eng.serve(params, reqs)
+    assert len(out[0].tokens) == 4
+    with pytest.raises(ValueError, match="capacity"):
+        eng.serve(params, [Request(id=1, tokens=_prompt(4, 200),
+                                   max_new=100)])

@@ -85,7 +85,7 @@ def test_sharded_decode_matches_unsharded(rng):
     from jax.sharding import Mesh, PartitionSpec as P
     from long_context_attention_tpu.ops.decode import decode_attention
     from long_context_attention_tpu.serving.sharded import (
-        sharded_append, sharded_decode_attention)
+        sharded_cache_append, sharded_decode_attention)
 
     B2, H, HKV, D, SMAX, R = 2, 8, 4, 64, 256, 4
     q = jnp.asarray(rng.normal(size=(B2, H, D)), jnp.bfloat16)
@@ -106,20 +106,22 @@ def test_sharded_decode_matches_unsharded(rng):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(want, np.float32), atol=5e-2, rtol=0)
 
-    # sharded append lands on the owner rank
+    # sharded append lands on the owner rank, nowhere else
     val = jnp.asarray(rng.normal(size=(B2, HKV, 1, D)), jnp.bfloat16)
-    app = jax.jit(jax.shard_map(
-        functools.partial(sharded_append, axis_name="ring"),
-        mesh=mesh, in_specs=(spec_kv, P(), P()), out_specs=spec_kv,
-        check_vma=False,
-    ))(k, val, lengths)
-    for i in range(B2):
-        t = int(lengths[i])
-        np.testing.assert_array_equal(np.asarray(app[i, :, t]),
-                                      np.asarray(val[i, :, 0]))
-        mask = np.ones(SMAX, bool); mask[t] = False
-        np.testing.assert_array_equal(np.asarray(app[i][:, mask]),
-                                      np.asarray(k[i][:, mask]))
+    val_v = jnp.asarray(rng.normal(size=(B2, HKV, 1, D)), jnp.bfloat16)
+    appk, appv = jax.jit(jax.shard_map(
+        functools.partial(sharded_cache_append, axis_name="ring"),
+        mesh=mesh, in_specs=(spec_kv, spec_kv, P(), P(), P()),
+        out_specs=(spec_kv, spec_kv), check_vma=False,
+    ))(k, v, val, val_v, lengths)
+    for app, base, new in [(appk, k, val), (appv, v, val_v)]:
+        for i in range(B2):
+            t = int(lengths[i])
+            np.testing.assert_array_equal(np.asarray(app[i, :, t]),
+                                          np.asarray(new[i, :, 0]))
+            mask = np.ones(SMAX, bool); mask[t] = False
+            np.testing.assert_array_equal(np.asarray(app[i][:, mask]),
+                                          np.asarray(base[i][:, mask]))
 
 
 def test_sharded_engine_matches_single_device(setup):
