@@ -58,9 +58,12 @@ def bench_decode(args):
                                              ).astype(jnp.float32))
 
             float(chained(q, kc, vc, ksc, vsc))  # compile
-            t0 = time.perf_counter()
-            float(chained(q, kc, vc, ksc, vsc))
-            dtm = (time.perf_counter() - t0) / args.iters
+            best = float("inf")  # best-of-3: the tunnel adds ~40% jitter
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(chained(q, kc, vc, ksc, vsc))
+                best = min(best, time.perf_counter() - t0)
+            dtm = best / args.iters
             gb = 2 * B * HKV * S * D * bytes_per / 1e9
             print(f"{S:>8} {dt[:6]:>6} {dtm * 1e3:>8.2f} {gb / dtm:>6.0f} "
                   f"{B / dtm:>7.0f}", flush=True)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from long_context_attention_tpu.ops.merge import merge_partials
 from long_context_attention_tpu.utils.config import NEG_INF, default_interpret
 
 __all__ = ["decode_attention", "cache_append"]
@@ -220,8 +221,10 @@ def _decode_kernel(
         return ref[0, 0, 0, :, :] if layered else ref[0, 0, :, :]
 
     ib = pl.program_id(0)
-    ik = pl.program_id(2)
-    nk = pl.num_programs(2)
+    isp = pl.program_id(2)   # kv split (flash-decoding): independent stream
+    ik = pl.program_id(3)    # tile within this split
+    nk = pl.num_programs(3)
+    gt = isp * nk + ik       # global kv tile index
     length = len_ref[ib]
 
     @pl.when(ik == 0)
@@ -230,7 +233,8 @@ def _decode_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(ik * block_kv < length)
+    # the gate also kills the ragged tail when nk * splits over-covers s_max
+    @pl.when(gt * block_kv < length)
     def _compute():
         q = q_ref[0, 0, :, :]  # (g, d)
         k = kv_tile(k_ref).astype(jnp.bfloat16)  # (bkv, d), dequant cast
@@ -239,7 +243,7 @@ def _decode_kernel(
         ) * scale  # (g, bkv)
         if ks_ref is not None:
             s = s * sc_tile(ks_ref)  # (1, bkv) broadcasts over g rows
-        cols = ik * block_kv + jax.lax.broadcasted_iota(
+        cols = gt * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, dimension=1)
         s = jnp.where(cols >= length, NEG_INF, s)
 
@@ -260,6 +264,8 @@ def _decode_kernel(
 
     @pl.when(ik == nk - 1)
     def _emit():
+        # a split whose whole range is masked/past-length emits lse=-inf and
+        # out=0 — a no-op under ops/merge.py:merge_partials
         l = l_scr[:, :1]
         m = m_scr[:, :1]
         dead = l == 0.0
@@ -285,6 +291,7 @@ def decode_attention(
     interpret: Optional[bool] = None,
     return_lse: bool = False,
     layer: Optional[jnp.ndarray] = None,
+    kv_splits: Optional[int] = None,
 ):
     """Single-step decode attention over a (quantized) cache.
 
@@ -296,6 +303,16 @@ def decode_attention(
     this call reads layer ``layer`` via its index maps — no host-side slice
     of the stacked cache (which would copy a whole layer per step in the
     serving decode loop).
+
+    ``kv_splits``: flash-decoding split-KV. The kv range becomes an extra
+    grid axis of independent streams whose fp32 partials merge via
+    `ops/merge.py:merge_partials`. On a single sequential TPU core this
+    does NOT add parallelism — it shortens each pipeline run and pays an
+    extra per-stream ramp, measuring strictly slower at every serving shape
+    tried on v5e (e.g. b=4 @64K: 191 -> 179 GB/s) — so the default is 1.
+    It exists for multi-core parts and as the merge-correctness reference
+    for the sharded decode (identical partial-merge math). Split merges are
+    not bit-identical to the sequential online softmax.
     """
     b, h, d = q.shape
     layered = layer is not None
@@ -315,37 +332,47 @@ def decode_attention(
         f"violates Mosaic's 128-lane tiling — size caches to multiples of "
         f"128 (ideally of {block_kv})")
     nk = s_max // bkv
+    if kv_splits is None:
+        kv_splits = 1  # measured: splits only add per-stream ramp on v5e
+    splits = max(1, min(int(kv_splits), nk))
+    nk_s = -(-nk // splits)  # tiles per split (ragged tail gated off)
     interp = default_interpret() if interpret is None else bool(interpret)
 
     qg = q.reshape(b, h_kv, g, d)
 
-    def _clamped_ik(ibb, ik, lens):
-        # clamp the kv tile index into the filled prefix: tiles past the
-        # length re-map to the last live tile (Mosaic elides their DMA)
+    def _clamped_gt(ibb, isp, ik, lens):
+        # clamp the global kv tile index into the filled prefix: tiles past
+        # the length re-map to the last live tile (Mosaic elides their DMA)
         last = jnp.maximum((lens[ibb] - 1) // bkv, 0)
-        return jnp.minimum(ik, last)
+        return jnp.minimum(isp * nk_s + ik, last)
 
     if layered:
-        def kv_im(ibb, ihk, ik, lens, li):
-            return (li[0], ibb, ihk, _clamped_ik(ibb, ik, lens), 0)
+        def kv_im(ibb, ihk, isp, ik, lens, li):
+            return (li[0], ibb, ihk, _clamped_gt(ibb, isp, ik, lens), 0)
 
-        def sc_im(ibb, ihk, ik, lens, li):
-            return (li[0], ibb, ihk, 0, _clamped_ik(ibb, ik, lens))
+        def sc_im(ibb, ihk, isp, ik, lens, li):
+            return (li[0], ibb, ihk, 0, _clamped_gt(ibb, isp, ik, lens))
 
         kv_block = (1, 1, 1, bkv, d)
         sc_block = (1, 1, 1, 1, bkv)
     else:
-        def kv_im(ibb, ihk, ik, lens):
-            return (ibb, ihk, _clamped_ik(ibb, ik, lens), 0)
+        def kv_im(ibb, ihk, isp, ik, lens):
+            return (ibb, ihk, _clamped_gt(ibb, isp, ik, lens), 0)
 
-        def sc_im(ibb, ihk, ik, lens):
-            return (ibb, ihk, 0, _clamped_ik(ibb, ik, lens))
+        def sc_im(ibb, ihk, isp, ik, lens):
+            return (ibb, ihk, 0, _clamped_gt(ibb, isp, ik, lens))
 
         kv_block = (1, 1, bkv, d)
         sc_block = (1, 1, 1, bkv)
 
+    def qi(ibb, ihk, isp, ik, *_):
+        return (ibb, ihk, 0, 0)
+
+    def oi(ibb, ihk, isp, ik, *_):
+        return (ibb, ihk, isp, 0, 0)
+
     in_specs = [
-        pl.BlockSpec((1, 1, g, d), lambda ibb, ihk, ik, *_: (ibb, ihk, 0, 0)),
+        pl.BlockSpec((1, 1, g, d), qi),
         pl.BlockSpec(kv_block, kv_im),
         pl.BlockSpec(kv_block, kv_im),
     ]
@@ -361,11 +388,11 @@ def decode_attention(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 if layered else 1,
-        grid=(b, h_kv, nk),
+        grid=(b, h_kv, splits, nk_s),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, g, d), lambda ibb, ihk, ik, *_: (ibb, ihk, 0, 0)),
-            pl.BlockSpec((1, 1, 1, g), lambda ibb, ihk, ik, *_: (ibb, ihk, 0, 0)),
+            pl.BlockSpec((1, 1, 1, g, d), oi),
+            pl.BlockSpec((1, 1, 1, 1, g), oi),
         ],
         scratch_shapes=[
             pltpu.VMEM((g, 128), jnp.float32),
@@ -381,14 +408,23 @@ def decode_attention(
                           quantized=quantized, g=g, layered=layered),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, h_kv, g, d), jnp.bfloat16),
-            jax.ShapeDtypeStruct((b, h_kv, 1, g), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_kv, splits, g, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_kv, splits, 1, g), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
         ),
         interpret=interp,
     )(*prefetch, *inputs)
+    if splits == 1:
+        out = out[:, :, 0].astype(jnp.bfloat16)
+        lse = lse[:, :, 0]
+    else:
+        # (b, h_kv, S, ...) -> (S, b, h_kv, ...): one fp32 LSE-weighted merge
+        out, lse = merge_partials(jnp.moveaxis(out, 2, 0),
+                                  jnp.moveaxis(lse[:, :, :, 0], 2, 0))
+        out = out.astype(jnp.bfloat16)
     out = out.reshape(b, h, d)
     lse = lse.reshape(b, h)
     return (out, lse) if return_lse else out

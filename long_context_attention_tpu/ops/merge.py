@@ -17,7 +17,32 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-__all__ = ["merge_attn_blocks", "init_merge_state"]
+__all__ = ["merge_attn_blocks", "init_merge_state", "merge_partials"]
+
+
+def merge_partials(outs: jnp.ndarray, lses: jnp.ndarray):
+    """N-way -inf-safe flash merge over the leading axis.
+
+    outs (n, ..., d) any float dtype; lses (n, ...) fp32, shapes matching
+    ``outs`` minus the trailing feature axis. Returns fp32
+    (out (..., d), lse (...)). Dead positions (every partial -inf) give
+    out == 0, lse == -inf. Used by the split-KV decode kernel
+    (ops/decode.py) and the cross-rank sharded-decode merge
+    (serving/sharded.py) — identical math to the pairwise
+    ``merge_attn_blocks``, evaluated max-centred in one pass.
+    """
+    lses = lses.astype(jnp.float32)
+    m = jnp.max(lses, axis=0)                      # (...)
+    dead = jnp.isneginf(m)
+    safe_m = jnp.where(dead, 0.0, m)
+    w = jnp.where(jnp.isneginf(lses), 0.0, jnp.exp(lses - safe_m[None]))
+    denom = jnp.sum(w, axis=0)
+    out = jnp.sum(outs.astype(jnp.float32) * w[..., None], axis=0)
+    out = out / jnp.maximum(denom, 1e-37)[..., None]
+    out = jnp.where(dead[..., None], 0.0, out)
+    lse = jnp.where(dead, -jnp.inf,
+                    safe_m + jnp.log(jnp.maximum(denom, 1e-37)))
+    return out, lse
 
 
 def init_merge_state(b: int, s: int, h: int, d: int) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -134,3 +134,33 @@ def test_decode_gqa_and_empty_rows(rng):
     ref0 = oracle(q, k, v, jnp.asarray([128, 1], jnp.int32))[0]
     np.testing.assert_allclose(np.asarray(out[0], np.float32),
                                np.asarray(ref0, np.float32), atol=1e-1, rtol=0)
+
+
+@pytest.mark.parametrize("splits", [2, 4, None])
+def test_decode_kv_splits_match_sequential(rng, splits):
+    """Flash-decoding split-KV partial merge == the sequential online
+    softmax (kv_splits=1) within fp32-merge tolerance, including ragged
+    splits (nk not divisible) and rows shorter than one split."""
+    S2 = 640  # 5 tiles of 128: ragged for splits 2 and 4
+    q = jnp.asarray(rng.normal(size=(B, H, D)), jnp.bfloat16)
+    kc = jnp.asarray(rng.normal(size=(B, HKV, S2, D)), jnp.bfloat16)
+    vc = jnp.asarray(rng.normal(size=(B, HKV, S2, D)), jnp.bfloat16)
+    lengths = jnp.asarray([500, 77], jnp.int32)  # row 1 dies inside split 0
+    base, base_lse = decode_attention(q, kc, vc, lengths, block_kv=128,
+                                      kv_splits=1, return_lse=True)
+    out, lse = decode_attention(q, kc, vc, lengths, block_kv=128,
+                                kv_splits=splits, return_lse=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(base, np.float32),
+                               atol=2e-2, rtol=0)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(base_lse),
+                               atol=1e-5, rtol=0)
+    # quantized path too
+    kq, ks = quantize_kv(kc, "int8")
+    vq, vs = quantize_kv(vc, "int8")
+    b1 = decode_attention(q, kq, vq, lengths, ks, vs, block_kv=128,
+                          kv_splits=1)
+    bs = decode_attention(q, kq, vq, lengths, ks, vs, block_kv=128,
+                          kv_splits=splits)
+    np.testing.assert_allclose(np.asarray(bs, np.float32),
+                               np.asarray(b1, np.float32), atol=2e-2, rtol=0)
