@@ -9,6 +9,7 @@ from long_context_attention_tpu.serving.continuous import (
     ContinuousEngine,
     Request,
     RequestResult,
+    ShardedContinuousEngine,
 )
 from long_context_attention_tpu.serving.engine import Engine, GenerationResult
 from long_context_attention_tpu.serving.sharded import (
@@ -18,5 +19,5 @@ from long_context_attention_tpu.serving.sharded import (
 from long_context_attention_tpu.serving.sharded_engine import ShardedEngine
 
 __all__ = ["ContinuousEngine", "Engine", "GenerationResult", "Request",
-           "RequestResult", "ShardedEngine", "sharded_cache_append",
-           "sharded_decode_attention"]
+           "RequestResult", "ShardedContinuousEngine", "ShardedEngine",
+           "sharded_cache_append", "sharded_decode_attention"]

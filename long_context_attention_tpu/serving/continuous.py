@@ -48,7 +48,8 @@ from long_context_attention_tpu.serving.engine import (
     sample_token,
 )
 
-__all__ = ["Request", "RequestResult", "ContinuousEngine"]
+__all__ = ["Request", "RequestResult", "ContinuousEngine",
+           "ShardedContinuousEngine"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,6 +145,21 @@ class ContinuousEngine:
         nxt = sample_token(logits, sampling, key)
         return nxt, cache
 
+    def _admit_row(self, params, cache, req: Request, bi: int,
+                   sampling: SamplingParams, key: jax.Array):
+        """Prefill one request and insert it at batch row ``bi``.
+        Returns (cache, first sampled token id). Overridden by the sharded
+        engine; the host scheduler is shared."""
+        n = len(req.tokens)
+        pad = _bucket(n)
+        toks = np.zeros((1, pad), np.int32)
+        toks[0, :n] = np.asarray(req.tokens, np.int32)
+        logits, (kv_k, kv_v) = self._prefill_one(params, jnp.asarray(toks))
+        cache = self._insert_row(cache, kv_k, kv_v,
+                                 jnp.int32(bi), jnp.int32(n))
+        first = sample_token(logits[:, n - 1], sampling, key)
+        return cache, int(first[0])
+
     # --- host-side scheduler ----------------------------------------------
 
     def serve(self, params, requests: Sequence[Request], *,
@@ -175,19 +191,12 @@ class ContinuousEngine:
                 if slot[bi] is not None or not queue:
                     continue
                 req = queue.popleft()
-                n = len(req.tokens)
-                pad = _bucket(n)
-                toks = np.zeros((1, pad), np.int32)
-                toks[0, :n] = np.asarray(req.tokens, np.int32)
-                logits, (kv_k, kv_v) = self._prefill_one(
-                    params, jnp.asarray(toks))
-                cache = self._insert_row(cache, kv_k, kv_v,
-                                         jnp.int32(bi), jnp.int32(n))
                 skey = jax.random.fold_in(key, req.id)
-                first = sample_token(logits[:, n - 1], sampling, skey)
+                cache, first = self._admit_row(params, cache, req, bi,
+                                               sampling, skey)
                 slot[bi] = req
-                emitted[bi] = [int(first[0])]
-                cur[bi] = int(first[0])
+                emitted[bi] = [first]
+                cur[bi] = first
                 self._maybe_finish(bi, slot, emitted, results, eos_id)
 
         def live_mask():
@@ -221,3 +230,109 @@ class ContinuousEngine:
                 id=req.id, tokens=list(emitted[bi]),
                 prompt_len=len(req.tokens))
             slot[bi] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedContinuousEngine(ContinuousEngine):
+    """Continuous batching over a sequence-sharded (multi-chip) cache.
+
+    Same host scheduler as :class:`ContinuousEngine`; the three jitted
+    pieces run under the mesh instead: admission prefills one request
+    USP-sharded (`ShardedEngine.prefill` with a traced true-last-token
+    index, any training layout), the row insert is a batch-axis splice that
+    never moves the sharded slot axis, and each decode step is one
+    shard_map of `decode_step` (owner-routed in-place append + cross-shard
+    LSE merge, rows gated by the ``active`` mask). Prompt buckets are
+    powers of two, so divisibility by the (power-of-two) shard count holds.
+    """
+
+    mesh: Optional[jax.sharding.Mesh] = None
+    axes: "MeshAxes" = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        from long_context_attention_tpu.parallel.mesh import MeshAxes
+        assert self.mesh is not None, "ShardedContinuousEngine needs a mesh"
+        if self.axes is None:
+            object.__setattr__(self, "axes", MeshAxes())
+
+    @property
+    def _sub(self):
+        from long_context_attention_tpu.serving.sharded_engine import (
+            ShardedEngine,
+        )
+        # equal field values -> equal (hashable) instance -> jit cache hits
+        return ShardedEngine(self.cfg, self.mesh, self.s_max,
+                             self.cache_dtype, self.axes, self.interpret)
+
+    def init_cache(self) -> KVCache:
+        from jax.sharding import NamedSharding
+
+        cache = KVCache.init(self.cfg.n_layers, self.max_batch, self.s_max,
+                             self.cfg.n_kv_heads, self.cfg.head_dim,
+                             self.cache_dtype)
+        specs = self._sub._cache_specs()
+        return jax.tree.map(
+            lambda x, sp: jax.device_put(x, NamedSharding(self.mesh, sp)),
+            cache, specs)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _insert_row_cache(self, cache: KVCache, row: KVCache,
+                          bi: jnp.ndarray, true_len: jnp.ndarray) -> KVCache:
+        """Splice a b=1 prefilled cache into batch row ``bi`` (donated).
+        Only the batch axis moves; the sharded slot axis stays put."""
+        from jax.sharding import NamedSharding
+
+        specs = self._sub._cache_specs()
+
+        def splice(buf, new, spec):
+            start = (jnp.int32(0), bi.astype(jnp.int32)) + \
+                (jnp.int32(0),) * (buf.ndim - 2)
+            out = jax.lax.dynamic_update_slice(buf, new, start)
+            return jax.lax.with_sharding_constraint(
+                out, NamedSharding(self.mesh, spec))
+
+        k = splice(cache.k, row.k, specs.k)
+        v = splice(cache.v, row.v, specs.v)
+        ksc, vsc = cache.k_scale, cache.v_scale
+        if ksc is not None:
+            ksc = splice(ksc, row.k_scale, specs.k_scale)
+            vsc = splice(vsc, row.v_scale, specs.v_scale)
+        length = cache.length.at[bi].set(true_len.astype(jnp.int32))
+        return dataclasses.replace(cache, k=k, v=v, k_scale=ksc, v_scale=vsc,
+                                   length=length)
+
+    def _admit_row(self, params, cache, req: Request, bi: int,
+                   sampling: SamplingParams, key: jax.Array):
+        n = len(req.tokens)
+        pad = _bucket(n)
+        toks = np.zeros((1, pad), np.int32)
+        toks[0, :n] = np.asarray(req.tokens, np.int32)
+        logits, row = self._sub.prefill(params, jnp.asarray(toks),
+                                        jnp.int32(n - 1))
+        cache = self._insert_row_cache(cache, row, jnp.int32(bi),
+                                       jnp.int32(n))
+        first = sample_token(logits, sampling, key)
+        return cache, int(first[0])
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _step(self, params, cache: KVCache, tokens: jnp.ndarray,
+              sampling: SamplingParams, active: jnp.ndarray,
+              key: jax.Array):
+        from jax.sharding import PartitionSpec as P
+
+        specs = self._sub._cache_specs()
+        seq_axes = self._sub.seq_axes
+
+        def one(params, cache, tok, act):
+            return decode_step(params, cache, tok, self.cfg,
+                               interpret=self.interpret,
+                               shard_axes=seq_axes, active=act)
+
+        logits, cache = jax.shard_map(
+            one, mesh=self.mesh,
+            in_specs=(P(), specs, P(), P()),
+            out_specs=(P(), specs),
+            check_vma=False,
+        )(params, cache, tokens, active)
+        nxt = sample_token(logits, sampling, key)
+        return nxt, cache

@@ -65,9 +65,16 @@ class ShardedEngine:
         return KVCache(k=val, v=val, k_scale=sc, v_scale=sc, length=P())
 
     @functools.partial(jax.jit, static_argnums=0)
-    def prefill(self, params, tokens: jnp.ndarray) -> Tuple[jnp.ndarray, KVCache]:
+    def prefill(self, params, tokens: jnp.ndarray,
+                last_index: Optional[jnp.ndarray] = None,
+                ) -> Tuple[jnp.ndarray, KVCache]:
         """tokens (b, s) in NATURAL order -> (last-token logits (b, vocab),
-        sharded cache in natural slot order)."""
+        sharded cache in natural slot order).
+
+        ``last_index``: optional traced NATURAL-order position whose logits
+        to return instead of s-1 — bucketed prompts (continuous batching)
+        pad past the true last token; the layout permutation is applied
+        here."""
         from long_context_attention_tpu.parallel.layouts import (
             layout_permutation,
             permute_for_layout,
@@ -96,6 +103,8 @@ class ShardedEngine:
         # order. Reshuffle ONCE to natural order for contiguous cache slots;
         # the last natural token's logits sit at a static permuted index, so
         # the (b, s, vocab) logits never move.
+        natural_last = (jnp.int32(s - 1) if last_index is None
+                        else jnp.asarray(last_index, jnp.int32))
         if self.cfg.layout != "basic":
             kk = unpermute_from_layout(kk, self.cfg.layout, ring, axis=2)
             vv = unpermute_from_layout(vv, self.cfg.layout, ring, axis=2)
@@ -104,9 +113,9 @@ class ShardedEngine:
             kk = lax.with_sharding_constraint(kk, kv_sh)
             vv = lax.with_sharding_constraint(vv, kv_sh)
             perm = layout_permutation(self.cfg.layout, ring, s)
-            last_idx = int((perm == s - 1).argmax())
+            last_idx = jnp.argmax(jnp.asarray(perm) == natural_last)
         else:
-            last_idx = s - 1
+            last_idx = natural_last
 
         dt = self.cache_dtype
         kq, ks = quantize_kv(jnp.transpose(kk, (0, 1, 3, 2, 4)), dt)

@@ -74,3 +74,28 @@ def test_int8_cache_and_capacity_guard(params):
     with pytest.raises(ValueError, match="capacity"):
         eng.serve(params, [Request(id=1, tokens=_prompt(4, 200),
                                    max_new=100)])
+
+
+def test_sharded_continuous_matches_dedicated(params):
+    """Multi-chip continuous batching (8-dev CPU mesh, cache sharded over
+    ring x ulysses) serves zigzag-trained weights with the same greedy
+    tokens as the single-device engine, through queueing and row reuse."""
+    from long_context_attention_tpu.models.llama import init_params
+    from long_context_attention_tpu.parallel.mesh import make_usp_mesh
+    from long_context_attention_tpu.serving import ShardedContinuousEngine
+
+    import dataclasses as dc
+    zcfg = dc.replace(CFG, layout="zigzag")
+    zparams = init_params(jax.random.PRNGKey(0), zcfg)
+    mesh = make_usp_mesh(1, 2, 4)
+    # prompt lengths are bucket-padded to 64/128/... — divisible by 8 shards
+    reqs = [Request(id=i, tokens=_prompt(10 + i, n), max_new=m)
+            for i, (n, m) in enumerate([(40, 5), (100, 4), (64, 6)])]
+    eng = ShardedContinuousEngine(zcfg, s_max=S_MAX, max_batch=2,
+                                  cache_dtype="int8", mesh=mesh)
+    results = eng.serve(zparams, reqs)
+    for r in reqs:
+        ded = Engine(zcfg, s_max=S_MAX, cache_dtype="int8")
+        want = list(np.asarray(ded.generate(
+            zparams, jnp.asarray([r.tokens], jnp.int32), r.max_new).tokens)[0])
+        assert results[r.id].tokens == want, (r.id, results[r.id].tokens, want)
