@@ -195,6 +195,13 @@ class LongContextAttention(_LayerBase):
     (`hybrid/attn_layer.py:164-259`); one logical a2a for all three (XLA fuses
     the three collectives; and unlike the reference, this path works —
     cf. the ``.continous()`` crash at `hybrid/attn_layer.py:88`).
+
+    On the reference's ``deterministic`` flag (`hybrid/attn_layer.py:68`):
+    there is deliberately no analog. XLA/TPU kernels are run-to-run
+    deterministic by construction (no atomics in the backward; the ring
+    accumulates partials in a fixed order), so every call here already gives
+    the guarantee that flag buys on CUDA — including dropout, which derives
+    its mask from an explicit counter-based PRNG key.
     """
 
     def __call__(self, q, k, v, *, causal: bool = False,

@@ -164,3 +164,63 @@ def test_decode_kv_splits_match_sequential(rng, splits):
                           kv_splits=splits)
     np.testing.assert_allclose(np.asarray(bs, np.float32),
                                np.asarray(b1, np.float32), atol=2e-2, rtol=0)
+
+
+@pytest.mark.parametrize("layered", [False, True])
+@pytest.mark.parametrize("quantized", [False, True])
+def test_cache_append_splices_in_place(rng, layered, quantized):
+    """ops/decode.py:cache_append — the aliased in-place splice: each row's
+    token lands at exactly append_pos, rows with -1 write nothing, every
+    other slot (and every other layer) is untouched."""
+    from long_context_attention_tpu.ops.decode import cache_append
+
+    L = 3
+    shape = (L, B, HKV, SMAX, D) if layered else (B, HKV, SMAX, D)
+    sshape = (L, B, HKV, SMAX) if layered else (B, HKV, SMAX)
+    dt = jnp.int8 if quantized else jnp.bfloat16
+    k = jnp.asarray(rng.integers(-100, 100, size=shape), dt) if quantized \
+        else jnp.asarray(rng.normal(size=shape), dt)
+    v = k + jnp.asarray(1, dt)
+    kn = jnp.asarray(rng.integers(-100, 100, size=(B, HKV, 1, D)), dt) \
+        if quantized else jnp.asarray(rng.normal(size=(B, HKV, 1, D)), dt)
+    vn = kn - jnp.asarray(2, dt)
+    pos = jnp.asarray([37, -1], jnp.int32)  # row 1 skips (non-owner)
+    kwargs = dict(layer=jnp.int32(1)) if layered else {}
+    if quantized:
+        ks = jnp.asarray(rng.random(size=sshape), jnp.float32)
+        vs = ks * 2
+        ksn = jnp.asarray(rng.random(size=(B, HKV, 1)), jnp.float32)
+        vsn = ksn * 3
+        res = cache_append(k, v, kn, vn, pos, ks, vs, ksn, vsn, **kwargs)
+        k2, v2, ks2, vs2 = res
+    else:
+        k2, v2 = cache_append(k, v, kn, vn, pos, **kwargs)
+
+    def layer_sel(x, li):
+        return x[li] if layered else x
+
+    K, K2 = np.asarray(k), np.asarray(k2)
+    V, V2 = np.asarray(v), np.asarray(v2)
+    li = 1
+    # row 0: token at slot 37 of layer li, everything else untouched
+    np.testing.assert_array_equal(layer_sel(K2, li)[0, :, 37],
+                                  np.asarray(kn)[0, :, 0])
+    np.testing.assert_array_equal(layer_sel(V2, li)[0, :, 37],
+                                  np.asarray(vn)[0, :, 0])
+    mask = np.ones(SMAX, bool); mask[37] = False
+    np.testing.assert_array_equal(layer_sel(K2, li)[0][:, mask],
+                                  layer_sel(K, li)[0][:, mask])
+    # row 1 (append_pos=-1): fully untouched
+    np.testing.assert_array_equal(layer_sel(K2, li)[1], layer_sel(K, li)[1])
+    np.testing.assert_array_equal(layer_sel(V2, li)[1], layer_sel(V, li)[1])
+    if layered:  # other layers untouched
+        np.testing.assert_array_equal(K2[0], K[0])
+        np.testing.assert_array_equal(K2[2], K[2])
+    if quantized:
+        S_, S2_ = np.asarray(ks), np.asarray(ks2)
+        np.testing.assert_array_equal(layer_sel(S2_, li)[0, :, 37],
+                                      np.asarray(ksn)[0, :, 0])
+        np.testing.assert_array_equal(layer_sel(S2_, li)[0][:, mask],
+                                      layer_sel(S_, li)[0][:, mask])
+        np.testing.assert_array_equal(layer_sel(S2_, li)[1],
+                                      layer_sel(S_, li)[1])
