@@ -92,6 +92,7 @@ def bench_ttft(args):
         flops = 2 * 2 * H * S * S * D * 0.5
         print(f"{S:>8} {H:>3} {HKV:>4} {best * 1e3:>9.1f} "
               f"{flops / best / 1e12:>8.1f}", flush=True)
+        del q, k, v  # free before the next (larger) shape allocates
 
 
 def timeit(f, *xs):

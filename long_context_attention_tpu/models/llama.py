@@ -59,6 +59,12 @@ class ModelConfig:
     rope_theta: float = 10000.0
     norm_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
+    # attention shape: Mistral-style sliding window (tokens attend to the
+    # last window_left positions; -1 = full causal) and Gemma-style logit
+    # softcapping (0 = off). Threaded through training (ring/USP kernels)
+    # AND serving (prefill + decode kernels) so windowed models serve.
+    window_left: int = -1
+    softcap: float = 0.0
     # parallelism
     layout: str = "zigzag"
     attn_impl: str = "pallas"
@@ -218,7 +224,8 @@ def _layer(cfg: ModelConfig, x, lp, positions, *, ulysses_axis, ring_axis,
     attn = usp_attention_local(
         q, k, v,
         ulysses_axis=ulysses_axis, ring_axis=ring_axis, layout=cfg.layout,
-        causal=True, impl=cfg.attn_impl, block_sizes=cfg.block_sizes,
+        causal=True, window_size=(cfg.window_left, -1), softcap=cfg.softcap,
+        impl=cfg.attn_impl, block_sizes=cfg.block_sizes,
         interpret=interpret,
     )
     o = (attn.reshape(b, s, h_loc * cfg.head_dim) @ lp["wo"])
@@ -444,6 +451,8 @@ def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
         k = rope(k, positions, cfg.rope_theta)
 
         out, lse = flash_attention_fwd(q, k, v, causal=True,
+                                       window_size=(cfg.window_left, -1),
+                                       softcap=cfg.softcap,
                                        softmax_scale=scale,
                                        interpret=interpret)
         if start > 0:
@@ -459,7 +468,8 @@ def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
                     vsc_all, (li, 0, 0, 0), (1, b, hkv, start))[0]
             c_out, c_lse = flash_attention_fwd_cache(
                 q, kcl, vcl, k_scale=kscl, v_scale=vscl,
-                softmax_scale=scale, interpret=interpret,
+                window_size=(cfg.window_left, -1), softcap=cfg.softcap,
+                q_start=start, softmax_scale=scale, interpret=interpret,
             )
             acc, acc_lse = merge_attn_blocks(
                 out.astype(jnp.float32), lse, c_out, c_lse)
@@ -560,6 +570,11 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
         # ~50 at b=8 @32K), and fusing the splice into the attention kernel
         # doubled its HBM write traffic (249 -> 120 GB/s at b=8).
         if shard_axes is not None:
+            if cfg.window_left >= 0:
+                raise NotImplementedError(
+                    "sliding-window decode over a sequence-sharded cache "
+                    "needs global window bounds per shard; serve windowed "
+                    "models single-host (Engine/ContinuousEngine)")
             res = sharded_cache_append(
                 kc_all, vc_all, kq, vq, append_pos, ksc_all, vsc_all,
                 ks1, vs1, axis_name=shard_axes, layer=li,
@@ -570,7 +585,7 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
             attn = sharded_decode_attention(
                 q[:, 0], kc_all, vc_all, att_len, ksc_all, vsc_all,
                 axis_name=shard_axes, softmax_scale=scale,
-                interpret=interpret, layer=li,
+                interpret=interpret, layer=li, softcap=cfg.softcap,
             )
         else:
             res = cache_append(
@@ -582,6 +597,7 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
             attn = decode_attention(
                 q[:, 0], kc_all, vc_all, att_len, ksc_all, vsc_all,
                 softmax_scale=scale, interpret=interpret, layer=li,
+                window_size=(cfg.window_left, -1), softcap=cfg.softcap,
             )  # (b, h, d)
 
         x = x + (attn.reshape(b, 1, cfg.q_dim) @ lp["wo"]).astype(x.dtype)

@@ -203,7 +203,7 @@ def _decode_kernel(
     len_ref,  # scalar prefetch: (b,) int32 filled length per batch row
     *refs,
     scale: float, block_kv: int, quantized: bool, g: int,
-    layered: bool = False,
+    layered: bool = False, window_left: int = -1, softcap: float = 0.0,
 ):
     refs = list(refs)
     if layered:
@@ -226,6 +226,10 @@ def _decode_kernel(
     nk = pl.num_programs(3)
     gt = isp * nk + ik       # global kv tile index
     length = len_ref[ib]
+    # sliding window: the query is the token at position length-1, so only
+    # columns >= length-1-window_left are visible
+    first_col = (jnp.maximum(length - 1 - window_left, 0)
+                 if window_left >= 0 else jnp.int32(0))
 
     @pl.when(ik == 0)
     def _init():
@@ -233,8 +237,10 @@ def _decode_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    # the gate also kills the ragged tail when nk * splits over-covers s_max
-    @pl.when(gt * block_kv < length)
+    # the gate also kills the ragged tail when nk * splits over-covers s_max,
+    # and tiles wholly left of the window
+    @pl.when((gt * block_kv < length)
+             & ((gt + 1) * block_kv > first_col))
     def _compute():
         q = q_ref[0, 0, :, :]  # (g, d)
         k = kv_tile(k_ref).astype(jnp.bfloat16)  # (bkv, d), dequant cast
@@ -243,14 +249,16 @@ def _decode_kernel(
         ) * scale  # (g, bkv)
         if ks_ref is not None:
             s = s * sc_tile(ks_ref)  # (1, bkv) broadcasts over g rows
+        if softcap > 0.0:
+            s = softcap * jnp.tanh(s / softcap)
         cols = gt * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, dimension=1)
-        s = jnp.where(cols >= length, NEG_INF, s)
+        s = jnp.where((cols >= length) | (cols < first_col), NEG_INF, s)
 
         m_prev = m_scr[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
-        p = jnp.where(cols >= length, 0.0, p)
+        p = jnp.where((cols >= length) | (cols < first_col), 0.0, p)
         alpha = jnp.exp(m_prev - m_new)
         l_scr[...] = l_scr[...] * alpha + jnp.broadcast_to(
             jnp.sum(p, axis=1, keepdims=True), l_scr.shape)
@@ -292,8 +300,16 @@ def decode_attention(
     return_lse: bool = False,
     layer: Optional[jnp.ndarray] = None,
     kv_splits: Optional[int] = None,
+    window_size: tuple = (-1, -1),
+    softcap: float = 0.0,
 ):
     """Single-step decode attention over a (quantized) cache.
+
+    ``window_size``: (left, right) sliding window as in `ops/flash.py` —
+    only ``left`` applies at decode (the query IS the newest token, nothing
+    sits to its right); tiles wholly left of the window are neither fetched
+    (index-map clamp) nor computed. ``softcap``: s -> cap*tanh(s/cap),
+    applied before masking, matching the training kernel.
 
     Returns out (b, h, d) bf16 (+ lse (b, h) fp32 when return_lse for the
     sequence-sharded merge).
@@ -340,11 +356,18 @@ def decode_attention(
 
     qg = q.reshape(b, h_kv, g, d)
 
+    w_left = int(window_size[0])
+
     def _clamped_gt(ibb, isp, ik, lens):
-        # clamp the global kv tile index into the filled prefix: tiles past
-        # the length re-map to the last live tile (Mosaic elides their DMA)
+        # clamp the global kv tile index into the live range: tiles past the
+        # length — or left of the sliding window — re-map to the nearest
+        # live tile (Mosaic elides the repeated DMA)
         last = jnp.maximum((lens[ibb] - 1) // bkv, 0)
-        return jnp.minimum(isp * nk_s + ik, last)
+        gt = jnp.minimum(isp * nk_s + ik, last)
+        if w_left >= 0:
+            lo = jnp.maximum(lens[ibb] - 1 - w_left, 0) // bkv
+            gt = jnp.maximum(gt, jnp.minimum(lo, last))
+        return gt
 
     if layered:
         def kv_im(ibb, ihk, isp, ik, lens, li):
@@ -405,7 +428,8 @@ def decode_attention(
         prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
     out, lse = pl.pallas_call(
         functools.partial(_decode_kernel, scale=float(scale), block_kv=bkv,
-                          quantized=quantized, g=g, layered=layered),
+                          quantized=quantized, g=g, layered=layered,
+                          window_left=w_left, softcap=float(softcap)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, h_kv, splits, g, d), jnp.float32),

@@ -1711,26 +1711,31 @@ def flash_attention_fwd(q, k, v, **kwargs):
 def flash_attention_fwd_cache(
     q, k_cache, v_cache, *,
     k_scale=None, v_scale=None, softmax_scale=None,
+    window_size=(-1, -1), softcap=0.0, q_start=0,
     block_sizes=None, interpret=None,
 ):
     """fwd-only attention of q (b, s_q, h, d) against a **BHSD cache slice**
     (b, h_kv, s_kv, d), optionally quantized — the chunked-prefill building
-    block (every cache token is visible to every q row; no masking). Returns
-    (out, lse) in the standard contract, mergeable with the chunk's own
-    causal attention via ops/merge.py."""
+    block. By default every cache token is visible to every q row; with a
+    sliding ``window_size`` the q rows sit at global positions
+    ``q_start + i`` (their chunk offset) and cache tokens at ``j``, so the
+    kernel's position-relative window masking applies across the chunk/cache
+    boundary. Returns (out, lse) in the standard contract, mergeable with
+    the chunk's own causal attention via ops/merge.py."""
     b, s_q, h, d = q.shape
     _, h_kv, s_kv, _ = k_cache.shape
     cfg = _resolve_cfg(
         h, h_kv, s_q, s_kv, d,
-        causal=False, softmax_scale=softmax_scale, window_size=(-1, -1),
-        softcap=0.0, n_q_chunks=1, n_kv_chunks=1, q_stride=1, kv_stride=1,
+        causal=False, softmax_scale=softmax_scale, window_size=window_size,
+        softcap=softcap, n_q_chunks=1, n_kv_chunks=1, q_stride=1, kv_stride=1,
         block_sizes=block_sizes, interpret=interpret,
     )
     if k_scale is not None:
         cfg = dataclasses.replace(cfg, kv_quantized=True)
+    q_off = jnp.full((1,), int(q_start), jnp.int32)
     zoff = jnp.zeros((1,), jnp.int32)
     out, lse = _flash_fwd_bhsd(
-        _to_bhsd(q), k_cache, v_cache, zoff, zoff, cfg,
+        _to_bhsd(q), k_cache, v_cache, q_off, zoff, cfg,
         None, None, k_scale, v_scale,
     )
     return _to_bhsd(out), lse

@@ -44,11 +44,14 @@ def sharded_decode_attention(
     block_kv: int = 1024,
     interpret: Optional[bool] = None,
     layer: Optional[jnp.ndarray] = None,
+    softcap: float = 0.0,
 ) -> jnp.ndarray:
     """Decode attention over a ring-sharded cache. Returns (b, h, d) bf16.
 
     Rank r's filled prefix is ``clip(L - r*slots, 0, slots)``; empty shards
-    contribute lse=-inf partials that merge to a no-op.
+    contribute lse=-inf partials that merge to a no-op. ``softcap`` is
+    position-free and composes with sharding; sliding windows do not
+    (they need global bounds) and are rejected upstream.
     """
     axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
     r = lax.axis_index(axes)
@@ -60,7 +63,7 @@ def sharded_decode_attention(
     out, lse = decode_attention(
         q, k_shard, v_shard, local_len, k_scale, v_scale,
         softmax_scale=softmax_scale, block_kv=block_kv, interpret=interpret,
-        return_lse=True, layer=layer,
+        return_lse=True, layer=layer, softcap=softcap,
     )  # (b, h, d), (b, h)
 
     outs = lax.all_gather(out.astype(jnp.float32), axes)  # (n, b, h, d)

@@ -224,3 +224,24 @@ def test_cache_append_splices_in_place(rng, layered, quantized):
                                       layer_sel(S_, li)[0][:, mask])
         np.testing.assert_array_equal(layer_sel(S2_, li)[1],
                                       layer_sel(S_, li)[1])
+
+
+@pytest.mark.parametrize("w,cap", [(64, 0.0), (100, 15.0), (-1, 8.0)])
+def test_decode_window_and_softcap(rng, w, cap):
+    """Sliding-window + softcap decode vs the positional oracle: the query
+    sits at position L-1 and sees only the last w+1 tokens."""
+    q, k, v, lengths = make(rng)
+    kc = jnp.transpose(k, (0, 2, 1, 3))
+    vc = jnp.transpose(v, (0, 2, 1, 3))
+    out = decode_attention(q, kc, vc, lengths, block_kv=128,
+                           window_size=(w, -1), softcap=cap)
+    for i in range(B):
+        L = int(lengths[i])
+        ref, _ = xla_attention(
+            q[i:i + 1, None], k[i:i + 1, :L], v[i:i + 1, :L],
+            window_size=(w, -1), softcap=cap,
+            q_positions=jnp.asarray([L - 1]),
+            kv_positions=jnp.arange(L))
+        np.testing.assert_allclose(np.asarray(out[i], np.float32),
+                                   np.asarray(ref[0, 0], np.float32),
+                                   atol=1e-1, rtol=0)

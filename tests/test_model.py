@@ -218,3 +218,24 @@ def test_pp_training_matches_single_device(rng):
     pp = run_pp()
     np.testing.assert_allclose(pp, ref, atol=5e-3, rtol=0)
     assert pp[-1] < pp[0]
+
+
+def test_windowed_softcap_sharded_forward_matches_single_device(rng):
+    """Sliding-window + softcap threaded through the ring: the USP-sharded
+    forward of a Mistral-style config equals the single-device forward (the
+    window straddles zigzag chunk boundaries, exercising the position-
+    relative masking in the ring kernel)."""
+    import dataclasses as dc
+
+    wcfg = dc.replace(CFG, window_left=40, softcap=8.0)
+    params = init_params(jax.random.PRNGKey(5), wcfg)
+    tokens, _, _ = data(rng)
+
+    ref = make_forward(wcfg, make_usp_mesh(1, 1, 1))(params, tokens)
+    ring = 4
+    mesh = make_usp_mesh(dp=1, ulysses=2, ring=ring)
+    tp = permute_for_layout(tokens, wcfg.layout, ring, axis=1)
+    out = make_forward(wcfg, mesh)(params, tp)
+    out = unpermute_from_layout(out, wcfg.layout, ring, axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-1, rtol=0)
