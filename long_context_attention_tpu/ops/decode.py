@@ -204,15 +204,22 @@ def _decode_kernel(
     *refs,
     scale: float, block_kv: int, quantized: bool, g: int,
     layered: bool = False, window_left: int = -1, softcap: float = 0.0,
+    alibi: bool = False,
 ):
     refs = list(refs)
     if layered:
         del refs[0]  # the layer-index prefetch ref (consumed by index maps)
     if quantized:
-        q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        q_ref, k_ref, v_ref, ks_ref, vs_ref = refs[:5]
+        refs = refs[5:]
     else:
-        q_ref, k_ref, v_ref, out_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        q_ref, k_ref, v_ref = refs[:3]
+        refs = refs[3:]
         ks_ref = vs_ref = None
+    sl_ref = None
+    if alibi:
+        sl_ref = refs.pop(0)
+    out_ref, lse_ref, m_scr, l_scr, acc_scr = refs
 
     def kv_tile(ref):
         return ref[0, 0, 0, :, :] if layered else ref[0, 0, :, :]
@@ -253,6 +260,10 @@ def _decode_kernel(
             s = softcap * jnp.tanh(s / softcap)
         cols = gt * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, dimension=1)
+        if sl_ref is not None:
+            # ALiBi: -slope * (q_pos - kv_pos), q at position length-1
+            sl = sl_ref[0]  # (g, 1)
+            s = s - sl * (length - 1 - cols).astype(jnp.float32)
         s = jnp.where((cols >= length) | (cols < first_col), NEG_INF, s)
 
         m_prev = m_scr[:, :1]
@@ -302,6 +313,7 @@ def decode_attention(
     kv_splits: Optional[int] = None,
     window_size: tuple = (-1, -1),
     softcap: float = 0.0,
+    alibi_slopes=None,
 ):
     """Single-step decode attention over a (quantized) cache.
 
@@ -309,7 +321,10 @@ def decode_attention(
     only ``left`` applies at decode (the query IS the newest token, nothing
     sits to its right); tiles wholly left of the window are neither fetched
     (index-map clamp) nor computed. ``softcap``: s -> cap*tanh(s/cap),
-    applied before masking, matching the training kernel.
+    applied before masking, matching the training kernel. ``alibi_slopes``:
+    (h,) per-head slopes, bias -slope * (q_pos - kv_pos) with the query at
+    position length-1 — API parity with the training kernels so ALiBi
+    models serve.
 
     Returns out (b, h, d) bf16 (+ lse (b, h) fp32 when return_lse for the
     sequence-sharded merge).
@@ -408,6 +423,12 @@ def decode_attention(
         in_specs += [pl.BlockSpec(sc_block, sc_im),
                      pl.BlockSpec(sc_block, sc_im)]
         inputs += [k_scale.reshape(sc_shape), v_scale.reshape(sc_shape)]
+    if alibi_slopes is not None:
+        # (h,) -> (h_kv, g, 1): each grid cell reads its g heads' slopes
+        in_specs += [pl.BlockSpec((1, g, 1),
+                                  lambda ibb, ihk, isp, ik, *_: (ihk, 0, 0))]
+        inputs += [jnp.asarray(alibi_slopes, jnp.float32
+                               ).reshape(h_kv, g, 1)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 if layered else 1,
@@ -429,7 +450,8 @@ def decode_attention(
     out, lse = pl.pallas_call(
         functools.partial(_decode_kernel, scale=float(scale), block_kv=bkv,
                           quantized=quantized, g=g, layered=layered,
-                          window_left=w_left, softcap=float(softcap)),
+                          window_left=w_left, softcap=float(softcap),
+                          alibi=alibi_slopes is not None),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, h_kv, splits, g, d), jnp.float32),

@@ -691,8 +691,13 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
     chunk_q = s_q // cfg.n_q_chunks
     chunk_kv = s_kv // cfg.n_kv_chunks
 
-    if cfg.use_tri_grid and s_q == s_kv and s_q % bq == 0:
-        # enumerate only live tiles: ~2x fewer grid steps for causal
+    # enumerate only live tiles: ~2x fewer grid steps for causal. The (iq,
+    # ik) tables are scalar-prefetched into SMEM (1 MB total): two s32
+    # tables of nq(nq+1)/2 entries must stay well under it, so beyond ~64K
+    # live tiles (nq ~ 360, i.e. ~370K tokens at bq=1024) fall back to the
+    # rectangular grid — 512K+ sequences OOMed SMEM otherwise.
+    if (cfg.use_tri_grid and s_q == s_kv and s_q % bq == 0
+            and (s_q // bq) * (s_q // bq + 1) // 2 <= 65536):
         tri_cfg = cfg if bq == bkv else dataclasses.replace(cfg, block_kv=bq)
         return _flash_fwd_tri_bhsd(q, k, v, tri_cfg)
 

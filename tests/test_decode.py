@@ -245,3 +245,24 @@ def test_decode_window_and_softcap(rng, w, cap):
         np.testing.assert_allclose(np.asarray(out[i], np.float32),
                                    np.asarray(ref[0, 0], np.float32),
                                    atol=1e-1, rtol=0)
+
+
+def test_decode_alibi(rng):
+    """ALiBi decode bias -slope * (q_pos - kv_pos) vs the positional
+    oracle's bias path."""
+    q, k, v, lengths = make(rng)
+    kc = jnp.transpose(k, (0, 2, 1, 3))
+    vc = jnp.transpose(v, (0, 2, 1, 3))
+    slopes = jnp.asarray(rng.random(size=(H,)), jnp.float32) * 0.2
+    out = decode_attention(q, kc, vc, lengths, block_kv=128,
+                           alibi_slopes=slopes)
+    for i in range(B):
+        L = int(lengths[i])
+        dist = (L - 1 - jnp.arange(L)).astype(jnp.float32)  # (s_kv,)
+        bias = (-slopes[:, None, None] * dist[None, None, :])  # (h,1,skv)
+        ref, _ = xla_attention(
+            q[i:i + 1, None], k[i:i + 1, :L], v[i:i + 1, :L],
+            bias=bias[None])
+        np.testing.assert_allclose(np.asarray(out[i], np.float32),
+                                   np.asarray(ref[0, 0], np.float32),
+                                   atol=1e-1, rtol=0)
