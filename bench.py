@@ -140,15 +140,17 @@ def bench_jax_builtin(seq: int, iters: int = 2, heads: int = 32,
 
 
 def bench_splash(seq: int, iters: int = 2, heads: int = 32,
-                 kv_heads: int = 8, head_dim: int = 128, block: int = 1024):
+                 kv_heads: int = 8, head_dim: int = 128, block: int = 1024,
+                 bwd: bool = False):
     """Splash attention (native GQA, causal) at the same shapes — the
     strongest pre-existing TPU kernel and the honest vs_baseline denominator
-    (VERDICT r1 #1). See benchmarks/bench_splash.py for the standalone
-    sweepable version."""
+    (VERDICT r1 #1), fwd or fwd+bwd (same useful-FLOP convention as ours).
+    See benchmarks/bench_splash.py for the standalone sweepable version."""
     import benchmarks.bench_splash as bsp
 
     tf, _ = bsp.bench_splash(seq, iters, heads=heads, kv_heads=kv_heads,
-                             head_dim=head_dim, causal=True, block=block)
+                             head_dim=head_dim, causal=True, block=block,
+                             bwd=bwd)
     return tf
 
 
@@ -173,27 +175,32 @@ def main():
     tflops, dt = bench_attention(args.seq, args.fwd_bwd, args.iters)
 
     baseline_tflops = None
-    if not args.no_baseline and not args.fwd_bwd:
+    if not args.no_baseline:
         try:
             # splash: the strongest existing TPU kernel (native GQA/causal).
             # Measured at <=32K to bound wall time (its per-tile TFLOP/s is
             # ~flat in sequence; ours *improves* with seq, so this flatters
             # the baseline if anything).
-            baseline_tflops = bench_splash(min(args.seq, 32768))
-            print(f"splash attention baseline (<=32K): "
+            baseline_tflops = bench_splash(min(args.seq, 32768),
+                                           bwd=args.fwd_bwd)
+            print(f"splash attention baseline (<=32K, "
+                  f"{'fwd+bwd' if args.fwd_bwd else 'fwd'}): "
                   f"{baseline_tflops:.1f} TFLOP/s", file=sys.stderr)
         except Exception as e:
             print(f"splash baseline failed ({type(e).__name__}: {e}); "
                   "falling back to the legacy jax kernel", file=sys.stderr)
             try:
+                if args.fwd_bwd:
+                    raise RuntimeError("no fwd+bwd legacy fallback")
                 baseline_tflops = bench_jax_builtin(min(args.seq, 32768))
                 print(f"jax built-in flash baseline (<=32K): "
                       f"{baseline_tflops:.1f} TFLOP/s", file=sys.stderr)
             except Exception as e2:  # OOM / API drift: measured fallback
+                ref = 119.7 if args.fwd_bwd else 112.2
                 print(f"baseline kernel failed ({type(e2).__name__}); "
-                      "using measured splash 32K reference 112.2 TFLOP/s",
+                      f"using measured splash 32K reference {ref} TFLOP/s",
                       file=sys.stderr)
-                baseline_tflops = 112.2
+                baseline_tflops = ref
 
     name = "attn_tflops_per_chip_{}_{}k_causal_gqa".format(
         "fwdbwd" if args.fwd_bwd else "fwd", args.seq // 1024)

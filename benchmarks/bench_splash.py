@@ -13,7 +13,7 @@ import time
 
 def bench_splash(seq: int, iters: int, heads: int = 32, kv_heads: int = 8,
                  head_dim: int = 128, causal: bool = True,
-                 block: int = 1024):
+                 block: int = 1024, bwd: bool = False):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -44,18 +44,38 @@ def bench_splash(seq: int, iters: int, heads: int = 32, kv_heads: int = 8,
     k = jax.random.normal(kk, (kv_heads, seq, head_dim), jnp.bfloat16)
     v = jax.random.normal(kv, (kv_heads, seq, head_dim), jnp.bfloat16)
 
-    @jax.jit
-    def chained(q, k, v):
-        def body(_, qq):
-            return gqa(qq, k, v).astype(q.dtype)
-        return jnp.sum(lax.fori_loop(0, iters, body, q).astype(jnp.float32))
+    if bwd:
+        grad = jax.grad(
+            lambda q, k, v: jnp.sum(gqa(q, k, v).astype(jnp.float32)),
+            argnums=(0, 1, 2))
+
+        @jax.jit
+        def chained(q, k, v):
+            def body(_, qq):
+                dq, dk, dv = grad(qq, k, v)
+                return (qq + dq.astype(qq.dtype) * 0
+                        + jnp.sum(dk).astype(qq.dtype) * 0
+                        + jnp.sum(dv).astype(qq.dtype) * 0)
+            return jnp.sum(lax.fori_loop(0, iters, body, q
+                                         ).astype(jnp.float32))
+    else:
+        @jax.jit
+        def chained(q, k, v):
+            def body(_, qq):
+                return gqa(qq, k, v).astype(q.dtype)
+            return jnp.sum(lax.fori_loop(0, iters, body, q
+                                         ).astype(jnp.float32))
 
     float(chained(q, k, v))  # compile
-    t0 = time.perf_counter()
-    float(chained(q, k, v))
-    dt = (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(chained(q, k, v))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / iters
     frac = 0.5 if causal else 1.0
-    flops = 2 * 2 * heads * seq * seq * head_dim * frac
+    # useful-FLOP convention (matches bench.py): fwd 2 matmuls, +bwd 5 more
+    flops = 2 * 2 * heads * seq * seq * head_dim * frac * (3.5 if bwd else 1)
     return flops / dt / 1e12, dt
 
 
