@@ -570,11 +570,6 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
         # ~50 at b=8 @32K), and fusing the splice into the attention kernel
         # doubled its HBM write traffic (249 -> 120 GB/s at b=8).
         if shard_axes is not None:
-            if cfg.window_left >= 0:
-                raise NotImplementedError(
-                    "sliding-window decode over a sequence-sharded cache "
-                    "needs global window bounds per shard; serve windowed "
-                    "models single-host (Engine/ContinuousEngine)")
             res = sharded_cache_append(
                 kc_all, vc_all, kq, vq, append_pos, ksc_all, vsc_all,
                 ks1, vs1, axis_name=shard_axes, layer=li,
@@ -586,6 +581,7 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
                 q[:, 0], kc_all, vc_all, att_len, ksc_all, vsc_all,
                 axis_name=shard_axes, softmax_scale=scale,
                 interpret=interpret, layer=li, softcap=cfg.softcap,
+                window_left=cfg.window_left,
             )
         else:
             res = cache_append(

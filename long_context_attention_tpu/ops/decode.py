@@ -204,11 +204,12 @@ def _decode_kernel(
     *refs,
     scale: float, block_kv: int, quantized: bool, g: int,
     layered: bool = False, window_left: int = -1, softcap: float = 0.0,
-    alibi: bool = False,
+    alibi: bool = False, has_first_cols: bool = False,
 ):
     refs = list(refs)
     if layered:
         del refs[0]  # the layer-index prefetch ref (consumed by index maps)
+    fc_ref = refs.pop(0) if has_first_cols else None
     if quantized:
         q_ref, k_ref, v_ref, ks_ref, vs_ref = refs[:5]
         refs = refs[5:]
@@ -234,9 +235,15 @@ def _decode_kernel(
     gt = isp * nk + ik       # global kv tile index
     length = len_ref[ib]
     # sliding window: the query is the token at position length-1, so only
-    # columns >= length-1-window_left are visible
-    first_col = (jnp.maximum(length - 1 - window_left, 0)
-                 if window_left >= 0 else jnp.int32(0))
+    # columns >= length-1-window_left are visible. A sequence-sharded cache
+    # passes explicit per-row bounds instead (fc_ref): this rank's slots
+    # cover an arbitrary slice of the global window.
+    if fc_ref is not None:
+        first_col = fc_ref[ib]
+    elif window_left >= 0:
+        first_col = jnp.maximum(length - 1 - window_left, 0)
+    else:
+        first_col = jnp.int32(0)
 
     @pl.when(ik == 0)
     def _init():
@@ -314,6 +321,7 @@ def decode_attention(
     window_size: tuple = (-1, -1),
     softcap: float = 0.0,
     alibi_slopes=None,
+    first_cols: Optional[jnp.ndarray] = None,
 ):
     """Single-step decode attention over a (quantized) cache.
 
@@ -324,7 +332,9 @@ def decode_attention(
     applied before masking, matching the training kernel. ``alibi_slopes``:
     (h,) per-head slopes, bias -slope * (q_pos - kv_pos) with the query at
     position length-1 — API parity with the training kernels so ALiBi
-    models serve.
+    models serve. ``first_cols``: explicit per-row first visible column,
+    overriding the window derivation — a sequence-sharded cache computes
+    each rank's slice of the global window (serving/sharded.py).
 
     Returns out (b, h, d) bf16 (+ lse (b, h) fp32 when return_lse for the
     sequence-sharded merge).
@@ -372,33 +382,39 @@ def decode_attention(
     qg = q.reshape(b, h_kv, g, d)
 
     w_left = int(window_size[0])
+    has_fc = first_cols is not None
 
-    def _clamped_gt(ibb, isp, ik, lens):
+    def _clamped_gt(ibb, isp, ik, lens, rest):
         # clamp the global kv tile index into the live range: tiles past the
-        # length — or left of the sliding window — re-map to the nearest
+        # length — or left of the visible window — re-map to the nearest
         # live tile (Mosaic elides the repeated DMA)
         last = jnp.maximum((lens[ibb] - 1) // bkv, 0)
         gt = jnp.minimum(isp * nk_s + ik, last)
-        if w_left >= 0:
+        if has_fc:
+            lo = rest[0][ibb] // bkv  # explicit per-row first column
+            gt = jnp.maximum(gt, jnp.minimum(lo, last))
+        elif w_left >= 0:
             lo = jnp.maximum(lens[ibb] - 1 - w_left, 0) // bkv
             gt = jnp.maximum(gt, jnp.minimum(lo, last))
         return gt
 
     if layered:
-        def kv_im(ibb, ihk, isp, ik, lens, li):
-            return (li[0], ibb, ihk, _clamped_gt(ibb, isp, ik, lens), 0)
+        def kv_im(ibb, ihk, isp, ik, lens, li, *rest):
+            return (li[0], ibb, ihk,
+                    _clamped_gt(ibb, isp, ik, lens, rest), 0)
 
-        def sc_im(ibb, ihk, isp, ik, lens, li):
-            return (li[0], ibb, ihk, 0, _clamped_gt(ibb, isp, ik, lens))
+        def sc_im(ibb, ihk, isp, ik, lens, li, *rest):
+            return (li[0], ibb, ihk, 0,
+                    _clamped_gt(ibb, isp, ik, lens, rest))
 
         kv_block = (1, 1, 1, bkv, d)
         sc_block = (1, 1, 1, 1, bkv)
     else:
-        def kv_im(ibb, ihk, isp, ik, lens):
-            return (ibb, ihk, _clamped_gt(ibb, isp, ik, lens), 0)
+        def kv_im(ibb, ihk, isp, ik, lens, *rest):
+            return (ibb, ihk, _clamped_gt(ibb, isp, ik, lens, rest), 0)
 
-        def sc_im(ibb, ihk, isp, ik, lens):
-            return (ibb, ihk, 0, _clamped_gt(ibb, isp, ik, lens))
+        def sc_im(ibb, ihk, isp, ik, lens, *rest):
+            return (ibb, ihk, 0, _clamped_gt(ibb, isp, ik, lens, rest))
 
         kv_block = (1, 1, bkv, d)
         sc_block = (1, 1, 1, bkv)
@@ -430,8 +446,13 @@ def decode_attention(
         inputs += [jnp.asarray(alibi_slopes, jnp.float32
                                ).reshape(h_kv, g, 1)]
 
+    prefetch = [jnp.asarray(lengths, jnp.int32)]
+    if layered:
+        prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
+    if has_fc:
+        prefetch.append(jnp.asarray(first_cols, jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2 if layered else 1,
+        num_scalar_prefetch=len(prefetch),
         grid=(b, h_kv, splits, nk_s),
         in_specs=in_specs,
         out_specs=[
@@ -444,14 +465,12 @@ def decode_attention(
             pltpu.VMEM((g, d), jnp.float32),
         ],
     )
-    prefetch = [jnp.asarray(lengths, jnp.int32)]
-    if layered:
-        prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
     out, lse = pl.pallas_call(
         functools.partial(_decode_kernel, scale=float(scale), block_kv=bkv,
                           quantized=quantized, g=g, layered=layered,
                           window_left=w_left, softcap=float(softcap),
-                          alibi=alibi_slopes is not None),
+                          alibi=alibi_slopes is not None,
+                          has_first_cols=has_fc),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, h_kv, splits, g, d), jnp.float32),

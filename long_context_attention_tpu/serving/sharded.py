@@ -45,13 +45,15 @@ def sharded_decode_attention(
     interpret: Optional[bool] = None,
     layer: Optional[jnp.ndarray] = None,
     softcap: float = 0.0,
+    window_left: int = -1,
 ) -> jnp.ndarray:
     """Decode attention over a ring-sharded cache. Returns (b, h, d) bf16.
 
     Rank r's filled prefix is ``clip(L - r*slots, 0, slots)``; empty shards
     contribute lse=-inf partials that merge to a no-op. ``softcap`` is
-    position-free and composes with sharding; sliding windows do not
-    (they need global bounds) and are rejected upstream.
+    position-free; for ``window_left`` each rank receives its slice of the
+    GLOBAL window [L-1-w, L) as explicit per-row first columns — a rank
+    wholly left of the window goes dead and merges away.
     """
     axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
     r = lax.axis_index(axes)
@@ -60,10 +62,15 @@ def sharded_decode_attention(
         n *= lax.axis_size(a)
     slots = k_shard.shape[3 if layer is not None else 2]
     local_len = jnp.clip(global_lengths - r * slots, 0, slots)
+    first_cols = None
+    if window_left >= 0:
+        fc_global = jnp.maximum(global_lengths - 1 - window_left, 0)
+        first_cols = jnp.clip(fc_global - r * slots, 0, slots)
     out, lse = decode_attention(
         q, k_shard, v_shard, local_len, k_scale, v_scale,
         softmax_scale=softmax_scale, block_kv=block_kv, interpret=interpret,
         return_lse=True, layer=layer, softcap=softcap,
+        first_cols=first_cols,
     )  # (b, h, d), (b, h)
 
     outs = lax.all_gather(out.astype(jnp.float32), axes)  # (n, b, h, d)

@@ -343,3 +343,27 @@ def test_windowed_softcap_model_serves():
     np.testing.assert_allclose(  # bf16 ulp: chunked matmuls tile differently
         np.asarray(c2.k, np.float32)[:, :, :, :n],
         np.asarray(cache.k, np.float32)[:, :, :, :n], atol=1e-1, rtol=0)
+
+
+def test_windowed_model_serves_sharded(setup):
+    """Sliding-window decode over a sequence-sharded cache: each rank masks
+    its slice of the GLOBAL window; logits match the single-device engine."""
+    import dataclasses as dc
+
+    from long_context_attention_tpu.serving.sharded_engine import ShardedEngine
+
+    wcfg = dc.replace(CFG, window_left=20, softcap=8.0)
+    params = init_params(jax.random.PRNGKey(6), wcfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(7), (B, S_PROMPT), 0,
+                                wcfg.vocab, jnp.int32)
+    mesh = make_usp_mesh(dp=1, ulysses=2, ring=2)
+    sh = ShardedEngine(cfg=wcfg, mesh=mesh, s_max=64, cache_dtype="bfloat16")
+    single = Engine(cfg=wcfg, s_max=64, cache_dtype="bfloat16")
+    sl, _ = sh.prefill(params, prompt)
+    ul, _ = single.prefill(params, prompt)
+    np.testing.assert_allclose(np.asarray(sl), np.asarray(ul),
+                               atol=5e-2, rtol=0)
+    toks_s, cache_s, _ = sh.generate(params, prompt, 12)  # window crosses
+    res_u = single.generate(params, prompt, 12)           # a shard boundary
+    agree = (np.asarray(toks_s) == np.asarray(res_u.tokens)).mean()
+    assert agree >= 0.8, (np.asarray(toks_s), np.asarray(res_u.tokens))
