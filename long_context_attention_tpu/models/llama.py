@@ -611,6 +611,107 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
     return logits, cache
 
 
+def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
+                      cfg: ModelConfig, *,
+                      interpret: Optional[bool] = None):
+    """Teacher-forced multi-token decode: consume n tokens per row in ONE
+    forward against the cache (the speculative-decoding verify step).
+
+    tokens (b, n) int32 at per-row positions cache.length + [0, n) ->
+    (logits (b, n, vocab) fp32 — position i's logits follow token i — and
+    the cache with all n KVs appended, length advanced by n). The caller
+    rolls back to the accepted prefix by resetting ``length``: slots past
+    it are dead (masked by every reader) and get overwritten by later
+    appends, so rollback is free.
+
+    Structure per layer: causal flash self-attention among the n new tokens
+    (positions are per-row, but the causal mask is relative, so no offsets
+    are needed) + `flash_attention_fwd_cache` over the FULL-CAPACITY cache
+    with per-row ``kv_lengths`` masking (a traced-position variant of the
+    chunked-prefill building block), merged via online LSE; the n KVs
+    splice in with one multi-token `cache_append` run. Sliding-window
+    configs are rejected (the prefix window needs per-row position offsets
+    the cache kernel does not take); softcap composes.
+    """
+    import dataclasses as _dc
+
+    from long_context_attention_tpu.ops.decode import cache_append
+    from long_context_attention_tpu.ops.flash import (
+        flash_attention_fwd,
+        flash_attention_fwd_cache,
+    )
+    from long_context_attention_tpu.ops.kv_cache import quantize_kv
+    from long_context_attention_tpu.ops.merge import merge_attn_blocks
+
+    if cfg.window_left >= 0:
+        raise NotImplementedError(
+            "decode_multi_step with a sliding window needs per-row position "
+            "offsets in the cache-prefix kernel")
+    b, n = tokens.shape
+    x = params["embed"][tokens]            # (b, n, dim)
+    pos0 = cache.length                    # (b,)
+    positions = pos0[:, None] + jnp.arange(n, dtype=jnp.int32)[None]
+    scale = cfg.head_dim ** -0.5
+    hkv, dh = cfg.n_kv_heads, cfg.head_dim
+
+    def body(carry, lp):
+        x, li, kc_all, vc_all, ksc_all, vsc_all = carry
+        h = rmsnorm(x, lp["attn_norm"], cfg.norm_eps)
+        q = (h @ lp["wq"]).reshape(b, n, cfg.n_heads, dh)
+        k = (h @ lp["wk"]).reshape(b, n, hkv, dh)
+        v = (h @ lp["wv"]).reshape(b, n, hkv, dh)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+
+        out, lse = flash_attention_fwd(q, k, v, causal=True,
+                                       softcap=cfg.softcap,
+                                       softmax_scale=scale,
+                                       interpret=interpret)
+        s_max = kc_all.shape[3]
+        kcl = lax.dynamic_slice(
+            kc_all, (li, 0, 0, 0, 0), (1, b, hkv, s_max, dh))[0]
+        vcl = lax.dynamic_slice(
+            vc_all, (li, 0, 0, 0, 0), (1, b, hkv, s_max, dh))[0]
+        kscl = vscl = None
+        if ksc_all is not None:
+            kscl = lax.dynamic_slice(
+                ksc_all, (li, 0, 0, 0), (1, b, hkv, s_max))[0]
+            vscl = lax.dynamic_slice(
+                vsc_all, (li, 0, 0, 0), (1, b, hkv, s_max))[0]
+        c_out, c_lse = flash_attention_fwd_cache(
+            q, kcl, vcl, k_scale=kscl, v_scale=vscl,
+            softcap=cfg.softcap, kv_lengths=pos0,
+            softmax_scale=scale, interpret=interpret,
+        )
+        acc, _ = merge_attn_blocks(out.astype(jnp.float32), lse,
+                                   c_out, c_lse)
+        out = acc.astype(x.dtype)
+
+        dt_name = ("bfloat16" if ksc_all is None
+                   else jnp.dtype(kc_all.dtype).name)
+        kq, ks1 = quantize_kv(jnp.transpose(k, (0, 2, 1, 3)), dt_name)
+        vq, vs1 = quantize_kv(jnp.transpose(v, (0, 2, 1, 3)), dt_name)
+        res = cache_append(kc_all, vc_all, kq, vq, pos0,
+                           ksc_all, vsc_all, ks1, vs1,
+                           layer=li, interpret=interpret)
+        kc_all, vc_all = res[0], res[1]
+        if len(res) > 2:
+            ksc_all, vsc_all = res[2], res[3]
+
+        x = x + (out.reshape(b, n, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
+        hh = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
+        x = x + _ffn(cfg, lp, hh, full_capacity=True).astype(x.dtype)
+        return (x, li + 1, kc_all, vc_all, ksc_all, vsc_all), None
+
+    carry0 = (x, jnp.int32(0), cache.k, cache.v, cache.k_scale, cache.v_scale)
+    (x, _, kc, vc, ksc, vsc), _ = lax.scan(body, carry0, params["layers"])
+    cache = _dc.replace(cache, k=kc, v=vc, k_scale=ksc, v_scale=vsc,
+                        length=cache.length + n)
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, cache
+
+
 def make_forward(cfg: ModelConfig, mesh: Mesh, axes: MeshAxes = MeshAxes(), *,
                  interpret: Optional[bool] = None):
     """Jitted global forward: (params, tokens (b, s) sharded dp x seq) -> logits."""

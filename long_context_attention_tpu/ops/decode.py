@@ -55,36 +55,55 @@ def _append_kernel(pos_ref, *refs, rows: int, lanes: int, quantized: bool,
             ref[0, 0, :, :] = val
 
     ib = pl.program_id(0)
-    pos = pos_ref[ib]
-    live = pos >= 0
-    r = jnp.maximum(pos, 0)
+    it = pl.program_id(2)    # token index within the appended run
+    base = pos_ref[ib]
+    live = base >= 0
+    pos = jnp.maximum(base, 0) + it
+    r = pos % rows
 
-    sel = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-           == r % rows) & live
-    store(ko_ref, jnp.where(sel, kn_ref[0, 0], tile(k_ref)))
-    store(vo_ref, jnp.where(sel, vn_ref[0, 0], tile(v_ref)))
+    # The out block index only changes when the run crosses a tile
+    # boundary; the VMEM buffer persists across same-tile steps (Mosaic
+    # revisit semantics), so initialize it from the input tile exactly when
+    # entering the tile, then accumulate one row per step.
+    @pl.when((it == 0) | (r == 0))
+    def _enter_kv_tile():
+        store(ko_ref, tile(k_ref))
+        store(vo_ref, tile(v_ref))
+
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) == r) & live
+    store(ko_ref, jnp.where(sel, kn_ref[0, 0, 0], tile(ko_ref)))
+    store(vo_ref, jnp.where(sel, vn_ref[0, 0, 0], tile(vo_ref)))
     if ks_ref is not None:
+        c = pos % lanes
+
+        @pl.when((it == 0) | (c == 0))
+        def _enter_sc_tile():
+            store(kso_ref, tile(ks_ref))
+            store(vso_ref, tile(vs_ref))
+
         csel = (jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
-                == r % lanes) & live
-        store(kso_ref, jnp.where(csel, ksn_ref[0, 0], tile(ks_ref)))
-        store(vso_ref, jnp.where(csel, vsn_ref[0, 0], tile(vs_ref)))
+                == c) & live
+        store(kso_ref, jnp.where(csel, ksn_ref[0, 0, 0], tile(kso_ref)))
+        store(vso_ref, jnp.where(csel, vsn_ref[0, 0, 0], tile(vso_ref)))
 
 
 def cache_append(
     k_cache: jnp.ndarray,    # (b, h_kv, s_max, d) — or stacked (L, ...) with
     v_cache: jnp.ndarray,    # `layer`; bf16 / int8 / fp8
-    k_new: jnp.ndarray,      # (b, h_kv, 1, d) new token, cache dtype
+    k_new: jnp.ndarray,      # (b, h_kv, n, d) new token run, cache dtype
     v_new: jnp.ndarray,
-    append_pos: jnp.ndarray,  # (b,) int32 slot per row; -1 = skip the row
+    append_pos: jnp.ndarray,  # (b,) int32 FIRST slot per row; -1 = skip row
     k_scale: Optional[jnp.ndarray] = None,   # (b, h_kv, s_max) fp32 (or L,...)
     v_scale: Optional[jnp.ndarray] = None,
-    ks_new: Optional[jnp.ndarray] = None,    # (b, h_kv, 1) fp32
+    ks_new: Optional[jnp.ndarray] = None,    # (b, h_kv, n) fp32
     vs_new: Optional[jnp.ndarray] = None,
     *,
     layer: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
 ):
-    """Splice one token per batch row into the KV cache IN PLACE.
+    """Splice a run of n consecutive tokens per batch row into the KV cache
+    IN PLACE (n = 1 is the decode hot path; n > 1 is the speculative-decode
+    verify step writing the whole draft run at once).
 
     The write happens inside a pallas kernel whose cache outputs alias its
     cache inputs (``input_output_aliases``), so XLA updates the HBM buffers
@@ -109,50 +128,55 @@ def cache_append(
         _, b, h_kv, s_max, d = k_cache.shape
     else:
         b, h_kv, s_max, d = k_cache.shape
+    n_tok = k_new.shape[2]
     quantized = k_scale is not None
     rows = min(_APPEND_ROWS, s_max)
     lanes = min(_APPEND_LANES, s_max)
     assert s_max % rows == 0 and s_max % lanes == 0, (s_max, rows, lanes)
     interp = default_interpret() if interpret is None else bool(interpret)
 
-    def _tile(ibb, p):
-        return jnp.maximum(p[ibb], 0) // rows
+    def _tile(ibb, it, p):
+        return (jnp.maximum(p[ibb], 0) + it) // rows
 
-    def _lane_tile(ibb, p):
-        return jnp.maximum(p[ibb], 0) // lanes
+    def _lane_tile(ibb, it, p):
+        return (jnp.maximum(p[ibb], 0) + it) // lanes
 
     if layered:
-        def kv_im(ibb, ihk, p, li):
-            return (li[0], ibb, ihk, _tile(ibb, p), 0)
+        def kv_im(ibb, ihk, it, p, li):
+            return (li[0], ibb, ihk, _tile(ibb, it, p), 0)
 
-        def sc_im(ibb, ihk, p, li):
-            return (li[0], ibb, ihk, 0, _lane_tile(ibb, p))
+        def sc_im(ibb, ihk, it, p, li):
+            return (li[0], ibb, ihk, 0, _lane_tile(ibb, it, p))
 
-        def new_im(ibb, ihk, p, li):
-            return (ibb, ihk, 0, 0)
+        def new_im(ibb, ihk, it, p, li):
+            return (ibb, ihk, it, 0, 0)
 
         kv_block = (1, 1, 1, rows, d)
         sc_block = (1, 1, 1, 1, lanes)
-        nw_block = (1, 1, 1, d)
-        ns_block = (1, 1, 1, 1)
+        nw_block = (1, 1, 1, 1, d)
+        ns_block = (1, 1, 1, 1, 1)
     else:
-        def kv_im(ibb, ihk, p):
-            return (ibb, ihk, _tile(ibb, p), 0)
+        def kv_im(ibb, ihk, it, p):
+            return (ibb, ihk, _tile(ibb, it, p), 0)
 
-        def sc_im(ibb, ihk, p):
-            return (ibb, ihk, 0, _lane_tile(ibb, p))
+        def sc_im(ibb, ihk, it, p):
+            return (ibb, ihk, 0, _lane_tile(ibb, it, p))
 
-        def new_im(ibb, ihk, p):
-            return (ibb, ihk, 0, 0)
+        def new_im(ibb, ihk, it, p):
+            return (ibb, ihk, it, 0, 0)
 
         kv_block = (1, 1, rows, d)
         sc_block = (1, 1, 1, lanes)
-        nw_block = (1, 1, 1, d)
-        ns_block = (1, 1, 1, 1)
+        nw_block = (1, 1, 1, 1, d)
+        ns_block = (1, 1, 1, 1, 1)
 
+    # new-token runs ride with unit dims so their (1, d)/(1, 1) tiles are
+    # Mosaic-legal for every run length n (cf. the LSE layout note)
     in_specs = [pl.BlockSpec(kv_block, kv_im), pl.BlockSpec(kv_block, kv_im),
                 pl.BlockSpec(nw_block, new_im), pl.BlockSpec(nw_block, new_im)]
-    inputs = [k_cache, v_cache, k_new, v_new]
+    inputs = [k_cache, v_cache,
+              k_new.reshape(b, h_kv, n_tok, 1, d),
+              v_new.reshape(b, h_kv, n_tok, 1, d)]
     out_specs = [pl.BlockSpec(kv_block, kv_im), pl.BlockSpec(kv_block, kv_im)]
     out_shape = [jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype)] * 2
     sc_shape = None
@@ -163,8 +187,8 @@ def cache_append(
                      pl.BlockSpec(ns_block, new_im),
                      pl.BlockSpec(sc_block, sc_im),
                      pl.BlockSpec(sc_block, sc_im)]
-        inputs += [ks_new.reshape(b, h_kv, 1, 1).astype(jnp.float32),
-                   vs_new.reshape(b, h_kv, 1, 1).astype(jnp.float32),
+        inputs += [ks_new.reshape(b, h_kv, n_tok, 1, 1).astype(jnp.float32),
+                   vs_new.reshape(b, h_kv, n_tok, 1, 1).astype(jnp.float32),
                    k_scale.reshape(sc_shape), v_scale.reshape(sc_shape)]
         out_specs += [pl.BlockSpec(sc_block, sc_im),
                       pl.BlockSpec(sc_block, sc_im)]
@@ -185,7 +209,7 @@ def cache_append(
                           quantized=quantized, layered=layered),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(prefetch),
-            grid=(b, h_kv),
+            grid=(b, h_kv, n_tok),
             in_specs=in_specs,
             out_specs=out_specs,
         ),

@@ -1717,6 +1717,7 @@ def flash_attention_fwd_cache(
     q, k_cache, v_cache, *,
     k_scale=None, v_scale=None, softmax_scale=None,
     window_size=(-1, -1), softcap=0.0, q_start=0,
+    kv_lengths=None,
     block_sizes=None, interpret=None,
 ):
     """fwd-only attention of q (b, s_q, h, d) against a **BHSD cache slice**
@@ -1725,8 +1726,12 @@ def flash_attention_fwd_cache(
     sliding ``window_size`` the q rows sit at global positions
     ``q_start + i`` (their chunk offset) and cache tokens at ``j``, so the
     kernel's position-relative window masking applies across the chunk/cache
-    boundary. Returns (out, lse) in the standard contract, mergeable with
-    the chunk's own causal attention via ops/merge.py."""
+    boundary. ``kv_lengths`` ((b,) int32): per-row filled prefix — cache
+    slots past it are masked (expressed as in-kernel segment ids), which is
+    what lets a TRACED-position multi-token verify step (speculative
+    decoding) attend to a full-capacity cache without slicing it. Returns
+    (out, lse) in the standard contract, mergeable with the chunk's own
+    causal attention via ops/merge.py."""
     b, s_q, h, d = q.shape
     _, h_kv, s_kv, _ = k_cache.shape
     cfg = _resolve_cfg(
@@ -1734,14 +1739,21 @@ def flash_attention_fwd_cache(
         causal=False, softmax_scale=softmax_scale, window_size=window_size,
         softcap=softcap, n_q_chunks=1, n_kv_chunks=1, q_stride=1, kv_stride=1,
         block_sizes=block_sizes, interpret=interpret,
+        segmented=kv_lengths is not None,
     )
     if k_scale is not None:
         cfg = dataclasses.replace(cfg, kv_quantized=True)
+    q_seg = kv_seg = None
+    if kv_lengths is not None:
+        kv_seg = (jnp.arange(s_kv, dtype=jnp.int32)[None, :]
+                  < jnp.asarray(kv_lengths, jnp.int32)[:, None]
+                  ).astype(jnp.int32)
+        q_seg = jnp.ones((b, s_q), jnp.int32)
     q_off = jnp.full((1,), int(q_start), jnp.int32)
     zoff = jnp.zeros((1,), jnp.int32)
     out, lse = _flash_fwd_bhsd(
         _to_bhsd(q), k_cache, v_cache, q_off, zoff, cfg,
-        None, None, k_scale, v_scale,
+        q_seg, kv_seg, k_scale, v_scale,
     )
     return _to_bhsd(out), lse
 

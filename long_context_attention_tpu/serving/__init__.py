@@ -17,7 +17,12 @@ from long_context_attention_tpu.serving.sharded import (
     sharded_decode_attention,
 )
 from long_context_attention_tpu.serving.sharded_engine import ShardedEngine
+from long_context_attention_tpu.serving.speculative import (
+    SpeculativeEngine,
+    SpeculativeResult,
+)
 
 __all__ = ["ContinuousEngine", "Engine", "GenerationResult", "Request",
            "RequestResult", "ShardedContinuousEngine", "ShardedEngine",
+           "SpeculativeEngine", "SpeculativeResult",
            "sharded_cache_append", "sharded_decode_attention"]

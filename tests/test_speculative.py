@@ -1,0 +1,93 @@
+"""Speculative decoding: the emitted chain must be target-greedy regardless
+of the draft — acceptance only changes HOW FAST tokens appear, never WHICH."""
+
+import dataclasses as dc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from long_context_attention_tpu.models.llama import (
+    ModelConfig,
+    decode_multi_step,
+    init_params,
+    make_forward,
+)
+from long_context_attention_tpu.parallel import make_usp_mesh
+from long_context_attention_tpu.serving import Engine, SpeculativeEngine
+
+CFG = ModelConfig(vocab=64, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                  head_dim=32, ffn_hidden=128, layout="basic")
+DRAFT = ModelConfig(vocab=64, dim=32, n_layers=1, n_heads=2, n_kv_heads=1,
+                    head_dim=32, ffn_hidden=64, layout="basic")
+B, S_PROMPT = 2, 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    dparams = init_params(jax.random.PRNGKey(9), DRAFT)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (B, S_PROMPT), 0,
+                                CFG.vocab, jnp.int32)
+    return params, dparams, prompt
+
+
+def test_decode_multi_matches_forward(setup):
+    """decode_multi_step teacher-forced == the cache-free full forward at
+    every one of the n positions (the verify step's correctness)."""
+    params, _, prompt = setup
+    eng = Engine(CFG, s_max=64)
+    logits, cache = eng.prefill(params, prompt)
+    toks = jax.random.randint(jax.random.PRNGKey(2), (B, 4), 0, CFG.vocab,
+                              jnp.int32)
+    ml, cache2 = decode_multi_step(params, cache, toks, CFG)
+    fwd = make_forward(CFG, make_usp_mesh(1, 1, 1))
+    seq = prompt
+    for j in range(4):
+        seq = jnp.concatenate([seq, toks[:, j:j + 1]], axis=1)
+        fl = fwd(params, seq)[:, -1]
+        np.testing.assert_allclose(np.asarray(ml[:, j]), np.asarray(fl),
+                                   atol=5e-2, rtol=0)
+    assert cache2.length.tolist() == [S_PROMPT + 4] * B
+
+
+def _assert_greedy_up_to_ties(params, prompt, toks, tol=0.06):
+    """Every emitted token must be greedy-optimal under the TRUE cache-free
+    forward, up to a bf16 tie tolerance (two valid attention decompositions
+    may flip exact near-ties; anything beyond tol is a real bug)."""
+    fwd = make_forward(CFG, make_usp_mesh(1, 1, 1))
+    toks = np.asarray(toks)
+    seq = prompt
+    for j in range(toks.shape[1]):
+        logits = np.asarray(fwd(params, seq)[:, -1])
+        for i in range(toks.shape[0]):
+            gap = logits[i].max() - logits[i, toks[i, j]]
+            assert gap <= tol, (i, j, int(toks[i, j]),
+                                int(logits[i].argmax()), float(gap))
+        seq = jnp.concatenate([seq, jnp.asarray(toks[:, j:j + 1])], axis=1)
+
+
+@pytest.mark.parametrize("gamma", [1, 3])
+def test_speculative_chain_is_target_greedy(setup, gamma):
+    """With ANY draft, every emitted token is target-greedy (up to bf16
+    ties) — the draft can only change speed, never content."""
+    params, dparams, prompt = setup
+    spec = SpeculativeEngine(CFG, DRAFT, s_max=96, gamma=gamma)
+    res = spec.generate(params, dparams, prompt, 10)
+    assert res.tokens.shape == (B, 10)
+    _assert_greedy_up_to_ties(params, prompt, res.tokens)
+    assert 0 <= res.accepted <= res.drafted
+
+
+def test_self_draft_accepts_heavily(setup):
+    """Draft == target: the draft proposes (approximately) the target's own
+    greedy chain, so acceptance should be substantial and the chain is
+    target-greedy."""
+    params, _, prompt = setup
+    spec = SpeculativeEngine(CFG, CFG, s_max=96, gamma=4)
+    res = spec.generate(params, params, prompt, 8)
+    _assert_greedy_up_to_ties(params, prompt, res.tokens)
+    assert res.accepted / res.drafted >= 0.4, (res.accepted, res.drafted)
+    # speedup structure: each round emits at least one token per row
+    assert res.rounds <= 8
