@@ -45,23 +45,39 @@ class SamplingParams:
     top_p: float = 1.0         # 1 = disabled
 
 
+def transform_logits(logits: jnp.ndarray, params: SamplingParams
+                     ) -> jnp.ndarray:
+    """Apply temperature / top-k / top-p to (..., vocab) fp32 logits,
+    returning masked logits whose softmax IS the sampling distribution —
+    the piece speculative acceptance needs explicitly (q and p must be the
+    distributions actually sampled from, post-transform)."""
+    assert params.temperature > 0.0
+    logits = logits / params.temperature
+    if params.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[..., -params.top_k][..., None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if params.top_p < 1.0:
+        sorted_l = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_l, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest prefix with cumulative mass >= top_p stays
+        cutoff_idx = jnp.sum(cum < params.top_p, axis=-1)
+        cutoff = jnp.take_along_axis(sorted_l, cutoff_idx[..., None], axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return logits
+
+
+def sampling_probs(logits: jnp.ndarray, params: SamplingParams) -> jnp.ndarray:
+    """(..., vocab) fp32 logits -> the post-transform sampling distribution."""
+    return jax.nn.softmax(transform_logits(logits, params), axis=-1)
+
+
 def sample_token(logits: jnp.ndarray, params: SamplingParams,
                  key: Optional[jax.Array]) -> jnp.ndarray:
     """(b, vocab) fp32 logits -> (b,) int32 token ids."""
     if params.temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / params.temperature
-    if params.top_k > 0:
-        kth = jnp.sort(logits, axis=-1)[:, -params.top_k][:, None]
-        logits = jnp.where(logits < kth, -jnp.inf, logits)
-    if params.top_p < 1.0:
-        sorted_l = jnp.sort(logits, axis=-1)[:, ::-1]
-        probs = jax.nn.softmax(sorted_l, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # smallest prefix with cumulative mass >= top_p stays
-        cutoff_idx = jnp.sum(cum < params.top_p, axis=-1)
-        cutoff = jnp.take_along_axis(sorted_l, cutoff_idx[:, None], axis=-1)
-        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    logits = transform_logits(logits, params)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 

@@ -104,3 +104,45 @@ def test_staggered_budgets_and_int8(setup):
     res = spec.generate(params, dparams, prompt, 20)
     assert res.tokens.shape == (B, 20)
     _assert_greedy_up_to_ties(params, prompt, res.tokens, tol=0.6)
+
+
+def test_acceptance_math_is_exact():
+    """The Leviathan identity: q(x)*min(1, p(x)/q(x)) + P(reject)*residual(x)
+    == p(x) for arbitrary p, q — the distributional guarantee of sampled
+    speculative decoding, checked in closed form (no sampling noise)."""
+    from long_context_attention_tpu.serving.speculative import (
+        speculative_residual,
+    )
+
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        p = rng.random(97); p /= p.sum()
+        q = rng.random(97); q /= q.sum()
+        pj, qj = jnp.asarray(p), jnp.asarray(q)
+        accept_mass = jnp.minimum(pj, qj)          # q * min(1, p/q)
+        reject_prob = 1.0 - accept_mass.sum()
+        out_dist = accept_mass + reject_prob * speculative_residual(pj, qj)
+        np.testing.assert_allclose(np.asarray(out_dist), p, atol=1e-6)
+    # p == q: never rejects, residual irrelevant but must stay a valid dist
+    r = speculative_residual(jnp.asarray(p), jnp.asarray(p))
+    np.testing.assert_allclose(float(r.sum()), 1.0, atol=1e-6)
+
+
+def test_sampled_speculative_runs_and_self_draft_accepts(setup):
+    """temperature > 0: Leviathan path produces the right shapes; with
+    draft == target, p == q (up to bf16 kernel-path noise) so the ratio
+    test accepts nearly always."""
+    from long_context_attention_tpu.serving.engine import SamplingParams
+
+    params, dparams, prompt = setup
+    sp = SamplingParams(temperature=0.8, top_k=16)
+    spec = SpeculativeEngine(CFG, DRAFT, s_max=96, gamma=2)
+    res = spec.generate(params, dparams, prompt, 8, sampling=sp,
+                        key=jax.random.PRNGKey(3))
+    assert res.tokens.shape == (B, 8)
+    assert res.tokens.min() >= 0 and res.tokens.max() < CFG.vocab
+
+    self_spec = SpeculativeEngine(CFG, CFG, s_max=96, gamma=3)
+    res2 = self_spec.generate(params, params, prompt, 8, sampling=sp,
+                              key=jax.random.PRNGKey(4))
+    assert res2.accepted / res2.drafted >= 0.5, (res2.accepted, res2.drafted)
