@@ -86,6 +86,10 @@ class ContinuousEngine:
     max_batch: int = 8
     cache_dtype: str = "bfloat16"
     interpret: Optional[bool] = None
+    # decode steps per host sync (EOS detection + admission happen at block
+    # boundaries): >1 amortizes the host round trip at the cost of up to
+    # step_block-1 wasted row-steps after a mid-block finish
+    step_block: int = 1
 
     def init_cache(self) -> KVCache:
         return KVCache.init(self.cfg.n_layers, self.max_batch, self.s_max,
@@ -136,14 +140,45 @@ class ContinuousEngine:
         return dataclasses.replace(cache, k=k, v=v, k_scale=ksc, v_scale=vsc,
                                    length=length)
 
+    def _decode_one(self, params, cache: KVCache, tokens, active):
+        """One masked decode step (traced; overridden by the sharded
+        engine with the shard_map'd variant)."""
+        return decode_step(params, cache, tokens, self.cfg,
+                           interpret=self.interpret, active=active)
+
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _step(self, params, cache: KVCache, tokens: jnp.ndarray,
               sampling: SamplingParams, active: jnp.ndarray,
               key: jax.Array):
-        logits, cache = decode_step(params, cache, tokens, self.cfg,
-                                    interpret=self.interpret, active=active)
+        logits, cache = self._decode_one(params, cache, tokens, active)
         nxt = sample_token(logits, sampling, key)
         return nxt, cache
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _step_block(self, params, cache: KVCache, tokens: jnp.ndarray,
+                    sampling: SamplingParams, active: jnp.ndarray,
+                    budget: jnp.ndarray, key: jax.Array, eos: jnp.ndarray):
+        """``step_block`` decode steps in ONE device program: per-row EOS
+        and budget tracking runs on device, so the host syncs once per
+        block instead of once per token (the per-step host round trip —
+        ~30 ms through this image's tunnel — otherwise dominates). Rows
+        that finish mid-block deactivate in place; the host replays the
+        same done logic on the emitted (b, K) tokens, so results are
+        IDENTICAL to step_block=1 under greedy decoding."""
+        def step(carry, skey):
+            cache, tok, act, left = carry
+            logits, cache = self._decode_one(params, cache, tok, act)
+            nxt = sample_token(logits, sampling, skey)
+            nxt = jnp.where(act, nxt, tok)
+            left = left - act.astype(jnp.int32)
+            done = (left <= 0) | ((eos >= 0) & (nxt == eos))
+            act = act & ~done
+            return (cache, nxt, act, left), nxt
+
+        keys = jax.random.split(key, self.step_block)
+        (cache, _, _, _), toks = jax.lax.scan(
+            step, (cache, tokens, active, budget), keys)
+        return jnp.transpose(toks), cache
 
     def _admit_row(self, params, cache, req: Request, bi: int,
                    sampling: SamplingParams, key: jax.Array):
@@ -207,15 +242,27 @@ class ContinuousEngine:
             if not any(s is not None for s in slot):
                 continue  # everything admitted finished at its first token
             key, skey = jax.random.split(key)
-            nxt, cache = self._step(params, cache, jnp.asarray(cur),
-                                    sampling, live_mask(), skey)
-            nxt = np.asarray(nxt)
-            for bi in range(B):
-                if slot[bi] is None:
-                    continue
-                emitted[bi].append(int(nxt[bi]))
-                cur[bi] = int(nxt[bi])
-                self._maybe_finish(bi, slot, emitted, results, eos_id)
+            if self.step_block <= 1:
+                nxt, cache = self._step(params, cache, jnp.asarray(cur),
+                                        sampling, live_mask(), skey)
+                nxt = np.asarray(nxt)[:, None]
+            else:
+                budget = np.asarray(
+                    [slot[bi].max_new - len(emitted[bi])
+                     if slot[bi] is not None else 0 for bi in range(B)],
+                    np.int32)
+                nxt, cache = self._step_block(
+                    params, cache, jnp.asarray(cur), sampling, live_mask(),
+                    jnp.asarray(budget), skey,
+                    jnp.int32(-1 if eos_id is None else eos_id))
+                nxt = np.asarray(nxt)
+            for j in range(nxt.shape[1]):
+                for bi in range(B):
+                    if slot[bi] is None:
+                        continue
+                    emitted[bi].append(int(nxt[bi, j]))
+                    cur[bi] = int(nxt[bi, j])
+                    self._maybe_finish(bi, slot, emitted, results, eos_id)
         return results
 
     @staticmethod
@@ -314,10 +361,7 @@ class ShardedContinuousEngine(ContinuousEngine):
         first = sample_token(logits, sampling, key)
         return cache, int(first[0])
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
-    def _step(self, params, cache: KVCache, tokens: jnp.ndarray,
-              sampling: SamplingParams, active: jnp.ndarray,
-              key: jax.Array):
+    def _decode_one(self, params, cache: KVCache, tokens, active):
         from jax.sharding import PartitionSpec as P
 
         specs = self._sub._cache_specs()
@@ -328,11 +372,9 @@ class ShardedContinuousEngine(ContinuousEngine):
                                interpret=self.interpret,
                                shard_axes=seq_axes, active=act)
 
-        logits, cache = jax.shard_map(
+        return jax.shard_map(
             one, mesh=self.mesh,
             in_specs=(P(), specs, P(), P()),
             out_specs=(P(), specs),
             check_vma=False,
         )(params, cache, tokens, active)
-        nxt = sample_token(logits, sampling, key)
-        return nxt, cache

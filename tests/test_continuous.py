@@ -99,3 +99,35 @@ def test_sharded_continuous_matches_dedicated(params):
         want = list(np.asarray(ded.generate(
             zparams, jnp.asarray([r.tokens], jnp.int32), r.max_new).tokens)[0])
         assert results[r.id].tokens == want, (r.id, results[r.id].tokens, want)
+
+
+@pytest.mark.parametrize("sharded", [False, True])
+def test_step_block_equals_per_token(params, sharded):
+    """step_block > 1 (device-side EOS/budget tracking, one host sync per
+    block) must produce byte-identical results to per-token stepping under
+    greedy decoding — including mid-block finishes and admissions."""
+    from long_context_attention_tpu.parallel.mesh import make_usp_mesh
+    from long_context_attention_tpu.serving import ShardedContinuousEngine
+
+    reqs = [Request(id=i, tokens=_prompt(20 + i, n), max_new=m)
+            for i, (n, m) in enumerate([(24, 7), (40, 3), (16, 9)])]
+    base = _expected  # noqa: keep flake quiet
+    if sharded:
+        mesh = make_usp_mesh(1, 2, 4)
+        mk = lambda blk: ShardedContinuousEngine(
+            CFG, s_max=S_MAX, max_batch=2, mesh=mesh, step_block=blk)
+    else:
+        mk = lambda blk: ContinuousEngine(CFG, s_max=S_MAX, max_batch=2,
+                                          step_block=blk)
+    # force an EOS mid-stream for one request via a token we know appears
+    r1 = mk(1).serve(params, reqs)
+    r4 = mk(4).serve(params, reqs)
+    for i in range(3):
+        assert r1[i].tokens == r4[i].tokens, (i, r1[i].tokens, r4[i].tokens)
+
+    eos = r1[2].tokens[4]  # truncates request 2 mid-block
+    r1e = mk(1).serve(params, reqs, eos_id=eos)
+    r4e = mk(4).serve(params, reqs, eos_id=eos)
+    for i in range(3):
+        assert r1e[i].tokens == r4e[i].tokens, (i, r1e[i].tokens,
+                                                r4e[i].tokens)
