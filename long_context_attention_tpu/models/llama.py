@@ -613,7 +613,8 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
 
 def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
                       cfg: ModelConfig, *,
-                      interpret: Optional[bool] = None):
+                      interpret: Optional[bool] = None,
+                      active: Optional[jnp.ndarray] = None):
     """Teacher-forced multi-token decode: consume n tokens per row in ONE
     forward against the cache (the speculative-decoding verify step).
 
@@ -624,32 +625,37 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
     it are dead (masked by every reader) and get overwritten by later
     appends, so rollback is free.
 
-    Structure per layer: causal flash self-attention among the n new tokens
-    (positions are per-row, but the causal mask is relative, so no offsets
-    are needed) + `flash_attention_fwd_cache` over the FULL-CAPACITY cache
-    with per-row ``kv_lengths`` masking (a traced-position variant of the
-    chunked-prefill building block), merged via online LSE; the n KVs
-    splice in with one multi-token `cache_append` run. Sliding-window
-    configs are rejected (the prefix window needs per-row position offsets
-    the cache kernel does not take); softcap composes.
+    Structure per layer — IDENTICAL to `decode_step`, just n query rows per
+    cache stream: the run's KVs splice in with one multi-token
+    `cache_append` (quantized like every other slot), then ONE layered
+    multi-token `ops/decode.py:decode_attention` call attends each token i
+    to cache slots [0, pos0 + i] with per-row causal masking inside the
+    kernel. The whole run costs a single cache read per layer (the HBM
+    stream dominates decode, so verifying gamma draft tokens costs ~1.1x
+    one decode step), there is no per-layer `dynamic_slice` copy of the
+    stacked cache, and position i's math matches what `decode_step` would
+    compute for that token exactly (same kernel, same quantized KV path,
+    same tile order). Sliding windows and softcap compose per-row.
+
+    ``active``: optional (b,) bool — continuous batching. Inactive rows
+    write nothing and do not advance ``length``; their logits are garbage
+    the caller ignores.
     """
     import dataclasses as _dc
 
-    from long_context_attention_tpu.ops.decode import cache_append
-    from long_context_attention_tpu.ops.flash import (
-        flash_attention_fwd,
-        flash_attention_fwd_cache,
+    from long_context_attention_tpu.ops.decode import (
+        cache_append,
+        decode_attention,
     )
     from long_context_attention_tpu.ops.kv_cache import quantize_kv
-    from long_context_attention_tpu.ops.merge import merge_attn_blocks
 
-    if cfg.window_left >= 0:
-        raise NotImplementedError(
-            "decode_multi_step with a sliding window needs per-row position "
-            "offsets in the cache-prefix kernel")
     b, n = tokens.shape
     x = params["embed"][tokens]            # (b, n, dim)
     pos0 = cache.length                    # (b,)
+    live = (jnp.ones((b,), jnp.int32) if active is None
+            else jnp.asarray(active).astype(jnp.int32))
+    append_pos = jnp.where(live > 0, pos0, -1).astype(jnp.int32)
+    att_len = pos0 + n * live              # total visible incl. the run
     positions = pos0[:, None] + jnp.arange(n, dtype=jnp.int32)[None]
     scale = cfg.head_dim ** -0.5
     hkv, dh = cfg.n_kv_heads, cfg.head_dim
@@ -663,40 +669,22 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
 
-        out, lse = flash_attention_fwd(q, k, v, causal=True,
-                                       softcap=cfg.softcap,
-                                       softmax_scale=scale,
-                                       interpret=interpret)
-        s_max = kc_all.shape[3]
-        kcl = lax.dynamic_slice(
-            kc_all, (li, 0, 0, 0, 0), (1, b, hkv, s_max, dh))[0]
-        vcl = lax.dynamic_slice(
-            vc_all, (li, 0, 0, 0, 0), (1, b, hkv, s_max, dh))[0]
-        kscl = vscl = None
-        if ksc_all is not None:
-            kscl = lax.dynamic_slice(
-                ksc_all, (li, 0, 0, 0), (1, b, hkv, s_max))[0]
-            vscl = lax.dynamic_slice(
-                vsc_all, (li, 0, 0, 0), (1, b, hkv, s_max))[0]
-        c_out, c_lse = flash_attention_fwd_cache(
-            q, kcl, vcl, k_scale=kscl, v_scale=vscl,
-            softcap=cfg.softcap, kv_lengths=pos0,
-            softmax_scale=scale, interpret=interpret,
-        )
-        acc, _ = merge_attn_blocks(out.astype(jnp.float32), lse,
-                                   c_out, c_lse)
-        out = acc.astype(x.dtype)
-
         dt_name = ("bfloat16" if ksc_all is None
                    else jnp.dtype(kc_all.dtype).name)
         kq, ks1 = quantize_kv(jnp.transpose(k, (0, 2, 1, 3)), dt_name)
         vq, vs1 = quantize_kv(jnp.transpose(v, (0, 2, 1, 3)), dt_name)
-        res = cache_append(kc_all, vc_all, kq, vq, pos0,
+        res = cache_append(kc_all, vc_all, kq, vq, append_pos,
                            ksc_all, vsc_all, ks1, vs1,
                            layer=li, interpret=interpret)
         kc_all, vc_all = res[0], res[1]
         if len(res) > 2:
             ksc_all, vsc_all = res[2], res[3]
+
+        out = decode_attention(
+            q, kc_all, vc_all, att_len, ksc_all, vsc_all,
+            softmax_scale=scale, interpret=interpret, layer=li,
+            window_size=(cfg.window_left, -1), softcap=cfg.softcap,
+        )  # (b, n, h, d)
 
         x = x + (out.reshape(b, n, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
         hh = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
@@ -706,7 +694,7 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
     carry0 = (x, jnp.int32(0), cache.k, cache.v, cache.k_scale, cache.v_scale)
     (x, _, kc, vc, ksc, vsc), _ = lax.scan(body, carry0, params["layers"])
     cache = _dc.replace(cache, k=kc, v=vc, k_scale=ksc, v_scale=vsc,
-                        length=cache.length + n)
+                        length=cache.length + n * live)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
     return logits, cache

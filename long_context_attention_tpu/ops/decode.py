@@ -228,7 +228,7 @@ def _decode_kernel(
     *refs,
     scale: float, block_kv: int, quantized: bool, g: int,
     layered: bool = False, window_left: int = -1, softcap: float = 0.0,
-    alibi: bool = False, has_first_cols: bool = False,
+    alibi: bool = False, has_first_cols: bool = False, n_tok: int = 1,
 ):
     refs = list(refs)
     if layered:
@@ -258,14 +258,20 @@ def _decode_kernel(
     nk = pl.num_programs(3)
     gt = isp * nk + ik       # global kv tile index
     length = len_ref[ib]
-    # sliding window: the query is the token at position length-1, so only
-    # columns >= length-1-window_left are visible. A sequence-sharded cache
-    # passes explicit per-row bounds instead (fc_ref): this rank's slots
-    # cover an arbitrary slice of the global window.
+    # ``length`` counts every visible slot INCLUDING the n_tok newest tokens
+    # (already appended to the cache). Query row r = (head-member, token it)
+    # with it = r % n_tok sits at position length - n_tok + it and sees cols
+    # <= its own position — per-row causal masking over the shared cache
+    # stream (n_tok = 1 is classic decode: the single query sees length-1).
+    # Sliding window: only columns >= q_pos - window_left are visible. A
+    # sequence-sharded cache passes explicit per-row bounds instead
+    # (fc_ref): this rank's slots cover an arbitrary slice of the window.
+    # ``first_col`` is the scalar DMA/compute gate (min over query rows);
+    # exact per-row masking happens in-tile below.
     if fc_ref is not None:
         first_col = fc_ref[ib]
     elif window_left >= 0:
-        first_col = jnp.maximum(length - 1 - window_left, 0)
+        first_col = jnp.maximum(length - n_tok - window_left, 0)
     else:
         first_col = jnp.int32(0)
 
@@ -291,16 +297,25 @@ def _decode_kernel(
             s = softcap * jnp.tanh(s / softcap)
         cols = gt * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, dimension=1)
+        # per-row query position (n_tok == 1: every row at length - 1)
+        rowit = jax.lax.broadcasted_iota(
+            jnp.int32, (s.shape[0], 1), 0) % n_tok
+        qpos = length - n_tok + rowit                     # (rows, 1)
         if sl_ref is not None:
-            # ALiBi: -slope * (q_pos - kv_pos), q at position length-1
-            sl = sl_ref[0]  # (g, 1)
-            s = s - sl * (length - 1 - cols).astype(jnp.float32)
-        s = jnp.where((cols >= length) | (cols < first_col), NEG_INF, s)
+            # ALiBi: -slope * (q_pos - kv_pos)
+            sl = sl_ref[0]  # (rows, 1)
+            s = s - sl * (qpos - cols).astype(jnp.float32)
+        invisible = cols > qpos
+        if fc_ref is not None:
+            invisible |= cols < first_col
+        elif window_left >= 0:
+            invisible |= cols < qpos - window_left
+        s = jnp.where(invisible, NEG_INF, s)
 
         m_prev = m_scr[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
-        p = jnp.where((cols >= length) | (cols < first_col), 0.0, p)
+        p = jnp.where(invisible, 0.0, p)
         alpha = jnp.exp(m_prev - m_new)
         l_scr[...] = l_scr[...] * alpha + jnp.broadcast_to(
             jnp.sum(p, axis=1, keepdims=True), l_scr.shape)
@@ -329,7 +344,8 @@ def _decode_kernel(
 
 
 def decode_attention(
-    q: jnp.ndarray,          # (b, h, d) current-token queries
+    q: jnp.ndarray,          # (b, h, d) current-token queries — or
+                             # (b, n, h, d) for a multi-token run (verify)
     k_cache: jnp.ndarray,    # (b, h_kv, s_max, d) bf16 / int8 / fp8
     v_cache: jnp.ndarray,
     lengths: jnp.ndarray,    # (b,) int32 filled prefix per row
@@ -378,8 +394,23 @@ def decode_attention(
     It exists for multi-core parts and as the merge-correctness reference
     for the sharded decode (identical partial-merge math). Split merges are
     not bit-identical to the sequential online softmax.
+
+    **Multi-token runs** (speculative-decoding verify): q (b, n, h, d) at
+    per-row positions ``lengths - n + [0, n)`` — ``lengths`` counts every
+    visible slot INCLUDING the n new tokens, whose KVs must already sit in
+    the cache (`cache_append` writes the whole run at once). Query token i
+    sees cache slots [0, lengths - n + i] — per-row causal masking in the
+    SAME kernel stream, so an n-token verify costs one cache read, and its
+    math per row is identical to n sequential `decode_attention` calls.
+    Returns out (b, n, h, d) (+ lse (b, h, n)). The n rows ride the query
+    tile (g*n rows per (b, h_kv) grid cell); sliding windows apply per-row.
     """
-    b, h, d = q.shape
+    multi = q.ndim == 4
+    if multi:
+        b, n_tok, h, d = q.shape
+    else:
+        b, h, d = q.shape
+        n_tok = 1
     layered = layer is not None
     if layered:
         _, _, h_kv, s_max, _ = k_cache.shape
@@ -387,6 +418,11 @@ def decode_attention(
         _, h_kv, s_max, _ = k_cache.shape
     g = h // h_kv
     assert g * h_kv == h
+    G = g * n_tok  # query rows per (b, h_kv) grid cell, ordered (member, tok)
+    assert not (multi and first_cols is not None), (
+        "multi-token decode with explicit per-row first_cols (sharded "
+        "sliding window) is not supported — first_cols is per-batch-row, "
+        "but each token of the run has its own window start")
     quantized = k_scale is not None
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
     bkv = min(block_kv, s_max)
@@ -403,7 +439,13 @@ def decode_attention(
     nk_s = -(-nk // splits)  # tiles per split (ragged tail gated off)
     interp = default_interpret() if interpret is None else bool(interpret)
 
-    qg = q.reshape(b, h_kv, g, d)
+    if multi:
+        # (b, n, h, d) -> (b, h_kv, g, n, d) -> (b, h_kv, g*n, d):
+        # row r = member r // n, token r % n (what the kernel's rowit reads)
+        qg = jnp.transpose(q.reshape(b, n_tok, h_kv, g, d),
+                           (0, 2, 3, 1, 4)).reshape(b, h_kv, G, d)
+    else:
+        qg = q.reshape(b, h_kv, G, d)
 
     w_left = int(window_size[0])
     has_fc = first_cols is not None
@@ -418,7 +460,8 @@ def decode_attention(
             lo = rest[0][ibb] // bkv  # explicit per-row first column
             gt = jnp.maximum(gt, jnp.minimum(lo, last))
         elif w_left >= 0:
-            lo = jnp.maximum(lens[ibb] - 1 - w_left, 0) // bkv
+            # the earliest visible column over the run's rows (token 0)
+            lo = jnp.maximum(lens[ibb] - n_tok - w_left, 0) // bkv
             gt = jnp.maximum(gt, jnp.minimum(lo, last))
         return gt
 
@@ -450,7 +493,7 @@ def decode_attention(
         return (ibb, ihk, isp, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, g, d), qi),
+        pl.BlockSpec((1, 1, G, d), qi),
         pl.BlockSpec(kv_block, kv_im),
         pl.BlockSpec(kv_block, kv_im),
     ]
@@ -464,11 +507,13 @@ def decode_attention(
                      pl.BlockSpec(sc_block, sc_im)]
         inputs += [k_scale.reshape(sc_shape), v_scale.reshape(sc_shape)]
     if alibi_slopes is not None:
-        # (h,) -> (h_kv, g, 1): each grid cell reads its g heads' slopes
-        in_specs += [pl.BlockSpec((1, g, 1),
+        # (h,) -> (h_kv, g*n, 1): each grid cell reads its g heads' slopes,
+        # each repeated across the run's n_tok rows (row order (member, tok))
+        sl = jnp.asarray(alibi_slopes, jnp.float32).reshape(h_kv, g, 1, 1)
+        sl = jnp.broadcast_to(sl, (h_kv, g, n_tok, 1)).reshape(h_kv, G, 1)
+        in_specs += [pl.BlockSpec((1, G, 1),
                                   lambda ibb, ihk, isp, ik, *_: (ihk, 0, 0))]
-        inputs += [jnp.asarray(alibi_slopes, jnp.float32
-                               ).reshape(h_kv, g, 1)]
+        inputs += [sl]
 
     prefetch = [jnp.asarray(lengths, jnp.int32)]
     if layered:
@@ -480,13 +525,13 @@ def decode_attention(
         grid=(b, h_kv, splits, nk_s),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, 1, g, d), oi),
-            pl.BlockSpec((1, 1, 1, 1, g), oi),
+            pl.BlockSpec((1, 1, 1, G, d), oi),
+            pl.BlockSpec((1, 1, 1, 1, G), oi),
         ],
         scratch_shapes=[
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, d), jnp.float32),
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, d), jnp.float32),
         ],
     )
     out, lse = pl.pallas_call(
@@ -494,11 +539,11 @@ def decode_attention(
                           quantized=quantized, g=g, layered=layered,
                           window_left=w_left, softcap=float(softcap),
                           alibi=alibi_slopes is not None,
-                          has_first_cols=has_fc),
+                          has_first_cols=has_fc, n_tok=n_tok),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, h_kv, splits, g, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, h_kv, splits, 1, g), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_kv, splits, G, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_kv, splits, 1, G), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
@@ -514,6 +559,12 @@ def decode_attention(
         out, lse = merge_partials(jnp.moveaxis(out, 2, 0),
                                   jnp.moveaxis(lse[:, :, :, 0], 2, 0))
         out = out.astype(jnp.bfloat16)
+    if multi:
+        # (b, h_kv, g*n, d) -> (b, n, h, d); lse -> (b, h, n)
+        out = jnp.transpose(out.reshape(b, h_kv, g, n_tok, d),
+                            (0, 3, 1, 2, 4)).reshape(b, n_tok, h, d)
+        lse = lse.reshape(b, h, n_tok)
+        return (out, lse) if return_lse else out
     out = out.reshape(b, h, d)
     lse = lse.reshape(b, h)
     return (out, lse) if return_lse else out

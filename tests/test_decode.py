@@ -266,3 +266,55 @@ def test_decode_alibi(rng):
         np.testing.assert_allclose(np.asarray(out[i], np.float32),
                                    np.asarray(ref[0, 0], np.float32),
                                    atol=1e-1, rtol=0)
+
+
+@pytest.mark.parametrize("dtype,w,cap,use_alibi", [
+    ("bfloat16", -1, 0.0, False),
+    ("int8", -1, 0.0, False),
+    ("bfloat16", 40, 8.0, False),
+    ("bfloat16", -1, 0.0, True),
+])
+def test_decode_multi_token_matches_sequential(rng, dtype, w, cap, use_alibi):
+    """The n-token run (b, n, h, d) must equal n sequential single-token
+    decode calls: token i of the run sees cache slots [0, L - n + i] — the
+    per-row causal mask inside the shared cache stream (spec-dec verify)."""
+    n = 3
+    k = jnp.asarray(rng.normal(size=(B, SMAX, HKV, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, SMAX, HKV, D)), jnp.bfloat16)
+    qs = jnp.asarray(rng.normal(size=(B, n, H, D)), jnp.bfloat16)
+    lengths = jnp.asarray([192, 77], jnp.int32)  # incl. the n newest slots
+    kc, ks = quantize_kv(jnp.transpose(k, (0, 2, 1, 3)), dtype)
+    vc, vs = quantize_kv(jnp.transpose(v, (0, 2, 1, 3)), dtype)
+    slopes = (jnp.asarray(rng.random(size=(H,)), jnp.float32) * 0.2
+              if use_alibi else None)
+    kw = dict(softmax_scale=None, block_kv=128, window_size=(w, -1),
+              softcap=cap, alibi_slopes=slopes)
+    out, lse = decode_attention(qs, kc, vc, lengths, ks, vs,
+                                return_lse=True, **kw)
+    assert out.shape == (B, n, H, D) and lse.shape == (B, H, n)
+    for i in range(n):
+        oi, li = decode_attention(qs[:, i], kc, vc, lengths - (n - 1 - i),
+                                  ks, vs, return_lse=True, **kw)
+        np.testing.assert_allclose(np.asarray(out[:, i], np.float32),
+                                   np.asarray(oi, np.float32),
+                                   atol=2e-2, rtol=0)
+        np.testing.assert_allclose(np.asarray(lse[..., i], np.float32),
+                                   np.asarray(li, np.float32),
+                                   atol=2e-2, rtol=0)
+
+
+def test_decode_multi_token_layered(rng):
+    """Layer-indexed stacked cache + multi-token run: the serving verify
+    path reads layer li of (L, b, h, s, d) via index maps, no slicing."""
+    n, L = 4, 2
+    k = jnp.asarray(rng.normal(size=(L, B, HKV, SMAX, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(L, B, HKV, SMAX, D)), jnp.bfloat16)
+    qs = jnp.asarray(rng.normal(size=(B, n, H, D)), jnp.bfloat16)
+    lengths = jnp.asarray([128, 64], jnp.int32)
+    for li in range(L):
+        out = decode_attention(qs, k, v, lengths, layer=jnp.int32(li),
+                               block_kv=128)
+        ref = decode_attention(qs, k[li], v[li], lengths, block_kv=128)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=1e-6, rtol=0)

@@ -146,3 +146,25 @@ def test_sampled_speculative_runs_and_self_draft_accepts(setup):
     res2 = self_spec.generate(params, params, prompt, 8, sampling=sp,
                               key=jax.random.PRNGKey(4))
     assert res2.accepted / res2.drafted >= 0.5, (res2.accepted, res2.drafted)
+
+
+def test_decode_multi_window_matches_decode_step(setup):
+    """Sliding-window configs now flow through decode_multi_step (per-row
+    window masking inside the multi-token cache kernel): teacher-forcing n
+    tokens must match n sequential decode_step calls exactly — same kernel,
+    same quantized-cache math, same tile order."""
+    from long_context_attention_tpu.models.llama import decode_step
+
+    params, _, prompt = setup
+    wcfg = dc.replace(CFG, window_left=8)
+    eng = Engine(wcfg, s_max=64)
+    _, cache_m = eng.prefill(params, prompt)
+    _, cache_s = eng.prefill(params, prompt)
+    toks = jax.random.randint(jax.random.PRNGKey(3), (B, 4), 0, CFG.vocab,
+                              jnp.int32)
+    ml, cache_m = decode_multi_step(params, cache_m, toks, wcfg)
+    for j in range(4):
+        sl, cache_s = decode_step(params, cache_s, toks[:, j], wcfg)
+        np.testing.assert_allclose(np.asarray(ml[:, j]), np.asarray(sl),
+                                   atol=1e-5, rtol=0)
+    assert cache_m.length.tolist() == cache_s.length.tolist()
