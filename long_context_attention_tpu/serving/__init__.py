@@ -10,6 +10,7 @@ from long_context_attention_tpu.serving.continuous import (
     Request,
     RequestResult,
     ShardedContinuousEngine,
+    SpeculativeContinuousEngine,
 )
 from long_context_attention_tpu.serving.engine import Engine, GenerationResult
 from long_context_attention_tpu.serving.sharded import (
@@ -24,5 +25,6 @@ from long_context_attention_tpu.serving.speculative import (
 
 __all__ = ["ContinuousEngine", "Engine", "GenerationResult", "Request",
            "RequestResult", "ShardedContinuousEngine", "ShardedEngine",
-           "SpeculativeEngine", "SpeculativeResult",
+           "SpeculativeContinuousEngine", "SpeculativeEngine",
+           "SpeculativeResult",
            "sharded_cache_append", "sharded_decode_attention"]

@@ -378,3 +378,145 @@ class ShardedContinuousEngine(ContinuousEngine):
             out_specs=(P(), specs),
             check_vma=False,
         )(params, cache, tokens, active)
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeculativeContinuousEngine(ContinuousEngine):
+    """Continuous batching x speculative decoding: an Orca-style scheduler
+    whose model step is a draft-propose + one-shot-verify ROUND instead of
+    a single decode step.
+
+    Every round, all ``max_batch`` rows run ``gamma`` draft steps plus one
+    target `decode_multi_step` verify (both gated by the ``active`` row
+    mask), each row accepts its own draft prefix, and rows that finish
+    (EOS / budget) free their slot for the next queued request before the
+    next round — so the batch stays full while each live row emits up to
+    ``gamma + 1`` tokens per target forward. Greedy (temperature 0) emits
+    exactly the target-greedy chain; ``sampling.temperature > 0`` runs the
+    Leviathan acceptance rule (exact target distribution, as
+    `SpeculativeEngine`). Cache rollback stays free: per-row ``length``
+    resets cover both rejection and the inactive rows of a partially-empty
+    batch.
+
+    ``step_block`` is ignored — a speculative round already amortizes the
+    host sync over up to ``gamma + 1`` emitted tokens per row.
+    """
+
+    draft_cfg: Optional[ModelConfig] = None
+    gamma: int = 4
+
+    def __post_init__(self):
+        assert self.draft_cfg is not None, "draft_cfg is required"
+        assert self.cfg.vocab == self.draft_cfg.vocab, "vocabularies differ"
+        assert self.gamma >= 1
+
+    @property
+    def _draft_eng(self) -> ContinuousEngine:
+        # equal field values -> equal (hashable) instance -> jit cache hits
+        return ContinuousEngine(self.draft_cfg, self.s_max, self.max_batch,
+                                self.cache_dtype, self.interpret)
+
+    @property
+    def _spec(self):
+        from long_context_attention_tpu.serving.speculative import (
+            SpeculativeEngine,
+        )
+        return SpeculativeEngine(self.cfg, self.draft_cfg, self.s_max,
+                                 self.gamma, self.cache_dtype, self.interpret)
+
+    def serve(self, params, draft_params, requests: Sequence[Request], *,
+              sampling: SamplingParams = SamplingParams(),
+              eos_id: Optional[int] = None,
+              key: Optional[jax.Array] = None) -> Dict[int, RequestResult]:
+        """Run all requests to completion; returns {request.id: result}."""
+        B = self.max_batch
+        for r in requests:
+            if len(r.tokens) + r.max_new + self.gamma > self.s_max:
+                raise ValueError(
+                    f"request {r.id}: prompt ({len(r.tokens)}) + max_new "
+                    f"({r.max_new}) + gamma ({self.gamma}) exceeds cache "
+                    f"capacity s_max={self.s_max}")
+        sampled = sampling.temperature > 0.0
+        spec = self._spec
+        deng = self._draft_eng
+        queue = deque(requests)
+        tcache = self.init_cache()
+        dcache = deng.init_cache()
+        slot: List[Optional[Request]] = [None] * B
+        emitted: List[List[int]] = [[] for _ in range(B)]
+        cur = np.zeros((B,), np.int32)
+        results: Dict[int, RequestResult] = {}
+        key = jax.random.PRNGKey(0) if key is None else key
+
+        def admit():
+            nonlocal tcache, dcache
+            for bi in range(B):
+                if slot[bi] is not None or not queue:
+                    continue
+                req = queue.popleft()
+                skey = jax.random.fold_in(key, req.id)
+                tcache, first = self._admit_row(params, tcache, req, bi,
+                                                sampling, skey)
+                dcache, _ = deng._admit_row(draft_params, dcache, req, bi,
+                                            sampling, skey)
+                slot[bi] = req
+                emitted[bi] = [first]
+                cur[bi] = first
+                self._maybe_finish(bi, slot, emitted, results, eos_id)
+                if slot[bi] is None:
+                    # finished at its very first token: the freed row must
+                    # not keep phantom cache state for the next admit scan
+                    tcache = dataclasses.replace(
+                        tcache, length=tcache.length.at[bi].set(0))
+                    dcache = dataclasses.replace(
+                        dcache, length=dcache.length.at[bi].set(0))
+
+        while queue or any(s is not None for s in slot):
+            admit()
+            if not any(s is not None for s in slot):
+                continue  # everything admitted finished at its first token
+            live = np.asarray([s is not None for s in slot])
+            active = jnp.asarray(live)
+            t = jnp.asarray(cur, jnp.int32)
+            base_len = np.asarray(tcache.length)
+            if sampled:
+                key, kd, kv = jax.random.split(key, 3)
+                drafts, qdist, dcache = spec._draft_run_sampled(
+                    draft_params, dcache, t, sampling, kd, active)
+                run = jnp.concatenate([t[:, None], drafts], axis=1)
+                accept_m, fallback, tcache = spec._verify_sampled(
+                    params, tcache, run, drafts, qdist, sampling, kv, active)
+                acc_np = np.asarray(accept_m)
+                d_np, c_np = np.asarray(drafts), np.asarray(fallback)
+            else:
+                drafts, dcache = spec._draft_run(draft_params, dcache, t,
+                                                 active)
+                run = jnp.concatenate([t[:, None], drafts], axis=1)
+                choices, tcache = spec._verify(params, tcache, run, active)
+                d_np, c_np = np.asarray(drafts), np.asarray(choices)
+                acc_np = d_np == c_np[:, :self.gamma]
+
+            keep = base_len.copy()
+            for bi in range(B):
+                req = slot[bi]
+                if req is None:
+                    continue
+                a = 0
+                while a < self.gamma and acc_np[bi, a]:
+                    a += 1
+                row = [int(x) for x in d_np[bi, :a]] + [int(c_np[bi, a])]
+                # truncate at EOS / budget; the slot frees either way, and
+                # admission resets the row's cache length, so kept-slot
+                # accounting only matters for rows that stay live
+                for j, tok in enumerate(row):
+                    emitted[bi].append(tok)
+                    cur[bi] = tok
+                    self._maybe_finish(bi, slot, emitted, results, eos_id)
+                    if slot[bi] is None:
+                        break
+                if slot[bi] is not None:
+                    keep[bi] = base_len[bi] + a + 1
+            tcache = dataclasses.replace(tcache, length=jnp.asarray(keep))
+            dcache = dataclasses.replace(dcache,
+                                         length=jnp.asarray(keep.copy()))
+        return results

@@ -85,17 +85,23 @@ class SpeculativeEngine:
         assert self.gamma >= 1
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
-    def _draft_run(self, draft_params, dcache, t: jnp.ndarray):
+    def _draft_run(self, draft_params, dcache, t: jnp.ndarray,
+                   active: Optional[jnp.ndarray] = None):
         """gamma+1 greedy draft steps from last token t (b,). Returns the
         first gamma proposals (b, gamma) and the advanced draft cache. The
         extra step writes d_gamma's KV so a fully-accepted round leaves the
-        draft cache covering every kept slot (its proposal is discarded)."""
+        draft cache covering every kept slot (its proposal is discarded).
+        ``active`` (continuous batching): inactive rows write nothing,
+        advance nothing, and keep emitting their input token."""
         def step(carry, _):
             cache, tok = carry
             logits, cache = decode_step(draft_params, cache, tok,
                                         self.draft_cfg,
-                                        interpret=self.interpret)
+                                        interpret=self.interpret,
+                                        active=active)
             nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            if active is not None:
+                nxt = jnp.where(active, nxt, tok)
             return (cache, nxt), nxt
 
         (dcache, _), drafts = jax.lax.scan(step, (dcache, t), None,
@@ -103,17 +109,20 @@ class SpeculativeEngine:
         return jnp.transpose(drafts)[:, :self.gamma], dcache  # (b, gamma)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
-    def _verify(self, params, tcache, toks: jnp.ndarray):
+    def _verify(self, params, tcache, toks: jnp.ndarray,
+                active: Optional[jnp.ndarray] = None):
         """Target scores the run [t, d_1..d_gamma] (b, gamma+1) in one
         multi-token forward. Returns the target's greedy choice after each
         position (b, gamma+1) and the cache advanced by gamma+1."""
         logits, tcache = decode_multi_step(params, tcache, toks, self.cfg,
-                                           interpret=self.interpret)
+                                           interpret=self.interpret,
+                                           active=active)
         return jnp.argmax(logits, -1).astype(jnp.int32), tcache
 
     @functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=2)
     def _draft_run_sampled(self, draft_params, dcache, t: jnp.ndarray,
-                           sampling: SamplingParams, key: jax.Array):
+                           sampling: SamplingParams, key: jax.Array,
+                           active: Optional[jnp.ndarray] = None):
         """gamma+1 SAMPLED draft steps. Returns (drafts (b, gamma),
         qdist (b, gamma, vocab) — the post-transform distributions the
         drafts were actually drawn from — and the advanced cache)."""
@@ -121,11 +130,14 @@ class SpeculativeEngine:
             cache, tok = carry
             logits, cache = decode_step(draft_params, cache, tok,
                                         self.draft_cfg,
-                                        interpret=self.interpret)
+                                        interpret=self.interpret,
+                                        active=active)
             q = sampling_probs(logits, sampling)
             nxt = jax.random.categorical(
                 skey, jnp.log(jnp.maximum(q, 1e-37)), axis=-1
             ).astype(jnp.int32)
+            if active is not None:
+                nxt = jnp.where(active, nxt, tok)
             return (cache, nxt), (nxt, q)
 
         keys = jax.random.split(key, self.gamma + 1)
@@ -135,7 +147,8 @@ class SpeculativeEngine:
 
     @functools.partial(jax.jit, static_argnums=(0, 6), donate_argnums=2)
     def _verify_sampled(self, params, tcache, toks, drafts, qdist,
-                        sampling: SamplingParams, key: jax.Array):
+                        sampling: SamplingParams, key: jax.Array,
+                        active: Optional[jnp.ndarray] = None):
         """Leviathan acceptance. toks (b, gamma+1) = [t, d_1..d_gamma];
         position j's target distribution p_j follows toks[:, j]. Draft
         d_{j+1} (= drafts[:, j], drawn from qdist[:, j]) is accepted with
@@ -145,7 +158,8 @@ class SpeculativeEngine:
         accepted prefix + fallback is distributed EXACTLY as sampling every
         token from the target (arXiv:2211.17192, Thm. 1)."""
         logits, tcache = decode_multi_step(params, tcache, toks, self.cfg,
-                                           interpret=self.interpret)
+                                           interpret=self.interpret,
+                                           active=active)
         p = sampling_probs(logits, sampling)      # (b, gamma+1, vocab)
         ku, kr = jax.random.split(key)
         p_d = jnp.take_along_axis(p[:, :-1], drafts[..., None],

@@ -131,3 +131,80 @@ def test_step_block_equals_per_token(params, sharded):
     for i in range(3):
         assert r1e[i].tokens == r4e[i].tokens, (i, r1e[i].tokens,
                                                 r4e[i].tokens)
+
+
+DRAFT = ModelConfig(vocab=96, dim=32, n_layers=1, n_heads=2, n_kv_heads=1,
+                    head_dim=32, ffn_hidden=64, layout="basic")
+
+
+@pytest.fixture(scope="module")
+def dparams():
+    from long_context_attention_tpu.models.llama import init_params as ip
+    return ip(jax.random.PRNGKey(9), DRAFT)
+
+
+def test_speculative_continuous_matches_plain(params, dparams):
+    """Speculative rounds inside the continuous scheduler must be invisible
+    to the math: greedy outputs equal the plain ContinuousEngine's (every
+    emitted token is a target-greedy token; the draft only changes how many
+    arrive per round), across queueing and different budgets."""
+    from long_context_attention_tpu.serving import SpeculativeContinuousEngine
+
+    reqs = [Request(id=i, tokens=_prompt(30 + i, n), max_new=m)
+            for i, (n, m) in enumerate([(12, 7), (40, 5), (25, 9),
+                                        (18, 4)])]
+    plain = ContinuousEngine(CFG, s_max=S_MAX, max_batch=2
+                             ).serve(params, reqs)
+    spec = SpeculativeContinuousEngine(
+        CFG, s_max=S_MAX, max_batch=2, draft_cfg=DRAFT, gamma=3
+    ).serve(params, dparams, reqs)
+    assert sorted(spec) == sorted(plain)
+    for i in plain:
+        assert spec[i].tokens == plain[i].tokens, (
+            i, spec[i].tokens, plain[i].tokens)
+
+
+def test_speculative_continuous_eos_and_self_draft(params, dparams):
+    """EOS truncates mid-round (the freed row admits the next request), and
+    a self-draft (draft == target) accepts essentially everything — the
+    round count collapses toward ceil(max_new / (gamma + 1))."""
+    from long_context_attention_tpu.serving import SpeculativeContinuousEngine
+
+    reqs = [Request(id=0, tokens=_prompt(41, 20), max_new=8),
+            Request(id=1, tokens=_prompt(42, 12), max_new=6)]
+    plain = ContinuousEngine(CFG, s_max=S_MAX, max_batch=1
+                             ).serve(params, reqs)
+    eos = plain[0].tokens[3]
+    plain_e = ContinuousEngine(CFG, s_max=S_MAX, max_batch=1
+                               ).serve(params, reqs, eos_id=eos)
+    spec_e = SpeculativeContinuousEngine(
+        CFG, s_max=S_MAX, max_batch=1, draft_cfg=DRAFT, gamma=4
+    ).serve(params, dparams, reqs, eos_id=eos)
+    for i in plain_e:
+        assert spec_e[i].tokens == plain_e[i].tokens
+
+    # self-draft: target drafts for itself -> near-total acceptance
+    self_spec = SpeculativeContinuousEngine(
+        CFG, s_max=S_MAX, max_batch=2, draft_cfg=CFG, gamma=4
+    ).serve(params, params, reqs)
+    for i in plain:
+        assert self_spec[i].tokens == plain[i].tokens
+
+
+def test_speculative_continuous_sampled_runs(params, dparams):
+    """Leviathan-sampled mode inside the continuous scheduler: completes
+    every request with the right budget (distribution exactness is proven
+    at the SpeculativeEngine level; here we check the scheduler plumbing)."""
+    from long_context_attention_tpu.serving import SpeculativeContinuousEngine
+    from long_context_attention_tpu.serving.engine import SamplingParams
+
+    reqs = [Request(id=i, tokens=_prompt(50 + i, n), max_new=m)
+            for i, (n, m) in enumerate([(10, 5), (22, 7), (15, 4)])]
+    out = SpeculativeContinuousEngine(
+        CFG, s_max=S_MAX, max_batch=2, draft_cfg=DRAFT, gamma=3
+    ).serve(params, dparams, reqs,
+            sampling=SamplingParams(temperature=0.8, top_k=20),
+            key=jax.random.PRNGKey(5))
+    assert sorted(out) == [0, 1, 2]
+    for r in reqs:
+        assert len(out[r.id].tokens) == r.max_new
