@@ -251,14 +251,19 @@ def forward_local(params: Params, tokens: jnp.ndarray, cfg: ModelConfig, *,
                   interpret: Optional[bool] = None,
                   return_kv: bool = False,
                   tp_axis: Optional[str] = None,
-                  ep_axis: Optional[str] = None):
+                  ep_axis: Optional[str] = None,
+                  last_index=None):
     """Device-local forward: tokens (b, s_local) int32 -> logits fp32
     (b, s_local, vocab). Call inside shard_map over the USP mesh.
 
     ``return_kv=True`` also returns per-layer post-RoPE (k, v), each
     (n_layers, b, s_local, h_kv, d) — the prefill path's cache feed.
     ``tp_axis``: tensor-parallel mesh axis; weight shards arrive via the
-    shard_map in_specs (:func:`param_specs`)."""
+    shard_map in_specs (:func:`param_specs`).
+    ``last_index``: optional LOCAL position (int or traced scalar): project
+    only that position through lm_head — logits (b, 1, vocab). Serving
+    prefill reads a single next-token row; the full (s, vocab) fp32 tensor
+    (and its whole-prompt lm_head matmul) is bucket x vocab waste there."""
     b, s = tokens.shape
     positions = local_positions(cfg, s, ulysses_axis=ulysses_axis,
                                 ring_axis=ring_axis)
@@ -272,6 +277,8 @@ def forward_local(params: Params, tokens: jnp.ndarray, cfg: ModelConfig, *,
 
     x, kv = lax.scan(body, x, params["layers"])
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    if last_index is not None:
+        x = lax.dynamic_slice_in_dim(x, last_index, 1, axis=1)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
     return (logits, kv) if return_kv else logits
 

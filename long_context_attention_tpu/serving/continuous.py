@@ -99,24 +99,31 @@ class ContinuousEngine:
     # --- jitted pieces -----------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _prefill_one(self, params, tokens: jnp.ndarray):
-        """(1, bucket) padded prompt -> (logits (1, bucket, vocab) fp32,
-        (kv_k, kv_v) (L, 1, bucket, h_kv, d)). Padding rides along; the
-        caller reads the true last token's logits and the row insert stores
-        only slots the row's ``length`` exposes."""
+    def _prefill_one(self, params, tokens: jnp.ndarray,
+                     last_index: jnp.ndarray):
+        """(1, bucket) padded prompt -> (next-token logits (1, vocab) fp32,
+        (kv_k, kv_v) (L, 1, bucket, h_kv, d)). Padding rides along; only
+        the true last token (traced ``last_index``, so every prompt length
+        in a bucket shares one compilation) projects through lm_head — the
+        full bucket x vocab fp32 logits were admission's memory hot spot —
+        and the row insert stores only slots the row's ``length`` exposes."""
         mesh = make_usp_mesh(1, 1, 1, devices=jax.devices()[:1])
 
-        def fwd(params, tokens):
-            return forward_local(params, tokens, self.cfg,
-                                 ulysses_axis="ulysses", ring_axis="ring",
-                                 interpret=self.interpret, return_kv=True)
+        def fwd(params, tokens, last_index):
+            logits, kv = forward_local(params, tokens, self.cfg,
+                                       ulysses_axis="ulysses",
+                                       ring_axis="ring",
+                                       interpret=self.interpret,
+                                       return_kv=True,
+                                       last_index=last_index)
+            return logits[:, 0], kv
 
         return jax.shard_map(
             fwd, mesh=mesh,
-            in_specs=(jax.sharding.PartitionSpec(),) * 2,
+            in_specs=(jax.sharding.PartitionSpec(),) * 3,
             out_specs=jax.sharding.PartitionSpec(),
             check_vma=False,
-        )(params, tokens)
+        )(params, tokens, last_index)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _insert_row(self, cache: KVCache, kv_k, kv_v, row: jnp.ndarray,
@@ -189,10 +196,11 @@ class ContinuousEngine:
         pad = _bucket(n)
         toks = np.zeros((1, pad), np.int32)
         toks[0, :n] = np.asarray(req.tokens, np.int32)
-        logits, (kv_k, kv_v) = self._prefill_one(params, jnp.asarray(toks))
+        logits, (kv_k, kv_v) = self._prefill_one(params, jnp.asarray(toks),
+                                                 jnp.int32(n - 1))
         cache = self._insert_row(cache, kv_k, kv_v,
                                  jnp.int32(bi), jnp.int32(n))
-        first = sample_token(logits[:, n - 1], sampling, key)
+        first = sample_token(logits, sampling, key)
         return cache, int(first[0])
 
     # --- host-side scheduler ----------------------------------------------

@@ -121,25 +121,45 @@ class Engine:
 
         b, s = tokens.shape
         axes = self.axes
+        # the last natural token's index in the (layout-permuted) order is
+        # static; only its logits row is ever read, so only IT is projected
+        # through lm_head (the full (s, vocab) fp32 tensor and its
+        # whole-prompt vocab matmul are pure waste at prefill)
+        perm_idx = s - 1
         if self.mesh is None:
             mesh = make_usp_mesh(1, 1, 1, devices=jax.devices()[:1])
             ring = 1
+            n_seq = 1
             tok_spec = P()
-            out_specs = P()
+            out_specs = (P(), P())
         else:
             mesh = self.mesh
             ring = mesh.shape[axes.ring]
+            n_seq = ring * mesh.shape[axes.ulysses]
             tokens = permute_for_layout(tokens, self.cfg.layout, ring, axis=1)
+            if self.cfg.layout != "basic":
+                perm = layout_permutation(self.cfg.layout, ring, s)
+                perm_idx = int((perm == s - 1).argmax())
             tok_spec = P(None, (axes.ring, axes.ulysses))
-            out_specs = (P(None, (axes.ring, axes.ulysses), None),
+            out_specs = (P(),
                          (P(None, None, (axes.ring, axes.ulysses), None,
                             None),) * 2)
+        s_local = s // n_seq
+        owner, loc = perm_idx // s_local, perm_idx % s_local
 
         def fwd(params, tokens):
-            return forward_local(params, tokens, self.cfg,
-                                 ulysses_axis=axes.ulysses,
-                                 ring_axis=axes.ring,
-                                 interpret=self.interpret, return_kv=True)
+            logits, kv = forward_local(
+                params, tokens, self.cfg,
+                ulysses_axis=axes.ulysses, ring_axis=axes.ring,
+                interpret=self.interpret, return_kv=True, last_index=loc)
+            if self.mesh is not None:
+                # every seq shard projects its local candidate row; a psum
+                # keeps the owner shard's (replicating the (b, vocab) row)
+                me = lax.axis_index((axes.ring, axes.ulysses))
+                logits = lax.psum(
+                    jnp.where(me == owner, logits, 0.0),
+                    (axes.ring, axes.ulysses))
+            return logits[:, 0], kv
 
         logits, (kv_k, kv_v) = jax.shard_map(
             fwd, mesh=mesh,
@@ -148,15 +168,11 @@ class Engine:
             check_vma=False,
         )(params, tokens)
 
-        last_idx = s - 1
         if self.mesh is not None and self.cfg.layout != "basic":
             # one static permutation back to natural slot order (GSPMD turns
-            # it into one all_to_all among the sequence shards); the logits
-            # stay put — the last natural token has a static permuted index
+            # it into one all_to_all among the sequence shards)
             kv_k = unpermute_from_layout(kv_k, self.cfg.layout, ring, axis=2)
             kv_v = unpermute_from_layout(kv_v, self.cfg.layout, ring, axis=2)
-            perm = layout_permutation(self.cfg.layout, ring, s)
-            last_idx = int((perm == s - 1).argmax())
         if self.mesh is not None:
             # replicate for the single-host decode loop
             repl = NamedSharding(mesh, P())
@@ -167,7 +183,7 @@ class Engine:
         for layer in range(self.cfg.n_layers):
             cache = cache.write_prompt(layer, kv_k[layer], kv_v[layer])
         cache = cache.advance(s)
-        return logits[:, last_idx], cache
+        return logits, cache
 
     @functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=2)
     def _prefill_chunk(self, params, cache, tokens, start: int):
