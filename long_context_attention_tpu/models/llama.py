@@ -621,6 +621,7 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
 def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
                       cfg: ModelConfig, *,
                       interpret: Optional[bool] = None,
+                      shard_axes=None,
                       active: Optional[jnp.ndarray] = None):
     """Teacher-forced multi-token decode: consume n tokens per row in ONE
     forward against the cache (the speculative-decoding verify step).
@@ -644,6 +645,11 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
     compute for that token exactly (same kernel, same quantized KV path,
     same tile order). Sliding windows and softcap compose per-row.
 
+    ``shard_axes``: mesh axis name(s) when running inside shard_map with
+    the cache's slot axis sharded over them (serving/sharded.py): each
+    rank appends its in-range part of the run (a run may straddle a shard
+    boundary) and attention merges cross-shard partials.
+
     ``active``: optional (b,) bool — continuous batching. Inactive rows
     write nothing and do not advance ``length``; their logits are garbage
     the caller ignores.
@@ -655,13 +661,17 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
         decode_attention,
     )
     from long_context_attention_tpu.ops.kv_cache import quantize_kv
+    from long_context_attention_tpu.serving.sharded import (
+        sharded_cache_append,
+        sharded_decode_attention,
+    )
 
     b, n = tokens.shape
     x = params["embed"][tokens]            # (b, n, dim)
     pos0 = cache.length                    # (b,)
     live = (jnp.ones((b,), jnp.int32) if active is None
             else jnp.asarray(active).astype(jnp.int32))
-    append_pos = jnp.where(live > 0, pos0, -1).astype(jnp.int32)
+    append_pos = jnp.where(live > 0, pos0, -n).astype(jnp.int32)
     att_len = pos0 + n * live              # total visible incl. the run
     positions = pos0[:, None] + jnp.arange(n, dtype=jnp.int32)[None]
     scale = cfg.head_dim ** -0.5
@@ -680,18 +690,33 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
                    else jnp.dtype(kc_all.dtype).name)
         kq, ks1 = quantize_kv(jnp.transpose(k, (0, 2, 1, 3)), dt_name)
         vq, vs1 = quantize_kv(jnp.transpose(v, (0, 2, 1, 3)), dt_name)
-        res = cache_append(kc_all, vc_all, kq, vq, append_pos,
-                           ksc_all, vsc_all, ks1, vs1,
-                           layer=li, interpret=interpret)
-        kc_all, vc_all = res[0], res[1]
-        if len(res) > 2:
-            ksc_all, vsc_all = res[2], res[3]
+        if shard_axes is not None:
+            res = sharded_cache_append(
+                kc_all, vc_all, kq, vq, append_pos, ksc_all, vsc_all,
+                ks1, vs1, axis_name=shard_axes, layer=li,
+                interpret=interpret)
+            kc_all, vc_all = res[0], res[1]
+            if len(res) > 2:
+                ksc_all, vsc_all = res[2], res[3]
+            out = sharded_decode_attention(
+                q, kc_all, vc_all, att_len, ksc_all, vsc_all,
+                axis_name=shard_axes, softmax_scale=scale,
+                interpret=interpret, layer=li, softcap=cfg.softcap,
+                window_left=cfg.window_left,
+            )  # (b, n, h, d)
+        else:
+            res = cache_append(kc_all, vc_all, kq, vq, append_pos,
+                               ksc_all, vsc_all, ks1, vs1,
+                               layer=li, interpret=interpret)
+            kc_all, vc_all = res[0], res[1]
+            if len(res) > 2:
+                ksc_all, vsc_all = res[2], res[3]
 
-        out = decode_attention(
-            q, kc_all, vc_all, att_len, ksc_all, vsc_all,
-            softmax_scale=scale, interpret=interpret, layer=li,
-            window_size=(cfg.window_left, -1), softcap=cfg.softcap,
-        )  # (b, n, h, d)
+            out = decode_attention(
+                q, kc_all, vc_all, att_len, ksc_all, vsc_all,
+                softmax_scale=scale, interpret=interpret, layer=li,
+                window_size=(cfg.window_left, -1), softcap=cfg.softcap,
+            )  # (b, n, h, d)
 
         x = x + (out.reshape(b, n, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
         hh = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)

@@ -34,7 +34,7 @@ _APPEND_LANES = 128  # lane tile for the scale splice
 
 
 def _append_kernel(pos_ref, *refs, rows: int, lanes: int, quantized: bool,
-                   layered: bool):
+                   layered: bool, s_max: int):
     refs = list(refs)
     if layered:
         del refs[0]  # layer-index prefetch (consumed by the index maps)
@@ -57,8 +57,17 @@ def _append_kernel(pos_ref, *refs, rows: int, lanes: int, quantized: bool,
     ib = pl.program_id(0)
     it = pl.program_id(2)    # token index within the appended run
     base = pos_ref[ib]
-    live = base >= 0
-    pos = jnp.maximum(base, 0) + it
+    # range-based liveness: token it lands at slot base+it and is written
+    # only when that slot lies inside THIS buffer. A run may straddle a
+    # sequence-shard boundary (multi-token append over a sharded cache), so
+    # each rank writes exactly its in-range suffix/prefix of the run;
+    # append_pos = -n (whole run out of range) skips the row entirely.
+    # Clipped out-of-range steps re-init only tiles nothing has written yet
+    # (positions below 0 precede all live writes; above s_max-1, r != 0
+    # since s_max % rows == 0), so no live write is ever lost.
+    posr = base + it
+    live = (posr >= 0) & (posr < s_max)
+    pos = jnp.clip(posr, 0, s_max - 1)
     r = pos % rows
 
     # The out block index only changes when the run crosses a tile
@@ -92,7 +101,8 @@ def cache_append(
     v_cache: jnp.ndarray,    # `layer`; bf16 / int8 / fp8
     k_new: jnp.ndarray,      # (b, h_kv, n, d) new token run, cache dtype
     v_new: jnp.ndarray,
-    append_pos: jnp.ndarray,  # (b,) int32 FIRST slot per row; -1 = skip row
+    append_pos: jnp.ndarray,  # (b,) int32 FIRST slot per row; may be
+                              # negative/out-of-range (see below)
     k_scale: Optional[jnp.ndarray] = None,   # (b, h_kv, s_max) fp32 (or L,...)
     v_scale: Optional[jnp.ndarray] = None,
     ks_new: Optional[jnp.ndarray] = None,    # (b, h_kv, n) fp32
@@ -118,10 +128,14 @@ def cache_append(
     b=8). Here the grid is one micro-tile (32 x d values, 128 scales) per
     (b, h) stream — ~2 MB of traffic per model step, unmeasurable.
 
-    Rows with ``append_pos < 0`` write nothing (the non-owner ranks of a
-    sequence-sharded cache, `serving/sharded.py`). Returns the updated
-    ``(k_cache, v_cache)`` or ``(k_cache, v_cache, k_scale, v_scale)`` —
-    the same buffers, donated through.
+    Liveness is per (row, token): token i writes slot ``append_pos + i``
+    exactly when that slot lies in [0, s_max) — a run may straddle a
+    sequence-shard boundary, and each rank passes its LOCAL (possibly
+    negative) base so it writes just its in-range part
+    (`serving/sharded.py`). ``append_pos <= -n`` skips the row entirely
+    (the continuous batcher's inactive rows; n = 1 keeps the historic -1).
+    Returns the updated ``(k_cache, v_cache)`` or ``(k_cache, v_cache,
+    k_scale, v_scale)`` — the same buffers, donated through.
     """
     layered = layer is not None
     if layered:
@@ -136,10 +150,10 @@ def cache_append(
     interp = default_interpret() if interpret is None else bool(interpret)
 
     def _tile(ibb, it, p):
-        return (jnp.maximum(p[ibb], 0) + it) // rows
+        return jnp.clip(p[ibb] + it, 0, s_max - 1) // rows
 
     def _lane_tile(ibb, it, p):
-        return (jnp.maximum(p[ibb], 0) + it) // lanes
+        return jnp.clip(p[ibb] + it, 0, s_max - 1) // lanes
 
     if layered:
         def kv_im(ibb, ihk, it, p, li):
@@ -206,7 +220,7 @@ def cache_append(
         prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
     res = pl.pallas_call(
         functools.partial(_append_kernel, rows=rows, lanes=lanes,
-                          quantized=quantized, layered=layered),
+                          quantized=quantized, layered=layered, s_max=s_max),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(prefetch),
             grid=(b, h_kv, n_tok),
@@ -453,8 +467,10 @@ def decode_attention(
     def _clamped_gt(ibb, isp, ik, lens, rest):
         # clamp the global kv tile index into the live range: tiles past the
         # length — or left of the visible window — re-map to the nearest
-        # live tile (Mosaic elides the repeated DMA)
-        last = jnp.maximum((lens[ibb] - 1) // bkv, 0)
+        # live tile (Mosaic elides the repeated DMA). lengths may exceed
+        # s_max (a sharded cache passes UNCLIPPED local lengths so per-row
+        # causal limits stay correct on interior ranks) — hence the nk cap.
+        last = jnp.clip((lens[ibb] - 1) // bkv, 0, nk - 1)
         gt = jnp.minimum(isp * nk_s + ik, last)
         if has_fc:
             lo = rest[0][ibb] // bkv  # explicit per-row first column

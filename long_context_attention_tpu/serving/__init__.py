@@ -10,6 +10,7 @@ from long_context_attention_tpu.serving.continuous import (
     Request,
     RequestResult,
     ShardedContinuousEngine,
+    ShardedSpeculativeContinuousEngine,
     SpeculativeContinuousEngine,
 )
 from long_context_attention_tpu.serving.engine import Engine, GenerationResult
@@ -25,6 +26,7 @@ from long_context_attention_tpu.serving.speculative import (
 
 __all__ = ["ContinuousEngine", "Engine", "GenerationResult", "Request",
            "RequestResult", "ShardedContinuousEngine", "ShardedEngine",
+           "ShardedSpeculativeContinuousEngine",
            "SpeculativeContinuousEngine", "SpeculativeEngine",
            "SpeculativeResult",
            "sharded_cache_append", "sharded_decode_attention"]

@@ -49,7 +49,8 @@ from long_context_attention_tpu.serving.engine import (
 )
 
 __all__ = ["Request", "RequestResult", "ContinuousEngine",
-           "ShardedContinuousEngine"]
+           "ShardedContinuousEngine", "SpeculativeContinuousEngine",
+           "ShardedSpeculativeContinuousEngine"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -432,6 +433,24 @@ class SpeculativeContinuousEngine(ContinuousEngine):
         return SpeculativeEngine(self.cfg, self.draft_cfg, self.s_max,
                                  self.gamma, self.cache_dtype, self.interpret)
 
+    # --- round pieces (the sharded subclass swaps in shard_map'd ones) ----
+
+    def _draft_round(self, draft_params, dcache, t, active):
+        return self._spec._draft_run(draft_params, dcache, t, active)
+
+    def _verify_round(self, params, tcache, run, active):
+        return self._spec._verify(params, tcache, run, active)
+
+    def _draft_round_sampled(self, draft_params, dcache, t, sampling, key,
+                             active):
+        return self._spec._draft_run_sampled(draft_params, dcache, t,
+                                             sampling, key, active)
+
+    def _verify_round_sampled(self, params, tcache, run, drafts, qdist,
+                              sampling, key, active):
+        return self._spec._verify_sampled(params, tcache, run, drafts,
+                                          qdist, sampling, key, active)
+
     def serve(self, params, draft_params, requests: Sequence[Request], *,
               sampling: SamplingParams = SamplingParams(),
               eos_id: Optional[int] = None,
@@ -445,7 +464,6 @@ class SpeculativeContinuousEngine(ContinuousEngine):
                     f"({r.max_new}) + gamma ({self.gamma}) exceeds cache "
                     f"capacity s_max={self.s_max}")
         sampled = sampling.temperature > 0.0
-        spec = self._spec
         deng = self._draft_eng
         queue = deque(requests)
         tcache = self.init_cache()
@@ -489,18 +507,19 @@ class SpeculativeContinuousEngine(ContinuousEngine):
             base_len = np.asarray(tcache.length)
             if sampled:
                 key, kd, kv = jax.random.split(key, 3)
-                drafts, qdist, dcache = spec._draft_run_sampled(
+                drafts, qdist, dcache = self._draft_round_sampled(
                     draft_params, dcache, t, sampling, kd, active)
                 run = jnp.concatenate([t[:, None], drafts], axis=1)
-                accept_m, fallback, tcache = spec._verify_sampled(
+                accept_m, fallback, tcache = self._verify_round_sampled(
                     params, tcache, run, drafts, qdist, sampling, kv, active)
                 acc_np = np.asarray(accept_m)
                 d_np, c_np = np.asarray(drafts), np.asarray(fallback)
             else:
-                drafts, dcache = spec._draft_run(draft_params, dcache, t,
-                                                 active)
+                drafts, dcache = self._draft_round(draft_params, dcache, t,
+                                                   active)
                 run = jnp.concatenate([t[:, None], drafts], axis=1)
-                choices, tcache = spec._verify(params, tcache, run, active)
+                choices, tcache = self._verify_round(params, tcache, run,
+                                                     active)
                 d_np, c_np = np.asarray(drafts), np.asarray(choices)
                 acc_np = d_np == c_np[:, :self.gamma]
 
@@ -528,3 +547,151 @@ class SpeculativeContinuousEngine(ContinuousEngine):
             dcache = dataclasses.replace(dcache,
                                          length=jnp.asarray(keep.copy()))
         return results
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedSpeculativeContinuousEngine(SpeculativeContinuousEngine,
+                                         ShardedContinuousEngine):
+    """Speculative continuous batching over a sequence-sharded cache.
+
+    The same host scheduler and acceptance math as
+    :class:`SpeculativeContinuousEngine`; the four round pieces run under
+    the mesh instead. Target AND draft caches are slot-sharded over
+    ``(ring, ulysses)``; the draft scan and the multi-token verify execute
+    inside one ``shard_map`` each — the verify's n-token append splits
+    itself across the shard boundary it straddles
+    (`ops/decode.py:cache_append` range-based liveness), and its attention
+    merges cross-shard partials per token. Sampling keys are replicated,
+    so every rank draws identical accept/fallback decisions.
+    """
+
+    def __post_init__(self):
+        ShardedContinuousEngine.__post_init__(self)
+        SpeculativeContinuousEngine.__post_init__(self)
+
+    @property
+    def _draft_eng(self) -> ContinuousEngine:
+        return ShardedContinuousEngine(self.draft_cfg, self.s_max,
+                                       self.max_batch, self.cache_dtype,
+                                       self.interpret, mesh=self.mesh,
+                                       axes=self.axes)
+
+    @property
+    def _dsub(self):
+        from long_context_attention_tpu.serving.sharded_engine import (
+            ShardedEngine,
+        )
+        return ShardedEngine(self.draft_cfg, self.mesh, self.s_max,
+                             self.cache_dtype, self.axes, self.interpret)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
+    def _draft_round(self, draft_params, dcache, t, active):
+        from jax.sharding import PartitionSpec as P
+
+        specs = self._dsub._cache_specs()
+        seq_axes = self._dsub.seq_axes
+
+        def run(dp, dc, tok0, act):
+            def step(carry, _):
+                cache, tok = carry
+                logits, cache = decode_step(dp, cache, tok, self.draft_cfg,
+                                            interpret=self.interpret,
+                                            shard_axes=seq_axes, active=act)
+                nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                nxt = jnp.where(act, nxt, tok)
+                return (cache, nxt), nxt
+
+            (dc, _), drafts = jax.lax.scan(step, (dc, tok0), None,
+                                           length=self.gamma + 1)
+            return jnp.transpose(drafts)[:, :self.gamma], dc
+
+        return jax.shard_map(
+            run, mesh=self.mesh,
+            in_specs=(P(), specs, P(), P()),
+            out_specs=(P(), specs),
+            check_vma=False,
+        )(draft_params, dcache, t, active)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
+    def _verify_round(self, params, tcache, run_toks, active):
+        from jax.sharding import PartitionSpec as P
+
+        from long_context_attention_tpu.models.llama import decode_multi_step
+
+        specs = self._sub._cache_specs()
+        seq_axes = self._sub.seq_axes
+
+        def vf(p, c, r, act):
+            logits, c = decode_multi_step(p, c, r, self.cfg,
+                                          interpret=self.interpret,
+                                          shard_axes=seq_axes, active=act)
+            return jnp.argmax(logits, -1).astype(jnp.int32), c
+
+        return jax.shard_map(
+            vf, mesh=self.mesh,
+            in_specs=(P(), specs, P(), P()),
+            out_specs=(P(), specs),
+            check_vma=False,
+        )(params, tcache, run_toks, active)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=2)
+    def _draft_round_sampled(self, draft_params, dcache, t, sampling, key,
+                             active):
+        from jax.sharding import PartitionSpec as P
+
+        from long_context_attention_tpu.serving.engine import sampling_probs
+
+        specs = self._dsub._cache_specs()
+        seq_axes = self._dsub.seq_axes
+
+        def run(dp, dc, tok0, k, act):
+            def step(carry, skey):
+                cache, tok = carry
+                logits, cache = decode_step(dp, cache, tok, self.draft_cfg,
+                                            interpret=self.interpret,
+                                            shard_axes=seq_axes, active=act)
+                q = sampling_probs(logits, sampling)
+                nxt = jax.random.categorical(
+                    skey, jnp.log(jnp.maximum(q, 1e-37)), axis=-1
+                ).astype(jnp.int32)
+                nxt = jnp.where(act, nxt, tok)
+                return (cache, nxt), (nxt, q)
+
+            keys = jax.random.split(k, self.gamma + 1)
+            (dc, _), (drafts, qd) = jax.lax.scan(step, (dc, tok0), keys)
+            return (jnp.transpose(drafts)[:, :self.gamma],
+                    jnp.transpose(qd, (1, 0, 2))[:, :self.gamma], dc)
+
+        return jax.shard_map(
+            run, mesh=self.mesh,
+            in_specs=(P(), specs, P(), P(), P()),
+            out_specs=(P(), P(), specs),
+            check_vma=False,
+        )(draft_params, dcache, t, key, active)
+
+    @functools.partial(jax.jit, static_argnums=(0, 6), donate_argnums=2)
+    def _verify_round_sampled(self, params, tcache, run_toks, drafts, qdist,
+                              sampling, key, active):
+        from jax.sharding import PartitionSpec as P
+
+        from long_context_attention_tpu.models.llama import decode_multi_step
+        from long_context_attention_tpu.serving.speculative import (
+            leviathan_accept,
+        )
+
+        specs = self._sub._cache_specs()
+        seq_axes = self._sub.seq_axes
+
+        def vf(p, c, r, d, q, k, act):
+            logits, c = decode_multi_step(p, c, r, self.cfg,
+                                          interpret=self.interpret,
+                                          shard_axes=seq_axes, active=act)
+            accept, fallback = leviathan_accept(logits, d, q, sampling, k)
+            return accept, fallback, c
+
+        return jax.shard_map(
+            vf, mesh=self.mesh,
+            in_specs=(P(), specs, P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), specs),
+            check_vma=False,
+        )(params, tcache, run_toks, drafts, qdist, key, active)

@@ -32,7 +32,8 @@ AxisNames = Union[str, Sequence[str]]
 
 
 def sharded_decode_attention(
-    q: jnp.ndarray,           # (b, h, d) replicated queries
+    q: jnp.ndarray,           # (b, h, d) replicated queries — or
+                              # (b, n_tok, h, d) for a multi-token run
     k_shard: jnp.ndarray,     # (b, h_kv, slots, d) this rank's cache block
     v_shard: jnp.ndarray,     # (stacked (L, b, h_kv, slots, d) with `layer`)
     global_lengths: jnp.ndarray,  # (b,) int32 total filled length
@@ -47,82 +48,103 @@ def sharded_decode_attention(
     softcap: float = 0.0,
     window_left: int = -1,
 ) -> jnp.ndarray:
-    """Decode attention over a ring-sharded cache. Returns (b, h, d) bf16.
+    """Decode attention over a ring-sharded cache. Returns (b, h, d) bf16
+    ((b, n_tok, h, d) for multi-token runs — the speculative verify).
 
     Rank r's filled prefix is ``clip(L - r*slots, 0, slots)``; empty shards
     contribute lse=-inf partials that merge to a no-op. ``softcap`` is
     position-free; for ``window_left`` each rank receives its slice of the
     GLOBAL window [L-1-w, L) as explicit per-row first columns — a rank
     wholly left of the window goes dead and merges away.
+
+    Multi-token runs pass UNCLIPPED local lengths (L - r*slots): the
+    kernel's per-row causal limit ``length - n + it`` then lands at the
+    right LOCAL column on the boundary rank, stays past every column on
+    interior ranks, and goes dead on ranks beyond the data (the kernel
+    clamps its own DMA indices). Sliding windows are not supported for
+    multi-token runs over a sharded cache (per-(row, token) first columns).
     """
+    multi = q.ndim == 4
     axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
     r = lax.axis_index(axes)
     n = 1
     for a in axes:
         n *= lax.axis_size(a)
     slots = k_shard.shape[3 if layer is not None else 2]
-    local_len = jnp.clip(global_lengths - r * slots, 0, slots)
     first_cols = None
-    if window_left >= 0:
-        fc_global = jnp.maximum(global_lengths - 1 - window_left, 0)
-        first_cols = jnp.clip(fc_global - r * slots, 0, slots)
+    if multi:
+        if window_left >= 0:
+            raise NotImplementedError(
+                "sliding window + multi-token sharded decode needs "
+                "per-(row, token) first columns")
+        local_len = global_lengths - r * slots  # unclipped, see docstring
+    else:
+        local_len = jnp.clip(global_lengths - r * slots, 0, slots)
+        if window_left >= 0:
+            fc_global = jnp.maximum(global_lengths - 1 - window_left, 0)
+            first_cols = jnp.clip(fc_global - r * slots, 0, slots)
     out, lse = decode_attention(
         q, k_shard, v_shard, local_len, k_scale, v_scale,
         softmax_scale=softmax_scale, block_kv=block_kv, interpret=interpret,
         return_lse=True, layer=layer, softcap=softcap,
         first_cols=first_cols,
-    )  # (b, h, d), (b, h)
+    )  # (b, h, d), (b, h) — multi: (b, n_tok, h, d), (b, h, n_tok)
 
-    outs = lax.all_gather(out.astype(jnp.float32), axes)  # (n, b, h, d)
-    lses = lax.all_gather(lse, axes)                      # (n, b, h)
-    outs = outs.reshape((n,) + out.shape)
+    outs = lax.all_gather(out.astype(jnp.float32), axes)
+    lses = lax.all_gather(lse, axes)
+    outs = outs.reshape((n,) + out.shape)   # (n, b, [n_tok,] h, d)
     lses = lses.reshape((n,) + lse.shape)
+    if multi:
+        # (n, b, h, n_tok) -> (n, b, n_tok, h) to ride along outs
+        lses = jnp.moveaxis(lses, 3, 2)
 
     # numerically-stable n-way merge (same math as ops/merge.py, shaped for
-    # the (n, b, h) decode partials)
-    m = jnp.max(lses, axis=0)                 # (b, h)
+    # the (n, b, [n_tok,] h) decode partials)
+    m = jnp.max(lses, axis=0)
     dead = jnp.isneginf(m)
     safe_m = jnp.where(dead, 0.0, m)
     w = jnp.where(jnp.isneginf(lses), 0.0, jnp.exp(lses - safe_m[None]))
-    denom = jnp.sum(w, axis=0)                # (b, h)
+    denom = jnp.sum(w, axis=0)
     merged = jnp.sum(outs * w[..., None], axis=0) / jnp.maximum(
         denom, 1e-37)[..., None]
     merged = jnp.where(dead[..., None], 0.0, merged)
     return merged.astype(jnp.bfloat16)
 
 
-def _owner_slots(global_pos, slots, axes):
-    r = lax.axis_index(axes)
-    local_pos = global_pos - r * slots
-    owner = (local_pos >= 0) & (local_pos < slots)
-    return jnp.clip(local_pos, 0, slots - 1), owner
-
-
 def sharded_cache_append(
     k_shard: jnp.ndarray,     # (b, h_kv, slots, d) this rank's block — or
     v_shard: jnp.ndarray,     # stacked (L, b, h_kv, slots, d) with `layer`
-    k_new: jnp.ndarray,       # (b, h_kv, 1, d) new token (cache dtype)
+    k_new: jnp.ndarray,       # (b, h_kv, n, d) new token run (cache dtype)
     v_new: jnp.ndarray,
-    global_pos: jnp.ndarray,  # (b,) int32 global slot of the new token
+    global_pos: jnp.ndarray,  # (b,) int32 global slot of the run's FIRST
+                              # token (<= -n skips the row)
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
-    ks_new: Optional[jnp.ndarray] = None,   # (b, h_kv, 1) fp32
+    ks_new: Optional[jnp.ndarray] = None,   # (b, h_kv, n) fp32
     vs_new: Optional[jnp.ndarray] = None,
     *,
     axis_name: str,
     layer: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
 ):
-    """Write each row's new token into its owner rank's shard, IN PLACE.
+    """Write each row's new token run into its owner ranks' shards, IN
+    PLACE.
 
-    SPMD: every rank runs the splice kernel; non-owner rows carry
-    ``append_pos=-1`` and write nothing. The in-place aliasing matters: a
-    scatter/DUS append on a scan-carried cache makes XLA double-buffer the
-    whole cache (see ops/decode.py:cache_append)."""
+    SPMD: every rank runs the splice kernel with its LOCAL base offset
+    (possibly negative); the kernel's range-based liveness writes exactly
+    the tokens whose slot falls inside this rank's block, so a multi-token
+    run (speculative verify) straddling a shard boundary splits itself
+    between the two owners. The in-place aliasing matters: a scatter/DUS
+    append on a scan-carried cache makes XLA double-buffer the whole cache
+    (see ops/decode.py:cache_append)."""
     axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
     slots = k_shard.shape[3 if layer is not None else 2]
-    local_pos, owner = _owner_slots(global_pos, slots, axes)
-    append_pos = jnp.where(owner, local_pos, -1).astype(jnp.int32)
+    r = lax.axis_index(axes)
+    n_tok = k_new.shape[2]
+    # inactive rows (global_pos <= -n) must stay fully out of range on
+    # EVERY rank, including rank 0 where the raw offset would be unchanged
+    append_pos = jnp.where(global_pos <= -n_tok, -n_tok,
+                           global_pos - r * slots).astype(jnp.int32)
     return cache_append(
         k_shard, v_shard, k_new, v_new, append_pos, k_scale, v_scale,
         ks_new, vs_new, layer=layer, interpret=interpret)

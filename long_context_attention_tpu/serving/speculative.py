@@ -42,7 +42,8 @@ from long_context_attention_tpu.serving.engine import (
     sampling_probs,
 )
 
-__all__ = ["SpeculativeEngine", "SpeculativeResult", "speculative_residual"]
+__all__ = ["SpeculativeEngine", "SpeculativeResult", "leviathan_accept",
+           "speculative_residual"]
 
 
 def speculative_residual(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
@@ -55,6 +56,38 @@ def speculative_residual(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     # p == q everywhere -> residual never sampled; any valid dist works
     safe = jnp.where(z > 0, r / jnp.maximum(z, 1e-37), p)
     return safe
+
+
+def leviathan_accept(logits: jnp.ndarray, drafts: jnp.ndarray,
+                     qdist: jnp.ndarray, sampling: SamplingParams,
+                     key: jax.Array):
+    """The Leviathan acceptance rule on target verify logits.
+
+    logits (b, gamma+1, vocab) — position j's target logits follow
+    ``toks[:, j]`` of the verify run [t, d_1..d_gamma]; drafts (b, gamma)
+    were drawn from qdist (b, gamma, vocab). Returns (accept (b, gamma)
+    bool — d_{j+1} passes the min(1, p_j(d)/q_j(d)) ratio test — and
+    fallback (b, gamma+1) int32, where fallback[:, j] pre-samples the
+    rejection residual at position j (the bonus p_gamma draw at
+    j == gamma), so the caller just takes the first rejection's entry).
+    Emitting the accepted prefix + fallback is distributed EXACTLY as
+    sampling every token from the target (arXiv:2211.17192, Thm. 1).
+    Shared by the single-chip and sharded verify paths — the math is
+    rank-replicated, so sharded engines apply it to merged logits as-is."""
+    p = sampling_probs(logits, sampling)      # (b, gamma+1, vocab)
+    ku, kr = jax.random.split(key)
+    p_d = jnp.take_along_axis(p[:, :-1], drafts[..., None],
+                              axis=-1)[..., 0]      # (b, gamma)
+    q_d = jnp.take_along_axis(qdist, drafts[..., None], axis=-1)[..., 0]
+    u = jax.random.uniform(ku, drafts.shape)
+    accept = u < jnp.minimum(1.0, p_d / jnp.maximum(q_d, 1e-37))
+
+    resid = speculative_residual(p[:, :-1], qdist)  # (b, gamma, vocab)
+    fb_dist = jnp.concatenate([resid, p[:, -1:]], axis=1)
+    fallback = jax.random.categorical(
+        kr, jnp.log(jnp.maximum(fb_dist, 1e-37)), axis=-1
+    ).astype(jnp.int32)                       # (b, gamma+1)
+    return accept, fallback
 
 
 @dataclasses.dataclass
@@ -160,19 +193,8 @@ class SpeculativeEngine:
         logits, tcache = decode_multi_step(params, tcache, toks, self.cfg,
                                            interpret=self.interpret,
                                            active=active)
-        p = sampling_probs(logits, sampling)      # (b, gamma+1, vocab)
-        ku, kr = jax.random.split(key)
-        p_d = jnp.take_along_axis(p[:, :-1], drafts[..., None],
-                                  axis=-1)[..., 0]      # (b, gamma)
-        q_d = jnp.take_along_axis(qdist, drafts[..., None], axis=-1)[..., 0]
-        u = jax.random.uniform(ku, drafts.shape)
-        accept = u < jnp.minimum(1.0, p_d / jnp.maximum(q_d, 1e-37))
-
-        resid = speculative_residual(p[:, :-1], qdist)  # (b, gamma, vocab)
-        fb_dist = jnp.concatenate([resid, p[:, -1:]], axis=1)
-        fallback = jax.random.categorical(
-            kr, jnp.log(jnp.maximum(fb_dist, 1e-37)), axis=-1
-        ).astype(jnp.int32)                       # (b, gamma+1)
+        accept, fallback = leviathan_accept(logits, drafts, qdist,
+                                            sampling, key)
         return accept, fallback, tcache
 
     def generate(self, params, draft_params, prompt: jnp.ndarray,

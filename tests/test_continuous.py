@@ -208,3 +208,45 @@ def test_speculative_continuous_sampled_runs(params, dparams):
     assert sorted(out) == [0, 1, 2]
     for r in reqs:
         assert len(out[r.id].tokens) == r.max_new
+
+
+def test_sharded_speculative_continuous_matches_plain(params, dparams):
+    """Speculative continuous batching over the 8-device sharded cache:
+    greedy outputs equal the single-device plain ContinuousEngine's (verify
+    runs straddle shard boundaries as lengths cross slot multiples), and
+    Leviathan-sampled mode completes with the right budgets."""
+    from long_context_attention_tpu.parallel.mesh import make_usp_mesh
+    from long_context_attention_tpu.serving import (
+        ShardedSpeculativeContinuousEngine,
+    )
+    from long_context_attention_tpu.serving.engine import SamplingParams
+
+    from long_context_attention_tpu.models.llama import init_params as ip
+
+    # the draft prefills USP-sharded over the same mesh, so it needs
+    # ulysses-divisible kv heads (same constraint as any served model)
+    draft8 = ModelConfig(vocab=96, dim=32, n_layers=1, n_heads=4,
+                         n_kv_heads=2, head_dim=16, ffn_hidden=64,
+                         layout="basic")
+    dparams8 = ip(jax.random.PRNGKey(9), draft8)
+    mesh = make_usp_mesh(1, 2, 4)
+    reqs = [Request(id=i, tokens=_prompt(60 + i, n), max_new=m)
+            for i, (n, m) in enumerate([(40, 8), (64, 5), (33, 7)])]
+    spec = ShardedSpeculativeContinuousEngine(
+        CFG, s_max=S_MAX, max_batch=2, cache_dtype="int8", mesh=mesh,
+        draft_cfg=draft8, gamma=3,
+    ).serve(params, dparams8, reqs)
+    plain8 = ContinuousEngine(CFG, s_max=S_MAX, max_batch=2,
+                              cache_dtype="int8").serve(params, reqs)
+    for i in plain8:
+        assert spec[i].tokens == plain8[i].tokens, (
+            i, spec[i].tokens, plain8[i].tokens)
+
+    sampled = ShardedSpeculativeContinuousEngine(
+        CFG, s_max=S_MAX, max_batch=2, mesh=mesh, draft_cfg=draft8, gamma=3,
+    ).serve(params, dparams8, reqs,
+            sampling=SamplingParams(temperature=0.7, top_k=16),
+            key=jax.random.PRNGKey(4))
+    assert sorted(sampled) == [0, 1, 2]
+    for r in reqs:
+        assert len(sampled[r.id].tokens) == r.max_new

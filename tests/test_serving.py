@@ -367,3 +367,53 @@ def test_windowed_model_serves_sharded(setup):
     res_u = single.generate(params, prompt, 12)           # a shard boundary
     agree = (np.asarray(toks_s) == np.asarray(res_u.tokens)).mean()
     assert agree >= 0.8, (np.asarray(toks_s), np.asarray(res_u.tokens))
+
+
+def test_sharded_multi_token_run_straddles_boundary(rng):
+    """A multi-token append run crossing a shard boundary splits between
+    the two owner ranks (range-based liveness), and the multi-token sharded
+    decode (unclipped local lengths) matches the unsharded kernel."""
+    import functools
+    from jax.sharding import Mesh, PartitionSpec as P
+    from long_context_attention_tpu.ops.decode import decode_attention
+    from long_context_attention_tpu.serving.sharded import (
+        sharded_cache_append, sharded_decode_attention)
+
+    B2, H, HKV, D, SMAX, R, N = 2, 8, 4, 64, 256, 4, 5
+    k = jnp.asarray(rng.normal(size=(B2, HKV, SMAX, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B2, HKV, SMAX, D)), jnp.bfloat16)
+    # slots = 64 per rank; row 0's run [62, 67) straddles ranks 0/1,
+    # row 1's run [130, 135) f its inside rank 2
+    pos = jnp.asarray([62, 130], jnp.int32)
+    kn = jnp.asarray(rng.normal(size=(B2, HKV, N, D)), jnp.bfloat16)
+    vn = jnp.asarray(rng.normal(size=(B2, HKV, N, D)), jnp.bfloat16)
+
+    mesh = Mesh(np.array(jax.devices()[:R]), axis_names=("ring",))
+    spec_kv = P(None, None, "ring", None)
+    appk, appv = jax.jit(jax.shard_map(
+        functools.partial(sharded_cache_append, axis_name="ring"),
+        mesh=mesh, in_specs=(spec_kv, spec_kv, P(), P(), P()),
+        out_specs=(spec_kv, spec_kv), check_vma=False,
+    ))(k, v, kn, vn, pos)
+    for app, base, new in [(appk, k, kn), (appv, v, vn)]:
+        app, base, new = map(np.asarray, (app, base, new))
+        for i in range(B2):
+            t = int(pos[i])
+            np.testing.assert_array_equal(app[i, :, t:t + N],
+                                          np.transpose(new[i], (0, 1, 2)))
+            mask = np.ones(SMAX, bool); mask[t:t + N] = False
+            np.testing.assert_array_equal(app[i][:, mask], base[i][:, mask])
+
+    # multi-token sharded decode over the spliced cache == unsharded
+    qs = jnp.asarray(rng.normal(size=(B2, N, H, D)), jnp.bfloat16)
+    att_len = pos + N
+    fn = functools.partial(sharded_decode_attention, axis_name="ring")
+    out = jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), spec_kv, spec_kv, P()),
+        out_specs=P(), check_vma=False,
+    ))(qs, appk, appv, att_len)
+    want = decode_attention(qs, appk, appv, att_len)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=5e-2, rtol=0)
