@@ -469,10 +469,12 @@ def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
                 vc_all, (li, 0, 0, 0, 0), (1, b, hkv, start, d))[0]
             kscl = vscl = None
             if ksc_all is not None:
+                # scales live 5-d (L, b, h, 1, s_max); the flash cache
+                # kernel takes the flat (b, h, s) view of this chunk
                 kscl = lax.dynamic_slice(
-                    ksc_all, (li, 0, 0, 0), (1, b, hkv, start))[0]
+                    ksc_all, (li, 0, 0, 0, 0), (1, b, hkv, 1, start))[0, :, :, 0]
                 vscl = lax.dynamic_slice(
-                    vsc_all, (li, 0, 0, 0), (1, b, hkv, start))[0]
+                    vsc_all, (li, 0, 0, 0, 0), (1, b, hkv, 1, start))[0, :, :, 0]
             c_out, c_lse = flash_attention_fwd_cache(
                 q, kcl, vcl, k_scale=kscl, v_scale=vscl,
                 window_size=(cfg.window_left, -1), softcap=cfg.softcap,
@@ -492,10 +494,10 @@ def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
         vc_all = lax.dynamic_update_slice(vc_all, vq[None],
                                           (li, 0, 0, start, 0))
         if ksc_all is not None:
-            ksc_all = lax.dynamic_update_slice(ksc_all, ks1[None],
-                                               (li, 0, 0, start))
-            vsc_all = lax.dynamic_update_slice(vsc_all, vs1[None],
-                                               (li, 0, 0, start))
+            ksc_all = lax.dynamic_update_slice(
+                ksc_all, ks1[None, :, :, None], (li, 0, 0, 0, start))
+            vsc_all = lax.dynamic_update_slice(
+                vsc_all, vs1[None, :, :, None], (li, 0, 0, 0, start))
 
         x = x + (out.reshape(b, s_c, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
         hh = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)

@@ -46,16 +46,26 @@ def _append_kernel(pos_ref, *refs, rows: int, lanes: int, quantized: bool,
         ks_ref = vs_ref = kso_ref = vso_ref = None
 
     def tile(ref):
-        return ref[0, 0, 0, :, :] if layered else ref[0, 0, :, :]
+        # (h_kv, rows, d) kv / (h_kv, 1, lanes) scale tiles: ALL heads ride
+        # one grid cell — the grid is (b, n_tok) only, so the per-cell
+        # dispatch overhead is paid once per row-token, not once per head
+        # (at b=8, h_kv=8 the old (b, h_kv, n) grid spent ~0.7 ms/call on
+        # 64 cells of ~µs-sized work)
+        return ref[0, 0] if layered else ref[0]
 
     def store(ref, val):
         if layered:
-            ref[0, 0, 0, :, :] = val
+            ref[0, 0] = val
         else:
-            ref[0, 0, :, :] = val
+            ref[0] = val
+
+    def ntile(ref):
+        # new-token blocks are (1, h_kv, 1, 1, d) / (1, h_kv, 1, 1, 1)
+        # regardless of layering (the run arrays carry no layer dim)
+        return ref[0, :, 0]
 
     ib = pl.program_id(0)
-    it = pl.program_id(2)    # token index within the appended run
+    it = pl.program_id(1)    # token index within the appended run
     base = pos_ref[ib]
     # range-based liveness: token it lands at slot base+it and is written
     # only when that slot lies inside THIS buffer. A run may straddle a
@@ -79,9 +89,9 @@ def _append_kernel(pos_ref, *refs, rows: int, lanes: int, quantized: bool,
         store(ko_ref, tile(k_ref))
         store(vo_ref, tile(v_ref))
 
-    sel = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) == r) & live
-    store(ko_ref, jnp.where(sel, kn_ref[0, 0, 0], tile(ko_ref)))
-    store(vo_ref, jnp.where(sel, vn_ref[0, 0, 0], tile(vo_ref)))
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, rows, 1), 1) == r) & live
+    store(ko_ref, jnp.where(sel, ntile(kn_ref), tile(ko_ref)))
+    store(vo_ref, jnp.where(sel, ntile(vn_ref), tile(vo_ref)))
     if ks_ref is not None:
         c = pos % lanes
 
@@ -90,10 +100,10 @@ def _append_kernel(pos_ref, *refs, rows: int, lanes: int, quantized: bool,
             store(kso_ref, tile(ks_ref))
             store(vso_ref, tile(vs_ref))
 
-        csel = (jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+        csel = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, lanes), 2)
                 == c) & live
-        store(kso_ref, jnp.where(csel, ksn_ref[0, 0, 0], tile(kso_ref)))
-        store(vso_ref, jnp.where(csel, vsn_ref[0, 0, 0], tile(vso_ref)))
+        store(kso_ref, jnp.where(csel, ntile(ksn_ref), tile(kso_ref)))
+        store(vso_ref, jnp.where(csel, ntile(vsn_ref), tile(vso_ref)))
 
 
 def cache_append(
@@ -103,10 +113,10 @@ def cache_append(
     v_new: jnp.ndarray,
     append_pos: jnp.ndarray,  # (b,) int32 FIRST slot per row; may be
                               # negative/out-of-range (see below)
-    k_scale: Optional[jnp.ndarray] = None,   # (b, h_kv, s_max) fp32 (or L,...)
-    v_scale: Optional[jnp.ndarray] = None,
-    ks_new: Optional[jnp.ndarray] = None,    # (b, h_kv, n) fp32
-    vs_new: Optional[jnp.ndarray] = None,
+    k_scale: Optional[jnp.ndarray] = None,   # (b, h_kv, 1, s_max) fp32
+    v_scale: Optional[jnp.ndarray] = None,   # (or (L, b, h_kv, 1, s_max);
+    ks_new: Optional[jnp.ndarray] = None,    # legacy (.., h_kv, s_max) is
+    vs_new: Optional[jnp.ndarray] = None,    # reshaped, costing a relayout)
     *,
     layer: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
@@ -125,8 +135,12 @@ def cache_append(
     instead of ~50 at b=8 @32K. Fusing the splice into the attention kernel
     itself also loses: its per-(b,h) aliased output tiles write back on
     every grid step, doubling the kernel's HBM traffic (249 -> 120 GB/s at
-    b=8). Here the grid is one micro-tile (32 x d values, 128 scales) per
-    (b, h) stream — ~2 MB of traffic per model step, unmeasurable.
+    b=8). Here the grid is (b, n_tok) — ALL heads ride one cell's blocks,
+    because at ~µs of work per cell the old (b, h_kv, n) grid was pure
+    dispatch overhead (~0.7 ms/call at b=8, h_kv=8) — and scales are taken
+    in the kernel's native (.., h_kv, 1, s_max) layout: feeding the old
+    (.., h_kv, s_max) shape forces XLA to physically re-tile
+    T(8,128) -> T(1,128), ~75 MB copied per array per call.
 
     Liveness is per (row, token): token i writes slot ``append_pos + i``
     exactly when that slot lies in [0, s_max) — a run may straddle a
@@ -135,7 +149,8 @@ def cache_append(
     (`serving/sharded.py`). ``append_pos <= -n`` skips the row entirely
     (the continuous batcher's inactive rows; n = 1 keeps the historic -1).
     Returns the updated ``(k_cache, v_cache)`` or ``(k_cache, v_cache,
-    k_scale, v_scale)`` — the same buffers, donated through.
+    k_scale, v_scale)`` — the same buffers (and the same SHAPES they were
+    passed with), donated through.
     """
     layered = layer is not None
     if layered:
@@ -155,34 +170,38 @@ def cache_append(
     def _lane_tile(ibb, it, p):
         return jnp.clip(p[ibb] + it, 0, s_max - 1) // lanes
 
+    sc_shape = None
+    if quantized:
+        sc_shape = ((k_scale.shape[0], b, h_kv, 1, s_max) if layered
+                    else (b, h_kv, 1, s_max))
     if layered:
-        def kv_im(ibb, ihk, it, p, li):
-            return (li[0], ibb, ihk, _tile(ibb, it, p), 0)
+        def kv_im(ibb, it, p, li):
+            return (li[0], ibb, 0, _tile(ibb, it, p), 0)
 
-        def sc_im(ibb, ihk, it, p, li):
-            return (li[0], ibb, ihk, 0, _lane_tile(ibb, it, p))
+        def sc_im(ibb, it, p, li):
+            return (li[0], ibb, 0, 0, _lane_tile(ibb, it, p))
 
-        def new_im(ibb, ihk, it, p, li):
-            return (ibb, ihk, it, 0, 0)
+        def new_im(ibb, it, p, li):
+            return (ibb, 0, it, 0, 0)
 
-        kv_block = (1, 1, 1, rows, d)
-        sc_block = (1, 1, 1, 1, lanes)
-        nw_block = (1, 1, 1, 1, d)
-        ns_block = (1, 1, 1, 1, 1)
+        kv_block = (1, 1, h_kv, rows, d)
+        sc_block = (1, 1, h_kv, 1, lanes)
+        nw_block = (1, h_kv, 1, 1, d)
+        ns_block = (1, h_kv, 1, 1, 1)
     else:
-        def kv_im(ibb, ihk, it, p):
-            return (ibb, ihk, _tile(ibb, it, p), 0)
+        def kv_im(ibb, it, p):
+            return (ibb, 0, _tile(ibb, it, p), 0)
 
-        def sc_im(ibb, ihk, it, p):
-            return (ibb, ihk, 0, _lane_tile(ibb, it, p))
+        def sc_im(ibb, it, p):
+            return (ibb, 0, 0, _lane_tile(ibb, it, p))
 
-        def new_im(ibb, ihk, it, p):
-            return (ibb, ihk, it, 0, 0)
+        def new_im(ibb, it, p):
+            return (ibb, 0, it, 0, 0)
 
-        kv_block = (1, 1, rows, d)
-        sc_block = (1, 1, 1, lanes)
-        nw_block = (1, 1, 1, 1, d)
-        ns_block = (1, 1, 1, 1, 1)
+        kv_block = (1, h_kv, rows, d)
+        sc_block = (1, h_kv, 1, lanes)
+        nw_block = (1, h_kv, 1, 1, d)
+        ns_block = (1, h_kv, 1, 1, 1)
 
     # new-token runs ride with unit dims so their (1, d)/(1, 1) tiles are
     # Mosaic-legal for every run length n (cf. the LSE layout note)
@@ -193,10 +212,7 @@ def cache_append(
               v_new.reshape(b, h_kv, n_tok, 1, d)]
     out_specs = [pl.BlockSpec(kv_block, kv_im), pl.BlockSpec(kv_block, kv_im)]
     out_shape = [jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype)] * 2
-    sc_shape = None
     if quantized:
-        sc_shape = ((k_scale.shape[0], b, h_kv, 1, s_max) if layered
-                    else (b, h_kv, 1, s_max))
         in_specs += [pl.BlockSpec(ns_block, new_im),
                      pl.BlockSpec(ns_block, new_im),
                      pl.BlockSpec(sc_block, sc_im),
@@ -223,7 +239,7 @@ def cache_append(
                           quantized=quantized, layered=layered, s_max=s_max),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(prefetch),
-            grid=(b, h_kv, n_tok),
+            grid=(b, n_tok),
             in_specs=in_specs,
             out_specs=out_specs,
         ),

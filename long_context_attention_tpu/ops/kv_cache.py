@@ -56,9 +56,15 @@ def quantize_kv(x: jnp.ndarray, dtype: str) -> Tuple[jnp.ndarray, Optional[jnp.n
 
 def dequantize_kv(q: jnp.ndarray, scale: Optional[jnp.ndarray],
                   dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Inverse of quantize_kv (reference path; the decode kernel fuses this)."""
+    """Inverse of quantize_kv (reference path; the decode kernel fuses this).
+
+    Accepts scales either flat ``(..., s)`` (fresh from quantize_kv) or in
+    the cache's kernel-native ``(..., 1, s)`` layout (KVCache docstring).
+    """
     if scale is None:
         return q.astype(dtype)
+    if scale.ndim == q.ndim:  # kernel-native (..., 1, s) unit-dim layout
+        scale = scale[..., 0, :]
     return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
@@ -66,8 +72,16 @@ def dequantize_kv(q: jnp.ndarray, scale: Optional[jnp.ndarray],
 @dataclasses.dataclass
 class KVCache:
     """Per-layer KV cache in BHSD: values (n_layers, b, h_kv, s_max, d),
-    scales (n_layers, b, h_kv, s_max) fp32 for quantized dtypes; ``length``
-    (b,) int32 is the filled prefix per batch row."""
+    scales (n_layers, b, h_kv, 1, s_max) fp32 for quantized dtypes;
+    ``length`` (b,) int32 is the filled prefix per batch row.
+
+    The scale arrays carry the decode kernels' native unit-dim layout:
+    their (1, s_max) minor dims tile as T(1,128), which is what the
+    kernels' (1, lanes) scale blocks demand. Storing the flat (.., h_kv,
+    s_max) shape instead forces XLA to physically re-tile T(8,128) ->
+    T(1,128) on EVERY kernel call whose operand is a loop carry (~75 MB
+    copied per array per call at b=8 @36K — and the copies break the
+    append kernel's in-place aliasing, quadrupling the damage)."""
 
     k: jnp.ndarray
     v: jnp.ndarray
@@ -83,7 +97,7 @@ class KVCache:
         vdt = jnp.bfloat16 if dtype == "bfloat16" else _qparams(dtype)[0]
         shape = (n_layers, b, h_kv, s_max, d)
         scales = (None if dtype == "bfloat16"
-                  else jnp.zeros((n_layers, b, h_kv, s_max), jnp.float32))
+                  else jnp.zeros((n_layers, b, h_kv, 1, s_max), jnp.float32))
         return KVCache(
             k=jnp.zeros(shape, vdt),
             v=jnp.zeros(shape, vdt),
@@ -101,6 +115,12 @@ class KVCache:
     def s_max(self) -> int:
         return self.k.shape[3]
 
+    @staticmethod
+    def scale_5d(sc, n_layers_leading: bool = True):
+        """Insert the kernels' unit dim into a freshly-quantized (.., h_kv,
+        s) scale array -> (.., h_kv, 1, s)."""
+        return None if sc is None else sc[..., None, :]
+
     def write_prompt(self, layer: int, k: jnp.ndarray, v: jnp.ndarray,
                      start: int = 0) -> "KVCache":
         """Write a (b, s, h_kv, d) prefill segment at positions
@@ -113,11 +133,14 @@ class KVCache:
         def upd(buf, val):
             return buf.at[layer, :, :, start:start + s].set(val)
 
+        def upd_sc(buf, val):  # buf (L, b, h, 1, s_max); val (b, h, s)
+            return buf.at[layer, :, :, 0, start:start + s].set(val)
+
         return dataclasses.replace(
             self,
             k=upd(self.k, kq), v=upd(self.v, vq),
-            k_scale=None if ks is None else upd(self.k_scale, ks),
-            v_scale=None if vs is None else upd(self.v_scale, vs),
+            k_scale=None if ks is None else upd_sc(self.k_scale, ks),
+            v_scale=None if vs is None else upd_sc(self.v_scale, vs),
         )
 
     def append_token(self, layer: int, k: jnp.ndarray, v: jnp.ndarray
@@ -134,9 +157,10 @@ class KVCache:
                 return jax.lax.dynamic_update_slice(bb, vb, (0, t, 0))
             return buf.at[layer].set(jax.vmap(row)(buf[layer], val, self.length))
 
-        def upd_scales(buf, val):  # buf[layer] (b,h,s); val (b,h,1)
-            def row(bb, vb, t):
-                return jax.lax.dynamic_update_slice(bb, vb, (0, t))
+        def upd_scales(buf, val):  # buf[layer] (b,h,1,s); val (b,h,1)
+            def row(bb, vb, t):  # bb (h,1,s); vb (h,1)
+                return jax.lax.dynamic_update_slice(bb, vb[:, :, None],
+                                                    (0, 0, t))
             return buf.at[layer].set(jax.vmap(row)(buf[layer], val, self.length))
 
         return dataclasses.replace(

@@ -142,8 +142,11 @@ class ContinuousEngine:
         v = jax.lax.dynamic_update_slice(cache.v, vq, start)
         ksc, vsc = cache.k_scale, cache.v_scale
         if ksc is not None:
-            ksc = jax.lax.dynamic_update_slice(ksc, ks, start[:4])
-            vsc = jax.lax.dynamic_update_slice(vsc, vs, start[:4])
+            # scales live 5-d (L, b, h, 1, s_max) — insert the unit dim
+            ksc = jax.lax.dynamic_update_slice(ksc, KVCache.scale_5d(ks),
+                                               start)
+            vsc = jax.lax.dynamic_update_slice(vsc, KVCache.scale_5d(vs),
+                                               start)
         length = cache.length.at[row].set(true_len.astype(jnp.int32))
         return dataclasses.replace(cache, k=k, v=v, k_scale=ksc, v_scale=vsc,
                                    length=length)

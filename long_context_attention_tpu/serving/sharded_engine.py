@@ -58,10 +58,11 @@ class ShardedEngine:
         return (self.axes.ring, self.axes.ulysses)
 
     def _cache_specs(self) -> KVCache:
-        """Pytree of PartitionSpecs matching KVCache fields (slot axis 3)."""
+        """Pytree of PartitionSpecs matching KVCache fields (slot axis 3
+        for values, 4 for the unit-dim scale layout)."""
         val = P(None, None, None, self.seq_axes, None)
         sc = (None if self.cache_dtype == "bfloat16"
-              else P(None, None, None, self.seq_axes))
+              else P(None, None, None, None, self.seq_axes))
         return KVCache(k=val, v=val, k_scale=sc, v_scale=sc, length=P())
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -83,28 +84,45 @@ class ShardedEngine:
 
         b, s = tokens.shape
         ring = self.mesh.shape[self.axes.ring]
+        n_seq = ring * self.mesh.shape[self.axes.ulysses]
+        s_local = s // n_seq
         tok_spec = P(None, self.seq_axes)
         tokens = permute_for_layout(tokens, self.cfg.layout, ring, axis=1)
+        # the last natural token sits at a traced PERMUTED index; only its
+        # shard projects it through lm_head (clipped no-op rows elsewhere)
+        # and one (b, vocab) psum replicates the result — the full
+        # (b, s, vocab) fp32 logits tensor (bucket x vocab waste, the
+        # admission memory hot spot) is never materialized.
+        natural_last = (jnp.int32(s - 1) if last_index is None
+                        else jnp.asarray(last_index, jnp.int32))
+        if self.cfg.layout != "basic":
+            perm = layout_permutation(self.cfg.layout, ring, s)
+            last_idx = jnp.argmax(jnp.asarray(perm) == natural_last)
+        else:
+            last_idx = natural_last
 
-        def fwd(params, tokens):
-            return forward_local(params, tokens, self.cfg,
-                                 ulysses_axis=self.axes.ulysses,
-                                 ring_axis=self.axes.ring,
-                                 interpret=self.interpret, return_kv=True)
+        def fwd(params, tokens, last_idx):
+            r = lax.axis_index(self.seq_axes)
+            li = last_idx - r * s_local
+            owns = (li >= 0) & (li < s_local)
+            logits, kv = forward_local(params, tokens, self.cfg,
+                                       ulysses_axis=self.axes.ulysses,
+                                       ring_axis=self.axes.ring,
+                                       interpret=self.interpret,
+                                       return_kv=True,
+                                       last_index=jnp.clip(li, 0, s_local - 1))
+            logits = jnp.where(owns, logits[:, 0], 0.0)
+            return lax.psum(logits, self.seq_axes), kv
 
         logits, (kk, vv) = jax.shard_map(
             fwd, mesh=self.mesh,
-            in_specs=(P(), tok_spec),
-            out_specs=(P(None, self.seq_axes, None),
+            in_specs=(P(), tok_spec, P()),
+            out_specs=(P(),
                        (P(None, None, self.seq_axes, None, None),) * 2),
             check_vma=False,
-        )(params, tokens)
+        )(params, tokens, last_idx)
         # kk/vv: (L, b, s, h_kv, d) sharded over the sequence axis, in layout
-        # order. Reshuffle ONCE to natural order for contiguous cache slots;
-        # the last natural token's logits sit at a static permuted index, so
-        # the (b, s, vocab) logits never move.
-        natural_last = (jnp.int32(s - 1) if last_index is None
-                        else jnp.asarray(last_index, jnp.int32))
+        # order. Reshuffle ONCE to natural order for contiguous cache slots.
         if self.cfg.layout != "basic":
             kk = unpermute_from_layout(kk, self.cfg.layout, ring, axis=2)
             vv = unpermute_from_layout(vv, self.cfg.layout, ring, axis=2)
@@ -112,31 +130,29 @@ class ShardedEngine:
                                   P(None, None, self.seq_axes, None, None))
             kk = lax.with_sharding_constraint(kk, kv_sh)
             vv = lax.with_sharding_constraint(vv, kv_sh)
-            perm = layout_permutation(self.cfg.layout, ring, s)
-            last_idx = jnp.argmax(jnp.asarray(perm) == natural_last)
-        else:
-            last_idx = natural_last
 
         dt = self.cache_dtype
         kq, ks = quantize_kv(jnp.transpose(kk, (0, 1, 3, 2, 4)), dt)
         vq, vs = quantize_kv(jnp.transpose(vv, (0, 1, 3, 2, 4)), dt)
+        ks, vs = KVCache.scale_5d(ks), KVCache.scale_5d(vs)
         # pad to s_max on the slot axis; keep the shard mapping aligned
         val_sh = NamedSharding(self.mesh, P(None, None, None, self.seq_axes, None))
-        sc_sh = NamedSharding(self.mesh, P(None, None, None, self.seq_axes))
+        sc_sh = NamedSharding(self.mesh,
+                              P(None, None, None, None, self.seq_axes))
 
-        def pad(x, sh):
-            shape = x.shape[:3] + (self.s_max,) + x.shape[4:]
+        def pad(x, sh, axis):
+            shape = x.shape[:axis] + (self.s_max,) + x.shape[axis + 1:]
             buf = jnp.zeros(shape, x.dtype)
             buf = lax.dynamic_update_slice(buf, x, (0,) * x.ndim)
             return lax.with_sharding_constraint(buf, sh)
 
         cache = KVCache(
-            k=pad(kq, val_sh), v=pad(vq, val_sh),
-            k_scale=None if ks is None else pad(ks, sc_sh),
-            v_scale=None if vs is None else pad(vs, sc_sh),
+            k=pad(kq, val_sh, 3), v=pad(vq, val_sh, 3),
+            k_scale=None if ks is None else pad(ks, sc_sh, 4),
+            v_scale=None if vs is None else pad(vs, sc_sh, 4),
             length=jnp.full((b,), s, jnp.int32),
         )
-        return logits[:, last_idx], cache
+        return logits, cache
 
     @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=2)
     def _decode_scan(self, params, cache: KVCache, max_new: int,
