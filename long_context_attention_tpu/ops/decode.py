@@ -383,7 +383,7 @@ def decode_attention(
     v_scale: Optional[jnp.ndarray] = None,
     *,
     softmax_scale: Optional[float] = None,
-    block_kv: int = 1024,
+    block_kv: int = 4096,
     interpret: Optional[bool] = None,
     return_lse: bool = False,
     layer: Optional[jnp.ndarray] = None,
@@ -414,6 +414,12 @@ def decode_attention(
     this call reads layer ``layer`` via its index maps — no host-side slice
     of the stacked cache (which would copy a whole layer per step in the
     serving decode loop).
+
+    ``block_kv`` defaults to 4096: at serving shapes the kv stream is
+    pipelined per tile, and 1024-sized tiles leave the int8 dequant path at
+    ~311 GB/s vs ~600 at 4096 (b=4..8 @32K measured; bf16 gains ~15%).
+    Larger tiles plateau. Caches smaller than the block down-fit
+    automatically.
 
     ``kv_splits``: flash-decoding split-KV. The kv range becomes an extra
     grid axis of independent streams whose fp32 partials merge via

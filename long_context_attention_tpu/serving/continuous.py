@@ -18,11 +18,13 @@ iteration-level scheduling, re-expressed for a static-shape XLA program):
 * admission = one bucketed single-row prefill (padded to the bucket so each
   bucket compiles once) + one donated in-place row insert.
 
-The decode loop syncs one (max_batch,) token vector to the host per step —
-needed for EOS detection and admission. On the axon tunnel that round trip
-dominates microbenchmarks; on a local chip it is ~10 us. A production server
-would overlap host scheduling with the next device step; kept sequential
-here for determinism.
+The decode loop syncs one (max_batch,) token vector to the host per step
+(block) — needed for EOS detection and admission. Two independent levers
+remove that round trip from the critical path: ``step_block > 1`` amortizes
+it over K device steps, and ``host_overlap=True`` software-pipelines the
+scheduler one block behind the device (block i+1 is dispatched before block
+i's tokens are fetched, so host bookkeeping runs UNDER device compute —
+greedy results are identical to the sequential loop).
 """
 
 from __future__ import annotations
@@ -91,6 +93,15 @@ class ContinuousEngine:
     # boundaries): >1 amortizes the host round trip at the cost of up to
     # step_block-1 wasted row-steps after a mid-block finish
     step_block: int = 1
+    # software-pipeline the host scheduler one block behind the device:
+    # block i+1 is dispatched BEFORE block i's tokens sync to the host, so
+    # EOS bookkeeping + admission decisions run UNDER device compute and the
+    # device never idles on the host round trip. Greedy results are
+    # identical to the sequential loop; sampled runs are exact draws from
+    # the same distributions but may consume PRNG blocks in a different
+    # order (a freed row is re-admitted one block later than the sequential
+    # scheduler would).
+    host_overlap: bool = False
 
     def init_cache(self) -> KVCache:
         return KVCache.init(self.cfg.n_layers, self.max_batch, self.s_max,
@@ -157,15 +168,18 @@ class ContinuousEngine:
         return decode_step(params, cache, tokens, self.cfg,
                            interpret=self.interpret, active=active)
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
+    @functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=2)
     def _step(self, params, cache: KVCache, tokens: jnp.ndarray,
               sampling: SamplingParams, active: jnp.ndarray,
               key: jax.Array):
+        # the cache is DONATED: without it the in-place append kernel's
+        # aliasing stops at the jit boundary and XLA copies the full
+        # multi-GB cache every step
         logits, cache = self._decode_one(params, cache, tokens, active)
         nxt = sample_token(logits, sampling, key)
         return nxt, cache
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
+    @functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=2)
     def _step_block(self, params, cache: KVCache, tokens: jnp.ndarray,
                     sampling: SamplingParams, active: jnp.ndarray,
                     budget: jnp.ndarray, key: jax.Array, eos: jnp.ndarray):
@@ -190,6 +204,37 @@ class ContinuousEngine:
         (cache, _, _, _), toks = jax.lax.scan(
             step, (cache, tokens, active, budget), keys)
         return jnp.transpose(toks), cache
+
+    @functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=2)
+    def _step_block_carry(self, params, cache: KVCache, tokens: jnp.ndarray,
+                          sampling: SamplingParams, active: jnp.ndarray,
+                          budget: jnp.ndarray, key: jax.Array,
+                          eos: jnp.ndarray):
+        """`_step_block` that also returns its (tokens, active, budget)
+        carry, so the NEXT block launches purely from device state — the
+        host-overlap scheduler's step (``host_overlap=True``): no host
+        input stands between consecutive blocks."""
+        def step(carry, skey):
+            cache, tok, act, left = carry
+            logits, cache = self._decode_one(params, cache, tok, act)
+            nxt = sample_token(logits, sampling, skey)
+            nxt = jnp.where(act, nxt, tok)
+            left = left - act.astype(jnp.int32)
+            done = (left <= 0) | ((eos >= 0) & (nxt == eos))
+            act = act & ~done
+            return (cache, nxt, act, left), nxt
+
+        keys = jax.random.split(key, max(1, self.step_block))
+        (cache, tok, act, left), toks = jax.lax.scan(
+            step, (cache, tokens, active, budget), keys)
+        return jnp.transpose(toks), cache, tok, act, left
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _admit_vecs(self, tok, act, left, bi, first, budget):
+        """Activate batch row ``bi`` in the device-resident scheduler
+        vectors (host-overlap admission; all args traced — one compile)."""
+        return (tok.at[bi].set(first), act.at[bi].set(True),
+                left.at[bi].set(budget))
 
     def _admit_row(self, params, cache, req: Request, bi: int,
                    sampling: SamplingParams, key: jax.Array):
@@ -224,6 +269,9 @@ class ContinuousEngine:
                 raise ValueError(
                     f"request {r.id}: prompt ({len(r.tokens)}) + max_new "
                     f"({r.max_new}) exceeds cache capacity s_max={self.s_max}")
+        if self.host_overlap:
+            return self._serve_overlapped(params, requests, sampling=sampling,
+                                          eos_id=eos_id, key=key)
         queue = deque(requests)
         cache = self.init_cache()
         slot: List[Optional[Request]] = [None] * B
@@ -275,6 +323,85 @@ class ContinuousEngine:
                     emitted[bi].append(int(nxt[bi, j]))
                     cur[bi] = int(nxt[bi, j])
                     self._maybe_finish(bi, slot, emitted, results, eos_id)
+        return results
+
+    def _serve_overlapped(self, params, requests: Sequence[Request], *,
+                          sampling: SamplingParams = SamplingParams(),
+                          eos_id: Optional[int] = None,
+                          key: Optional[jax.Array] = None
+                          ) -> Dict[int, RequestResult]:
+        """One-block-deep software pipeline of `serve`: the scheduler state
+        (tokens, active mask, per-row budget) lives ON DEVICE, block i+1 is
+        enqueued before block i's tokens are fetched, and the host consumes
+        block i's tokens (EOS bookkeeping, finishing requests, admission
+        decisions) while the device runs block i+1. The device therefore
+        never waits for the host round trip — the remaining overheads are
+        one wasted block per row between its finish and its slot's
+        re-admission (the pipeline's one-block knowledge lag) and the
+        admission prefill itself.
+
+        Correctness: a row that finishes mid-pipeline was ALREADY
+        deactivated by the device's own done rule (same budget/EOS logic
+        the host replays), so the in-flight block writes nothing to it and
+        re-admission enqueues strictly after that block.
+        """
+        B = self.max_batch
+        queue = deque(requests)
+        cache = self.init_cache()
+        slot: List[Optional[Request]] = [None] * B
+        emitted: List[List[int]] = [[] for _ in range(B)]
+        results: Dict[int, RequestResult] = {}
+        key = jax.random.PRNGKey(0) if key is None else key
+        tok_d = jnp.zeros((B,), jnp.int32)
+        act_d = jnp.zeros((B,), jnp.bool_)
+        left_d = jnp.zeros((B,), jnp.int32)
+        eos = jnp.int32(-1 if eos_id is None else eos_id)
+
+        def admit():
+            nonlocal cache, tok_d, act_d, left_d
+            for bi in range(B):
+                if slot[bi] is not None or not queue:
+                    continue
+                req = queue.popleft()
+                skey = jax.random.fold_in(key, req.id)
+                cache, first = self._admit_row(params, cache, req, bi,
+                                               sampling, skey)
+                slot[bi] = req
+                emitted[bi] = [first]
+                self._maybe_finish(bi, slot, emitted, results, eos_id)
+                if slot[bi] is not None:
+                    tok_d, act_d, left_d = self._admit_vecs(
+                        tok_d, act_d, left_d, jnp.int32(bi),
+                        jnp.int32(first), jnp.int32(req.max_new - 1))
+
+        admit()
+        # pending = (block i-1's token futures, row->request-id snapshot at
+        # DISPATCH time). The snapshot matters: a row freed in block i-1 and
+        # re-admitted before block i-1's tokens are processed would
+        # otherwise swallow the OLD request's inactive repeat-tokens into
+        # the NEW request's stream.
+        pending = None
+        while queue or any(s is not None for s in slot) or pending is not None:
+            nxt_block = None
+            if any(s is not None for s in slot):
+                key, skey = jax.random.split(key)
+                toks, cache, tok_d, act_d, left_d = \
+                    self._step_block_carry(params, cache, tok_d, sampling,
+                                           act_d, left_d, skey, eos)
+                nxt_block = (toks, [s.id if s is not None else None
+                                    for s in slot])
+            if pending is not None:
+                toks, ids = pending
+                nxt = np.asarray(toks)  # sync block i-1; block i runs on
+                for j in range(nxt.shape[1]):
+                    for bi in range(B):
+                        if slot[bi] is None or slot[bi].id != ids[bi]:
+                            continue
+                        emitted[bi].append(int(nxt[bi, j]))
+                        self._maybe_finish(bi, slot, emitted, results, eos_id)
+            admit()  # AFTER processing: freshest finish knowledge; the
+            #          admission device-ops enqueue before the next block
+            pending = nxt_block
         return results
 
     @staticmethod

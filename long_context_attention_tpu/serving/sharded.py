@@ -42,7 +42,7 @@ def sharded_decode_attention(
     *,
     axis_name: str,
     softmax_scale: Optional[float] = None,
-    block_kv: int = 1024,
+    block_kv: int = 4096,
     interpret: Optional[bool] = None,
     layer: Optional[jnp.ndarray] = None,
     softcap: float = 0.0,

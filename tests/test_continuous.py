@@ -133,6 +133,42 @@ def test_step_block_equals_per_token(params, sharded):
                                                 r4e[i].tokens)
 
 
+@pytest.mark.parametrize("sharded", [False, True])
+@pytest.mark.parametrize("blk", [1, 4])
+def test_host_overlap_equals_sequential(params, sharded, blk):
+    """host_overlap=True (scheduler pipelined one block behind the device,
+    device-resident token/active/budget vectors) must produce the SAME
+    greedy results as the sequential loop — across queueing, mid-block
+    finishes, one-block-late re-admissions, and EOS exits."""
+    from long_context_attention_tpu.parallel.mesh import make_usp_mesh
+    from long_context_attention_tpu.serving import ShardedContinuousEngine
+
+    reqs = [Request(id=i, tokens=_prompt(30 + i, n), max_new=m)
+            for i, (n, m) in enumerate([(24, 7), (40, 3), (16, 9),
+                                        (12, 5), (33, 2)])]
+    if sharded:
+        mesh = make_usp_mesh(1, 2, 4)
+        mk = lambda ov: ShardedContinuousEngine(
+            CFG, s_max=S_MAX, max_batch=2, mesh=mesh, step_block=blk,
+            host_overlap=ov)
+    else:
+        mk = lambda ov: ContinuousEngine(CFG, s_max=S_MAX, max_batch=2,
+                                         step_block=blk, host_overlap=ov)
+    seq = mk(False).serve(params, reqs)
+    ovl = mk(True).serve(params, reqs)
+    assert sorted(ovl) == sorted(seq)
+    for i in seq:
+        assert ovl[i].tokens == seq[i].tokens, (i, ovl[i].tokens,
+                                                seq[i].tokens)
+
+    eos = seq[2].tokens[4]
+    seqe = mk(False).serve(params, reqs, eos_id=eos)
+    ovle = mk(True).serve(params, reqs, eos_id=eos)
+    for i in seqe:
+        assert ovle[i].tokens == seqe[i].tokens, (i, ovle[i].tokens,
+                                                  seqe[i].tokens)
+
+
 DRAFT = ModelConfig(vocab=96, dim=32, n_layers=1, n_heads=2, n_kv_heads=1,
                     head_dim=32, ffn_hidden=64, layout="basic")
 
