@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--new", type=int, default=16)
     ap.add_argument("--batch", type=int, nargs="+", default=[1, 4])
     ap.add_argument("--dtypes", nargs="+", default=["bfloat16", "int8"])
+    ap.add_argument("--weights", default="bfloat16",
+                    help="decode weight dtype: bfloat16 | int8 (w8a8)")
     ap.add_argument("--layers", type=int, default=16)
     ap.add_argument("--dim", type=int, default=2048)
     args = ap.parse_args()
@@ -44,15 +46,16 @@ def main():
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"# model: {n_params/1e9:.2f}B params, ctx={args.ctx}, "
           f"platform={jax.default_backend()}", file=sys.stderr)
-    print(f"{'batch':>5} {'cache':>8} {'prefill_s':>10} {'ms/tok':>8} "
-          f"{'tok/s/chip':>10}")
+    print(f"{'batch':>5} {'cache':>8} {'prefill_s':>10} {'ttft_s':>8} "
+          f"{'ms/tok':>8} {'tok/s/chip':>10}")
 
     for b in args.batch:
         prompt = jax.random.randint(jax.random.PRNGKey(1), (b, args.ctx), 0,
                                     cfg.vocab, jnp.int32)
         for dt in args.dtypes:
             s_max = ((args.ctx + args.new + 4095) // 4096) * 4096
-            eng = Engine(cfg=cfg, s_max=s_max, cache_dtype=dt)
+            eng = Engine(cfg=cfg, s_max=s_max, cache_dtype=dt,
+                         weight_dtype=args.weights)
             t0 = time.perf_counter()
             logits, cache = eng.prefill_chunked(params, prompt, args.chunk)
             jax.block_until_ready(logits)
@@ -60,28 +63,35 @@ def main():
             prefill_s = time.perf_counter() - t0
 
             first = jnp.argmax(logits, -1).astype(jnp.int32)
+            dparams = eng.decode_params(params)
             # _decode_scan donates the cache, and the timed run must decode
             # from the *same* post-prefill state as the compile run (ADVICE
             # r1 #4). A full jnp.copy of the cache doubles cache HBM and
             # OOMs b=8 @32K (2 x 9 GB int8) — instead re-run the (already
             # compiled) prefill to regenerate the identical cache.
             toks, cache2 = eng._decode_scan(
-                params, cache, args.new, first, SamplingParams(),
+                dparams, cache, args.new, first, SamplingParams(),
                 jax.random.PRNGKey(0))
             float(jnp.sum(toks))
             del cache, cache2
-            _, cache = eng.prefill_chunked(params, prompt, args.chunk)
+            # the regeneration is also the WARM prefill (TTFT) measurement:
+            # the first prefill above paid compile through the tunnel
+            t0 = time.perf_counter()
+            logits2, cache = eng.prefill_chunked(params, prompt, args.chunk)
+            float(jnp.sum(logits2))
+            warm_prefill_s = time.perf_counter() - t0
             # fence the regenerated prefill before timing (the tunnel does
             # not reliably fence on block_until_ready; reduce-transfer does)
             float(jnp.sum(cache.length))
             jax.block_until_ready(cache.k)
             t0 = time.perf_counter()
             toks, cache3 = eng._decode_scan(
-                params, cache, args.new, first, SamplingParams(),
+                dparams, cache, args.new, first, SamplingParams(),
                 jax.random.PRNGKey(0))
             float(jnp.sum(toks))
             dt_tok = (time.perf_counter() - t0) / args.new
             print(f"{b:>5} {dt[:8]:>8} {prefill_s:>10.2f} "
+                  f"{warm_prefill_s:>8.2f} "
                   f"{dt_tok*1e3:>8.2f} {b/dt_tok:>10.0f}", flush=True)
             del cache, cache3
 

@@ -35,6 +35,7 @@ from long_context_attention_tpu.parallel.layouts import (
     position_descriptor,
     positions_from_descriptor,
 )
+from long_context_attention_tpu.ops.wquant import qdot
 from long_context_attention_tpu.parallel.mesh import MeshAxes
 from long_context_attention_tpu.parallel.usp import usp_attention_local
 from long_context_attention_tpu.utils.config import BlockSizes
@@ -197,8 +198,10 @@ def _ffn(cfg: ModelConfig, lp, h, *, ep_axis: Optional[str] = None,
               "w_down": lp["moe_down"]}
         return moe_mlp_local(mp, h, mc, ep_axis=ep_axis,
                              tokens_replicated=tokens_replicated)
-    gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32)).astype(h.dtype)
-    return (gate * (h @ lp["w_up"])) @ lp["w_down"]
+    # qdot == `@` for plain arrays; serving may pass int8 QTensor weights
+    gate = jax.nn.silu(qdot(h, lp["w_gate"]).astype(jnp.float32)).astype(
+        h.dtype)
+    return qdot(gate * qdot(h, lp["w_up"]), lp["w_down"])
 
 
 def _layer(cfg: ModelConfig, x, lp, positions, *, ulysses_axis, ring_axis,
@@ -561,9 +564,11 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
     def body_layered(carry, lp):
         x, li, kc_all, vc_all, ksc_all, vsc_all = carry
         h = rmsnorm(x, lp["attn_norm"], cfg.norm_eps)
-        q = (h @ lp["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
-        k = (h @ lp["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
-        v = (h @ lp["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        # qdot == `@` for bf16 params; int8 QTensor weights (ops/wquant.py,
+        # Engine weight_dtype="int8") run the s8 MXU path
+        q = qdot(h, lp["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
+        k = qdot(h, lp["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        v = qdot(h, lp["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
         q = rope(q, pos[:, None], cfg.rope_theta)
         k = rope(k, pos[:, None], cfg.rope_theta)
 
@@ -605,7 +610,7 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
                 window_size=(cfg.window_left, -1), softcap=cfg.softcap,
             )  # (b, h, d)
 
-        x = x + (attn.reshape(b, 1, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
+        x = x + qdot(attn.reshape(b, 1, cfg.q_dim), lp["wo"]).astype(x.dtype)
         hh = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
         x = x + _ffn(cfg, lp, hh, full_capacity=True).astype(x.dtype)
         return (x, li + 1, kc_all, vc_all, ksc_all, vsc_all), None
@@ -616,7 +621,7 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
     cache = _dc.replace(cache, k=kc, v=vc, k_scale=ksc, v_scale=vsc,
                         length=cache.length + live)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
-    logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
+    logits = qdot(x[:, 0], params["lm_head"]).astype(jnp.float32)
     return logits, cache
 
 
@@ -682,9 +687,9 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
     def body(carry, lp):
         x, li, kc_all, vc_all, ksc_all, vsc_all = carry
         h = rmsnorm(x, lp["attn_norm"], cfg.norm_eps)
-        q = (h @ lp["wq"]).reshape(b, n, cfg.n_heads, dh)
-        k = (h @ lp["wk"]).reshape(b, n, hkv, dh)
-        v = (h @ lp["wv"]).reshape(b, n, hkv, dh)
+        q = qdot(h, lp["wq"]).reshape(b, n, cfg.n_heads, dh)
+        k = qdot(h, lp["wk"]).reshape(b, n, hkv, dh)
+        v = qdot(h, lp["wv"]).reshape(b, n, hkv, dh)
         q = rope(q, positions, cfg.rope_theta)
         k = rope(k, positions, cfg.rope_theta)
 
@@ -720,7 +725,7 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
                 window_size=(cfg.window_left, -1), softcap=cfg.softcap,
             )  # (b, n, h, d)
 
-        x = x + (out.reshape(b, n, cfg.q_dim) @ lp["wo"]).astype(x.dtype)
+        x = x + qdot(out.reshape(b, n, cfg.q_dim), lp["wo"]).astype(x.dtype)
         hh = rmsnorm(x, lp["mlp_norm"], cfg.norm_eps)
         x = x + _ffn(cfg, lp, hh, full_capacity=True).astype(x.dtype)
         return (x, li + 1, kc_all, vc_all, ksc_all, vsc_all), None
@@ -730,7 +735,7 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
     cache = _dc.replace(cache, k=kc, v=vc, k_scale=ksc, v_scale=vsc,
                         length=cache.length + n * live)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = qdot(x, params["lm_head"]).astype(jnp.float32)
     return logits, cache
 
 

@@ -102,6 +102,21 @@ class ContinuousEngine:
     # order (a freed row is re-admitted one block later than the sequential
     # scheduler would).
     host_overlap: bool = False
+    # "int8": decode steps run with w8a8-quantized weights (ops/wquant.py),
+    # halving the per-step weight stream; admission prefill stays bf16
+    weight_dtype: str = "bfloat16"
+
+    def decode_params(self, params):
+        """Params pytree for the decode steps (int8 QTensor weights when
+        ``weight_dtype="int8"``; admission prefill keeps bf16 params)."""
+        if self.weight_dtype == "bfloat16":
+            return params
+        assert self.weight_dtype == "int8", self.weight_dtype
+        assert not self.cfg.moe, "int8 decode weights: MoE experts stay bf16"
+        from long_context_attention_tpu.ops.wquant import (
+            quantize_decode_params,
+        )
+        return quantize_decode_params(params)
 
     def init_cache(self) -> KVCache:
         return KVCache.init(self.cfg.n_layers, self.max_batch, self.s_max,
@@ -274,6 +289,7 @@ class ContinuousEngine:
                                           eos_id=eos_id, key=key)
         queue = deque(requests)
         cache = self.init_cache()
+        dparams = self.decode_params(params)
         slot: List[Optional[Request]] = [None] * B
         emitted: List[List[int]] = [[] for _ in range(B)]
         cur = np.zeros((B,), np.int32)
@@ -303,7 +319,7 @@ class ContinuousEngine:
                 continue  # everything admitted finished at its first token
             key, skey = jax.random.split(key)
             if self.step_block <= 1:
-                nxt, cache = self._step(params, cache, jnp.asarray(cur),
+                nxt, cache = self._step(dparams, cache, jnp.asarray(cur),
                                         sampling, live_mask(), skey)
                 nxt = np.asarray(nxt)[:, None]
             else:
@@ -312,7 +328,7 @@ class ContinuousEngine:
                      if slot[bi] is not None else 0 for bi in range(B)],
                     np.int32)
                 nxt, cache = self._step_block(
-                    params, cache, jnp.asarray(cur), sampling, live_mask(),
+                    dparams, cache, jnp.asarray(cur), sampling, live_mask(),
                     jnp.asarray(budget), skey,
                     jnp.int32(-1 if eos_id is None else eos_id))
                 nxt = np.asarray(nxt)
@@ -348,6 +364,7 @@ class ContinuousEngine:
         B = self.max_batch
         queue = deque(requests)
         cache = self.init_cache()
+        dparams = self.decode_params(params)
         slot: List[Optional[Request]] = [None] * B
         emitted: List[List[int]] = [[] for _ in range(B)]
         results: Dict[int, RequestResult] = {}
@@ -386,7 +403,7 @@ class ContinuousEngine:
             if any(s is not None for s in slot):
                 key, skey = jax.random.split(key)
                 toks, cache, tok_d, act_d, left_d = \
-                    self._step_block_carry(params, cache, tok_d, sampling,
+                    self._step_block_carry(dparams, cache, tok_d, sampling,
                                            act_d, left_d, skey, eos)
                 nxt_block = (toks, [s.id if s is not None else None
                                     for s in slot])
@@ -598,6 +615,10 @@ class SpeculativeContinuousEngine(ContinuousEngine):
         queue = deque(requests)
         tcache = self.init_cache()
         dcache = deng.init_cache()
+        # decode/verify rounds run on (optionally int8) weights; admission
+        # prefill keeps the original bf16 params
+        tparams = self.decode_params(params)
+        dparams = self.decode_params(draft_params)
         slot: List[Optional[Request]] = [None] * B
         emitted: List[List[int]] = [[] for _ in range(B)]
         cur = np.zeros((B,), np.int32)
@@ -638,17 +659,17 @@ class SpeculativeContinuousEngine(ContinuousEngine):
             if sampled:
                 key, kd, kv = jax.random.split(key, 3)
                 drafts, qdist, dcache = self._draft_round_sampled(
-                    draft_params, dcache, t, sampling, kd, active)
+                    dparams, dcache, t, sampling, kd, active)
                 run = jnp.concatenate([t[:, None], drafts], axis=1)
                 accept_m, fallback, tcache = self._verify_round_sampled(
-                    params, tcache, run, drafts, qdist, sampling, kv, active)
+                    tparams, tcache, run, drafts, qdist, sampling, kv, active)
                 acc_np = np.asarray(accept_m)
                 d_np, c_np = np.asarray(drafts), np.asarray(fallback)
             else:
-                drafts, dcache = self._draft_round(draft_params, dcache, t,
+                drafts, dcache = self._draft_round(dparams, dcache, t,
                                                    active)
                 run = jnp.concatenate([t[:, None], drafts], axis=1)
-                choices, tcache = self._verify_round(params, tcache, run,
+                choices, tcache = self._verify_round(tparams, tcache, run,
                                                      active)
                 d_np, c_np = np.asarray(drafts), np.asarray(choices)
                 acc_np = d_np == c_np[:, :self.gamma]

@@ -86,6 +86,11 @@ class Engine:
     """Single-host generation engine for the flagship model.
 
     ``cache_dtype``: "bfloat16" | "int8" | "float8_e4m3fn" (ops/kv_cache.py).
+    ``weight_dtype``: "bfloat16" | "int8" — int8 quantizes the DECODE
+    weights (per-output-channel, ops/wquant.py) once per generate call;
+    the decode matmuls then run w8a8 on the s8 MXU, halving the per-step
+    weight stream (the dominant HBM traffic at small batch). Prefill and
+    the stored ``params`` stay bf16.
     Prefill runs the full training forward. With ``mesh=None`` that is a
     1-device run; pass a USP mesh and long prompts prefill sequence-sharded
     over it (tokens permuted into the model's training layout, KV reshuffled
@@ -99,6 +104,20 @@ class Engine:
     interpret: Optional[bool] = None
     mesh: Optional[jax.sharding.Mesh] = None
     axes: MeshAxes = MeshAxes()
+    weight_dtype: str = "bfloat16"
+
+    def decode_params(self, params):
+        """The params pytree the decode loop should run with — int8
+        QTensor weights when ``weight_dtype="int8"``, else ``params``
+        unchanged. Idempotent-cheap: one jitted pass over the weights."""
+        if self.weight_dtype == "bfloat16":
+            return params
+        assert self.weight_dtype == "int8", self.weight_dtype
+        assert not self.cfg.moe, "int8 decode weights: MoE experts stay bf16"
+        from long_context_attention_tpu.ops.wquant import (
+            quantize_decode_params,
+        )
+        return quantize_decode_params(params)
 
     def init_cache(self, b: int) -> KVCache:
         return KVCache.init(self.cfg.n_layers, b, self.s_max,
@@ -241,6 +260,6 @@ class Engine:
             key = jax.random.PRNGKey(0)
         key, fkey = jax.random.split(key)
         first = sample_token(logits, sampling, fkey)
-        toks, cache = self._decode_scan(params, cache, max_new, first,
-                                        sampling, key)
+        toks, cache = self._decode_scan(self.decode_params(params), cache,
+                                        max_new, first, sampling, key)
         return GenerationResult(tokens=toks, cache=cache, prefill_logits=logits)

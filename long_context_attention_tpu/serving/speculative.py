@@ -112,10 +112,23 @@ class SpeculativeEngine:
     gamma: int = 4
     cache_dtype: str = "bfloat16"
     interpret: Optional[bool] = None
+    # "int8": both models' DECODE weights quantize to w8a8 (ops/wquant.py)
+    # after prefill. With sampling, acceptance stays exact w.r.t. the
+    # distribution the quantized target actually computes.
+    weight_dtype: str = "bfloat16"
 
     def __post_init__(self):
         assert self.cfg.vocab == self.draft_cfg.vocab, "vocabularies differ"
         assert self.gamma >= 1
+
+    def _decode_params(self, p):
+        if self.weight_dtype == "bfloat16":
+            return p
+        assert self.weight_dtype == "int8", self.weight_dtype
+        from long_context_attention_tpu.ops.wquant import (
+            quantize_decode_params,
+        )
+        return quantize_decode_params(p)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
     def _draft_run(self, draft_params, dcache, t: jnp.ndarray,
@@ -218,6 +231,10 @@ class SpeculativeEngine:
                       cache_dtype=self.cache_dtype, interpret=self.interpret)
         tl, tcache = teng.prefill(params, prompt)
         _, dcache = deng.prefill(draft_params, prompt)
+        # decode rounds run on (optionally int8-quantized) weights; the
+        # prefill above used the original bf16 params
+        params = self._decode_params(params)
+        draft_params = self._decode_params(draft_params)
 
         if sampled:
             from long_context_attention_tpu.serving.engine import sample_token
