@@ -557,6 +557,12 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
     append_pos = jnp.where(live > 0, pos, -1).astype(jnp.int32)
     att_len = pos + live
     scale = cfg.head_dim ** -0.5
+    # paged cache (ops/kv_cache.py:PagedKVCache): the page table rides the
+    # kernels' scalar prefetch; it is constant across layers and steps
+    pt = getattr(cache, "page_table", None)
+    assert not (pt is not None and shard_axes is not None), (
+        "paged + sequence-sharded decode is not supported (the 1M-context "
+        "path shards a dense cache)")
 
     # The stacked cache rides in the scan CARRY (aliased in place by XLA) and
     # the kernel indexes the layer internally — no per-step per-layer cache
@@ -600,7 +606,7 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
         else:
             res = cache_append(
                 kc_all, vc_all, kq, vq, append_pos, ksc_all, vsc_all,
-                ks1, vs1, layer=li, interpret=interpret)
+                ks1, vs1, layer=li, interpret=interpret, page_table=pt)
             kc_all, vc_all = res[0], res[1]
             if len(res) > 2:
                 ksc_all, vsc_all = res[2], res[3]
@@ -608,6 +614,7 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
                 q[:, 0], kc_all, vc_all, att_len, ksc_all, vsc_all,
                 softmax_scale=scale, interpret=interpret, layer=li,
                 window_size=(cfg.window_left, -1), softcap=cfg.softcap,
+                page_table=pt,
             )  # (b, h, d)
 
         x = x + qdot(attn.reshape(b, 1, cfg.q_dim), lp["wo"]).astype(x.dtype)
@@ -683,6 +690,9 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
     positions = pos0[:, None] + jnp.arange(n, dtype=jnp.int32)[None]
     scale = cfg.head_dim ** -0.5
     hkv, dh = cfg.n_kv_heads, cfg.head_dim
+    pt = getattr(cache, "page_table", None)
+    assert not (pt is not None and shard_axes is not None), (
+        "paged + sequence-sharded decode is not supported")
 
     def body(carry, lp):
         x, li, kc_all, vc_all, ksc_all, vsc_all = carry
@@ -714,7 +724,7 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
         else:
             res = cache_append(kc_all, vc_all, kq, vq, append_pos,
                                ksc_all, vsc_all, ks1, vs1,
-                               layer=li, interpret=interpret)
+                               layer=li, interpret=interpret, page_table=pt)
             kc_all, vc_all = res[0], res[1]
             if len(res) > 2:
                 ksc_all, vsc_all = res[2], res[3]
@@ -723,6 +733,7 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
                 q, kc_all, vc_all, att_len, ksc_all, vsc_all,
                 softmax_scale=scale, interpret=interpret, layer=li,
                 window_size=(cfg.window_left, -1), softcap=cfg.softcap,
+                page_table=pt,
             )  # (b, n, h, d)
 
         x = x + qdot(out.reshape(b, n, cfg.q_dim), lp["wo"]).astype(x.dtype)

@@ -34,10 +34,12 @@ _APPEND_LANES = 128  # lane tile for the scale splice
 
 
 def _append_kernel(pos_ref, *refs, rows: int, lanes: int, quantized: bool,
-                   layered: bool, s_max: int):
+                   layered: bool, s_max: int, paged: bool = False):
     refs = list(refs)
     if layered:
         del refs[0]  # layer-index prefetch (consumed by the index maps)
+    if paged:
+        del refs[0]  # page-table prefetch (consumed by the index maps)
     if quantized:
         (k_ref, v_ref, kn_ref, vn_ref, ksn_ref, vsn_ref, ks_ref, vs_ref,
          ko_ref, vo_ref, kso_ref, vso_ref) = refs
@@ -120,10 +122,21 @@ def cache_append(
     *,
     layer: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
+    page_table: Optional[jnp.ndarray] = None,
 ):
     """Splice a run of n consecutive tokens per batch row into the KV cache
     IN PLACE (n = 1 is the decode hot path; n > 1 is the speculative-decode
     verify step writing the whole draft run at once).
+
+    ``page_table``: optional (b, n_pages) int32 — PAGED cache mode (see
+    `decode_attention`): the cache arrays are pools (P, h_kv, page, d)
+    (stacked (L, P, ...) with ``layer``), logical slot s of row b lives in
+    pool page ``page_table[b, s // page]`` at offset ``s % page``. Only
+    the index maps change; liveness stays in logical positions with
+    capacity ``n_pages * page``. A run may straddle a PAGE boundary — the
+    per-token grid already re-derives its tile each step, so page crossings
+    need no special casing (revisit-initialization triggers on r == 0,
+    which every page boundary satisfies since page % rows == 0).
 
     The write happens inside a pallas kernel whose cache outputs alias its
     cache inputs (``input_output_aliases``), so XLA updates the HBM buffers
@@ -153,35 +166,55 @@ def cache_append(
     passed with), donated through.
     """
     layered = layer is not None
+    paged = page_table is not None
     if layered:
-        _, b, h_kv, s_max, d = k_cache.shape
+        _, pool_b, h_kv, page, d = k_cache.shape
     else:
-        b, h_kv, s_max, d = k_cache.shape
+        pool_b, h_kv, page, d = k_cache.shape
+    b = k_new.shape[0]
+    # logical capacity: paged rows span n_pages pages; dense rows span the
+    # cache's own slot dim (pool_b is then the batch)
+    s_max = page_table.shape[1] * page if paged else page
     n_tok = k_new.shape[2]
     quantized = k_scale is not None
-    rows = min(_APPEND_ROWS, s_max)
-    lanes = min(_APPEND_LANES, s_max)
-    assert s_max % rows == 0 and s_max % lanes == 0, (s_max, rows, lanes)
+    rows = min(_APPEND_ROWS, page)
+    lanes = min(_APPEND_LANES, page)
+    assert page % rows == 0 and page % lanes == 0, (page, rows, lanes)
     interp = default_interpret() if interpret is None else bool(interpret)
 
+    def _pos(ibb, it, p):
+        return jnp.clip(p[ibb] + it, 0, s_max - 1)
+
+    def _row(ibb, it, p, *rest):
+        # paged: the physical pool page owning this token's logical slot
+        # (clamped: skipped rows pass out-of-range bases whose clipped
+        # position may map to an unallocated -1 entry; nothing is written
+        # there — liveness is computed from the UNclipped position)
+        if paged:
+            lpage = _pos(ibb, it, p) // page
+            return jnp.clip(rest[-1][ibb, lpage], 0, pool_b - 1)
+        return ibb
+
     def _tile(ibb, it, p):
-        return jnp.clip(p[ibb] + it, 0, s_max - 1) // rows
+        return _pos(ibb, it, p) % page // rows
 
     def _lane_tile(ibb, it, p):
-        return jnp.clip(p[ibb] + it, 0, s_max - 1) // lanes
+        return _pos(ibb, it, p) % page // lanes
 
     sc_shape = None
     if quantized:
-        sc_shape = ((k_scale.shape[0], b, h_kv, 1, s_max) if layered
-                    else (b, h_kv, 1, s_max))
+        sc_shape = ((k_scale.shape[0], pool_b, h_kv, 1, page) if layered
+                    else (pool_b, h_kv, 1, page))
     if layered:
-        def kv_im(ibb, it, p, li):
-            return (li[0], ibb, 0, _tile(ibb, it, p), 0)
+        def kv_im(ibb, it, p, li, *rest):
+            return (li[0], _row(ibb, it, p, *rest), 0,
+                    _tile(ibb, it, p), 0)
 
-        def sc_im(ibb, it, p, li):
-            return (li[0], ibb, 0, 0, _lane_tile(ibb, it, p))
+        def sc_im(ibb, it, p, li, *rest):
+            return (li[0], _row(ibb, it, p, *rest), 0, 0,
+                    _lane_tile(ibb, it, p))
 
-        def new_im(ibb, it, p, li):
+        def new_im(ibb, it, p, li, *rest):
             return (ibb, 0, it, 0, 0)
 
         kv_block = (1, 1, h_kv, rows, d)
@@ -189,13 +222,13 @@ def cache_append(
         nw_block = (1, h_kv, 1, 1, d)
         ns_block = (1, h_kv, 1, 1, 1)
     else:
-        def kv_im(ibb, it, p):
-            return (ibb, 0, _tile(ibb, it, p), 0)
+        def kv_im(ibb, it, p, *rest):
+            return (_row(ibb, it, p, *rest), 0, _tile(ibb, it, p), 0)
 
-        def sc_im(ibb, it, p):
-            return (ibb, 0, 0, _lane_tile(ibb, it, p))
+        def sc_im(ibb, it, p, *rest):
+            return (_row(ibb, it, p, *rest), 0, 0, _lane_tile(ibb, it, p))
 
-        def new_im(ibb, it, p):
+        def new_im(ibb, it, p, *rest):
             return (ibb, 0, it, 0, 0)
 
         kv_block = (1, h_kv, rows, d)
@@ -225,7 +258,7 @@ def cache_append(
         out_shape += [jax.ShapeDtypeStruct(sc_shape, jnp.float32)] * 2
 
     # aliases: flat input indices INCLUDE the scalar-prefetch operands
-    n_pref = 1 + int(layered)
+    n_pref = 1 + int(layered) + int(paged)
     io = {n_pref + 0: 0, n_pref + 1: 1}          # k_cache, v_cache
     if quantized:
         io[n_pref + 6] = 2                        # k_scale
@@ -234,9 +267,12 @@ def cache_append(
     prefetch = [jnp.asarray(append_pos, jnp.int32)]
     if layered:
         prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
+    if paged:
+        prefetch.append(jnp.asarray(page_table, jnp.int32))
     res = pl.pallas_call(
         functools.partial(_append_kernel, rows=rows, lanes=lanes,
-                          quantized=quantized, layered=layered, s_max=s_max),
+                          quantized=quantized, layered=layered, s_max=s_max,
+                          paged=paged),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(prefetch),
             grid=(b, n_tok),
@@ -259,11 +295,14 @@ def _decode_kernel(
     scale: float, block_kv: int, quantized: bool, g: int,
     layered: bool = False, window_left: int = -1, softcap: float = 0.0,
     alibi: bool = False, has_first_cols: bool = False, n_tok: int = 1,
+    paged: bool = False,
 ):
     refs = list(refs)
     if layered:
         del refs[0]  # the layer-index prefetch ref (consumed by index maps)
     fc_ref = refs.pop(0) if has_first_cols else None
+    if paged:
+        del refs[0]  # page-table prefetch (consumed by the index maps)
     if quantized:
         q_ref, k_ref, v_ref, ks_ref, vs_ref = refs[:5]
         refs = refs[5:]
@@ -392,8 +431,24 @@ def decode_attention(
     softcap: float = 0.0,
     alibi_slopes=None,
     first_cols: Optional[jnp.ndarray] = None,
+    page_table: Optional[jnp.ndarray] = None,
 ):
     """Single-step decode attention over a (quantized) cache.
+
+    ``page_table``: optional (b, n_pages) int32 — PAGED cache mode. The
+    cache arrays become a shared physical POOL of pages, (P, h_kv,
+    page_size, d) (stacked (L, P, ...) with ``layer``), and row b's
+    logical kv block i lives in pool page ``page_table[b, i]`` (entries
+    past the filled prefix may be -1/garbage — they are never fetched:
+    the index map clamps to the last live page). ONLY the index maps
+    change — masking math stays in logical token positions, so windows/
+    softcap/multi-token verify all compose. The kv tile size IS the page
+    size; pages must be multiples of 128 tokens and SHOULD be >= 2048:
+    the measured int8 stream rate falls 575 -> 472 -> 311 -> 101 GB/s at
+    page sizes 4096/2048/1024/256 (v5e, b=4..8 @32K), which is why a
+    vLLM-style 16-64-token page is the wrong design on TPU — coarse
+    pages + a shared pool recover most of paging's concurrency win at
+    ~18% bandwidth cost (page 2048).
 
     ``window_size``: (left, right) sliding window as in `ops/flash.py` —
     only ``left`` applies at decode (the query IS the newest token, nothing
@@ -461,14 +516,24 @@ def decode_attention(
         "but each token of the run has its own window start")
     quantized = k_scale is not None
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
-    bkv = min(block_kv, s_max)
-    while s_max % bkv:
-        bkv //= 2
-    assert bkv % 128 == 0 or bkv == s_max, (
-        f"cache s_max ({s_max}) down-fits the kv block to {bkv}, which "
-        f"violates Mosaic's 128-lane tiling — size caches to multiples of "
-        f"128 (ideally of {block_kv})")
-    nk = s_max // bkv
+    paged = page_table is not None
+    if paged:
+        # the pool's slot dim IS the page size; one grid step = one page
+        bkv = s_max
+        n_pool = k_cache.shape[1 if layered else 0]
+        nk = page_table.shape[1]
+        assert bkv % 128 == 0, f"page_size {bkv} must be a multiple of 128"
+        assert first_cols is None, "paged + sharded windows unsupported"
+        assert kv_splits in (None, 1), "paged + kv_splits unsupported"
+    else:
+        bkv = min(block_kv, s_max)
+        while s_max % bkv:
+            bkv //= 2
+        assert bkv % 128 == 0 or bkv == s_max, (
+            f"cache s_max ({s_max}) down-fits the kv block to {bkv}, which "
+            f"violates Mosaic's 128-lane tiling — size caches to multiples "
+            f"of 128 (ideally of {block_kv})")
+        nk = s_max // bkv
     if kv_splits is None:
         kv_splits = 1  # measured: splits only add per-stream ramp on v5e
     splits = max(1, min(int(kv_splits), nk))
@@ -503,7 +568,24 @@ def decode_attention(
             gt = jnp.maximum(gt, jnp.minimum(lo, last))
         return gt
 
-    if layered:
+    def _phys(ibb, gt, rest):
+        # paged: logical kv block gt -> physical pool page (clamped so a
+        # -1/garbage entry past the filled prefix still fetches in-bounds;
+        # compute for those tiles is gated off by the length check)
+        return jnp.clip(rest[-1][ibb, gt], 0, n_pool - 1)
+
+    if layered and paged:
+        def kv_im(ibb, ihk, isp, ik, lens, li, *rest):
+            gt = _clamped_gt(ibb, isp, ik, lens, rest[:-1])
+            return (li[0], _phys(ibb, gt, rest), ihk, 0, 0)
+
+        def sc_im(ibb, ihk, isp, ik, lens, li, *rest):
+            gt = _clamped_gt(ibb, isp, ik, lens, rest[:-1])
+            return (li[0], _phys(ibb, gt, rest), ihk, 0, 0)
+
+        kv_block = (1, 1, 1, bkv, d)
+        sc_block = (1, 1, 1, 1, bkv)
+    elif layered:
         def kv_im(ibb, ihk, isp, ik, lens, li, *rest):
             return (li[0], ibb, ihk,
                     _clamped_gt(ibb, isp, ik, lens, rest), 0)
@@ -514,6 +596,17 @@ def decode_attention(
 
         kv_block = (1, 1, 1, bkv, d)
         sc_block = (1, 1, 1, 1, bkv)
+    elif paged:
+        def kv_im(ibb, ihk, isp, ik, lens, *rest):
+            gt = _clamped_gt(ibb, isp, ik, lens, rest[:-1])
+            return (_phys(ibb, gt, rest), ihk, 0, 0)
+
+        def sc_im(ibb, ihk, isp, ik, lens, *rest):
+            gt = _clamped_gt(ibb, isp, ik, lens, rest[:-1])
+            return (_phys(ibb, gt, rest), ihk, 0, 0)
+
+        kv_block = (1, 1, bkv, d)
+        sc_block = (1, 1, 1, bkv)
     else:
         def kv_im(ibb, ihk, isp, ik, lens, *rest):
             return (ibb, ihk, _clamped_gt(ibb, isp, ik, lens, rest), 0)
@@ -539,8 +632,9 @@ def decode_attention(
     if quantized:
         # scales ride with a unit dim before s_max so the (1, bkv) tile
         # satisfies Mosaic's last-two-dims constraint (unit dim == array dim)
-        sc_shape = ((k_scale.shape[0], b, h_kv, 1, s_max) if layered
-                    else (b, h_kv, 1, s_max))
+        lead = k_cache.shape[1] if layered else k_cache.shape[0]  # b or pool
+        sc_shape = ((k_scale.shape[0], lead, h_kv, 1, s_max) if layered
+                    else (lead, h_kv, 1, s_max))
         in_specs += [pl.BlockSpec(sc_block, sc_im),
                      pl.BlockSpec(sc_block, sc_im)]
         inputs += [k_scale.reshape(sc_shape), v_scale.reshape(sc_shape)]
@@ -558,6 +652,8 @@ def decode_attention(
         prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
     if has_fc:
         prefetch.append(jnp.asarray(first_cols, jnp.int32))
+    if paged:
+        prefetch.append(jnp.asarray(page_table, jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
         grid=(b, h_kv, splits, nk_s),
@@ -577,7 +673,7 @@ def decode_attention(
                           quantized=quantized, g=g, layered=layered,
                           window_left=w_left, softcap=float(softcap),
                           alibi=alibi_slopes is not None,
-                          has_first_cols=has_fc, n_tok=n_tok),
+                          has_first_cols=has_fc, n_tok=n_tok, paged=paged),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, h_kv, splits, G, d), jnp.float32),

@@ -24,7 +24,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["KVCache", "quantize_kv", "dequantize_kv", "CACHE_DTYPES"]
+__all__ = ["KVCache", "PagedKVCache", "quantize_kv", "dequantize_kv",
+           "CACHE_DTYPES"]
 
 CACHE_DTYPES = ("bfloat16", "int8", "float8_e4m3fn")
 
@@ -177,3 +178,71 @@ class KVCache:
         """(k, v, k_scale, v_scale) BHSD views for one layer."""
         sl = lambda a: None if a is None else a[layer]
         return self.k[layer], self.v[layer], sl(self.k_scale), sl(self.v_scale)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    """Paged KV cache: one shared physical POOL of pages + per-row page
+    tables — the TPU-native answer to vLLM's PagedAttention, sized for TPU
+    DMA economics (coarse pages; see `ops/decode.py:decode_attention`).
+
+    Values ``(n_layers, pool_pages, h_kv, page_size, d)``; scales
+    ``(n_layers, pool_pages, h_kv, 1, page_size)`` fp32 (unit-dim layout,
+    as KVCache); ``page_table`` (b, n_pages) int32 maps row b's logical kv
+    block i to a pool page (-1 = unallocated — never dereferenced live);
+    ``length`` (b,) int32 logical filled prefix.
+
+    HBM scales with the POOL, not ``b x s_max``: rows reserve only the
+    pages their prompt + budget needs, so heterogeneous-length batches fit
+    ~pool/mean-length rows instead of ~pool/s_max.
+
+    **Pool page 0 is reserved scratch** — allocators must never hand it
+    out: inactive rows (append_pos <= -n) and empty rows clamp their
+    out-of-range positions to logical page 0, whose -1 table entry clamps
+    to pool page 0; reserving it makes those gated no-op accesses land on
+    a page no live row owns (the append kernel's pipelined
+    refetch-writeback of an aliased tile is only value-safe when no OTHER
+    row writes that tile in the same call).
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray]
+    v_scale: Optional[jnp.ndarray]
+    page_table: jnp.ndarray
+    length: jnp.ndarray
+
+    @staticmethod
+    def init(n_layers: int, b: int, pool_pages: int, page_size: int,
+             n_pages: int, h_kv: int, d: int,
+             dtype: str = "bfloat16") -> "PagedKVCache":
+        if dtype not in CACHE_DTYPES:
+            raise ValueError(f"cache dtype {dtype!r} not in {CACHE_DTYPES}")
+        assert page_size % 128 == 0, page_size
+        assert pool_pages >= 2, "pool needs the scratch page + 1"
+        vdt = jnp.bfloat16 if dtype == "bfloat16" else _qparams(dtype)[0]
+        shape = (n_layers, pool_pages, h_kv, page_size, d)
+        scales = (None if dtype == "bfloat16" else jnp.zeros(
+            (n_layers, pool_pages, h_kv, 1, page_size), jnp.float32))
+        return PagedKVCache(
+            k=jnp.zeros(shape, vdt),
+            v=jnp.zeros(shape, vdt),
+            k_scale=scales,
+            v_scale=None if scales is None else jnp.zeros_like(scales),
+            page_table=jnp.full((b, n_pages), -1, jnp.int32),
+            length=jnp.zeros((b,), jnp.int32),
+        )
+
+    @property
+    def dtype(self) -> str:
+        return ("bfloat16" if self.k_scale is None
+                else jnp.dtype(self.k.dtype).name)
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def s_max(self) -> int:  # logical per-row capacity
+        return self.page_table.shape[1] * self.page_size

@@ -7,6 +7,7 @@ per-layer KVCache (INT8/FP8) and a jit-compiled greedy decode loop.
 
 from long_context_attention_tpu.serving.continuous import (
     ContinuousEngine,
+    PagedContinuousEngine,
     Request,
     RequestResult,
     ShardedContinuousEngine,
@@ -24,7 +25,8 @@ from long_context_attention_tpu.serving.speculative import (
     SpeculativeResult,
 )
 
-__all__ = ["ContinuousEngine", "Engine", "GenerationResult", "Request",
+__all__ = ["ContinuousEngine", "Engine", "GenerationResult",
+           "PagedContinuousEngine", "Request",
            "RequestResult", "ShardedContinuousEngine", "ShardedEngine",
            "ShardedSpeculativeContinuousEngine",
            "SpeculativeContinuousEngine", "SpeculativeEngine",

@@ -51,7 +51,8 @@ from long_context_attention_tpu.serving.engine import (
 )
 
 __all__ = ["Request", "RequestResult", "ContinuousEngine",
-           "ShardedContinuousEngine", "SpeculativeContinuousEngine",
+           "PagedContinuousEngine", "ShardedContinuousEngine",
+           "SpeculativeContinuousEngine",
            "ShardedSpeculativeContinuousEngine"]
 
 
@@ -251,6 +252,13 @@ class ContinuousEngine:
         return (tok.at[bi].set(first), act.at[bi].set(True),
                 left.at[bi].set(budget))
 
+    def _can_admit(self, req: Request, bi: int) -> bool:
+        """Backpressure hook: may request ``req`` be admitted into row
+        ``bi`` right now? The paged engine refuses when the page pool
+        (plus row bi's reclaimable pages) can't cover the request; the
+        scheduler then retries at the next block boundary."""
+        return True
+
     def _admit_row(self, params, cache, req: Request, bi: int,
                    sampling: SamplingParams, key: jax.Array):
         """Prefill one request and insert it at batch row ``bi``.
@@ -300,6 +308,8 @@ class ContinuousEngine:
             nonlocal cache
             for bi in range(B):
                 if slot[bi] is not None or not queue:
+                    continue
+                if not self._can_admit(queue[0], bi):
                     continue
                 req = queue.popleft()
                 skey = jax.random.fold_in(key, req.id)
@@ -378,6 +388,8 @@ class ContinuousEngine:
             nonlocal cache, tok_d, act_d, left_d
             for bi in range(B):
                 if slot[bi] is not None or not queue:
+                    continue
+                if not self._can_admit(queue[0], bi):
                     continue
                 req = queue.popleft()
                 skey = jax.random.fold_in(key, req.id)
@@ -630,6 +642,8 @@ class SpeculativeContinuousEngine(ContinuousEngine):
             for bi in range(B):
                 if slot[bi] is not None or not queue:
                     continue
+                if not self._can_admit(queue[0], bi):
+                    continue
                 req = queue.popleft()
                 skey = jax.random.fold_in(key, req.id)
                 tcache, first = self._admit_row(params, tcache, req, bi,
@@ -846,3 +860,135 @@ class ShardedSpeculativeContinuousEngine(SpeculativeContinuousEngine,
             out_specs=(P(), P(), specs),
             check_vma=False,
         )(params, tcache, run_toks, drafts, qdist, key, active)
+
+
+class _PageAllocator:
+    """Host-side free-list over the physical page pool. Page 0 is the
+    reserved scratch page (see `ops/kv_cache.py:PagedKVCache`). Pages are
+    reclaimed lazily: a row's pages free when a NEW request is admitted
+    into that row (that is exactly when they become garbage)."""
+
+    def __init__(self, pool_pages: int):
+        self.free: List[int] = list(range(1, pool_pages))
+        self.rows: Dict[int, List[int]] = {}
+
+    def available(self, bi: int) -> int:
+        return len(self.free) + len(self.rows.get(bi, []))
+
+    def take(self, bi: int, need: int) -> List[int]:
+        self.free.extend(self.rows.pop(bi, []))
+        assert len(self.free) >= need, (need, len(self.free))
+        pages = [self.free.pop() for _ in range(need)]
+        self.rows[bi] = pages
+        return pages
+
+
+@dataclasses.dataclass(frozen=True)
+class PagedContinuousEngine(ContinuousEngine):
+    """Continuous batching over a PAGED cache (`PagedKVCache`): rows
+    reserve only the pages their prompt + decode budget needs from one
+    shared pool, so HBM holds ~pool/mean-request-length concurrent rows
+    instead of ~pool/s_max — the batch-size (and thus tokens/s/chip) win
+    for heterogeneous-length workloads. Admission backpressure: a request
+    whose page need exceeds the free pool waits at block boundaries
+    (`_can_admit`) while other rows keep decoding.
+
+    ``page_size`` should stay >= 2048 on real chips (the decode stream
+    rate falls steeply with smaller pages; see ops/decode.py) — tests use
+    small pages on the CPU mesh where bandwidth is irrelevant.
+    """
+
+    page_size: int = 2048
+    pool_pages: int = 0      # physical pages INCLUDING the scratch page 0
+
+    def __post_init__(self):
+        assert self.pool_pages >= 2, "pool needs the scratch page + 1"
+        assert self.s_max % self.page_size == 0, (self.s_max, self.page_size)
+        assert not self.host_overlap or True  # overlap composes; no-op
+
+    @property
+    def n_pages(self) -> int:
+        return self.s_max // self.page_size
+
+    def _pages_needed(self, req: Request) -> int:
+        pad = _bucket(len(req.tokens))
+        span = max(pad, len(req.tokens) + req.max_new)
+        return -(-span // self.page_size)
+
+    def init_cache(self) -> KVCache:
+        from long_context_attention_tpu.ops.kv_cache import PagedKVCache
+        return PagedKVCache.init(self.cfg.n_layers, self.max_batch,
+                                 self.pool_pages, self.page_size,
+                                 self.n_pages, self.cfg.n_kv_heads,
+                                 self.cfg.head_dim, self.cache_dtype)
+
+    # --- allocator lifecycle (per serve call) ------------------------------
+
+    def serve(self, params, requests, **kw):
+        for r in requests:
+            if self._pages_needed(r) > self.pool_pages - 1:
+                raise ValueError(
+                    f"request {r.id} needs {self._pages_needed(r)} pages; "
+                    f"pool has {self.pool_pages - 1} allocatable")
+        object.__setattr__(self, "_alloc", _PageAllocator(self.pool_pages))
+        try:
+            return super().serve(params, requests, **kw)
+        finally:
+            object.__setattr__(self, "_alloc", None)
+
+    def _can_admit(self, req: Request, bi: int) -> bool:
+        return self._alloc.available(bi) >= self._pages_needed(req)
+
+    # --- paged admission ----------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 6), donate_argnums=1)
+    def _insert_row_paged(self, cache, kv_k, kv_v, row, true_len, n_chunks,
+                          pages):
+        """Quantize a prefilled row's KV and scatter it page-by-page into
+        the pool (donated: in place). kv_k/kv_v (L, 1, pad, h, d); ``pages``
+        (n_pages,) int32 — the row's new table (page i of the prompt lands
+        in pool page ``pages[i]``). Also installs the row's table entry and
+        length."""
+        ps = self.page_size
+        kb = jnp.transpose(kv_k, (0, 1, 3, 2, 4))[:, 0]  # (L, h, pad, d)
+        vb = jnp.transpose(kv_v, (0, 1, 3, 2, 4))[:, 0]
+        kq, ks = quantize_kv(kb, self.cache_dtype)
+        vq, vs = quantize_kv(vb, self.cache_dtype)
+        k, v = cache.k, cache.v
+        ksc, vsc = cache.k_scale, cache.v_scale
+        for pi in range(n_chunks):
+            lo = pi * ps
+            w = min(ps, kq.shape[2] - lo)  # last chunk may be partial
+            pg = pages[pi].astype(jnp.int32)
+            st = (jnp.int32(0), pg, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+            k = jax.lax.dynamic_update_slice(k, kq[:, None, :, lo:lo + w], st)
+            v = jax.lax.dynamic_update_slice(v, vq[:, None, :, lo:lo + w], st)
+            if ksc is not None:
+                # scales (L, h, pad) -> pool layout (L, 1, h, 1, ps)
+                ksc = jax.lax.dynamic_update_slice(
+                    ksc, ks[:, None, :, None, lo:lo + w], st)
+                vsc = jax.lax.dynamic_update_slice(
+                    vsc, vs[:, None, :, None, lo:lo + w], st)
+        table = cache.page_table.at[row].set(pages)
+        length = cache.length.at[row].set(true_len.astype(jnp.int32))
+        return dataclasses.replace(cache, k=k, v=v, k_scale=ksc, v_scale=vsc,
+                                   page_table=table, length=length)
+
+    def _admit_row(self, params, cache, req: Request, bi: int,
+                   sampling: SamplingParams, key: jax.Array):
+        n = len(req.tokens)
+        pad = _bucket(n)
+        need = self._pages_needed(req)
+        pages = self._alloc.take(bi, need)
+        row_pt = np.full((self.n_pages,), -1, np.int32)
+        row_pt[:need] = pages
+        toks = np.zeros((1, pad), np.int32)
+        toks[0, :n] = np.asarray(req.tokens, np.int32)
+        logits, (kv_k, kv_v) = self._prefill_one(params, jnp.asarray(toks),
+                                                 jnp.int32(n - 1))
+        n_chunks = -(-pad // self.page_size)
+        cache = self._insert_row_paged(cache, kv_k, kv_v, jnp.int32(bi),
+                                       jnp.int32(n), n_chunks,
+                                       jnp.asarray(row_pt))
+        first = sample_token(logits, sampling, key)
+        return cache, int(first[0])
