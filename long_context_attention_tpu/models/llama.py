@@ -636,7 +636,8 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
                       cfg: ModelConfig, *,
                       interpret: Optional[bool] = None,
                       shard_axes=None,
-                      active: Optional[jnp.ndarray] = None):
+                      active: Optional[jnp.ndarray] = None,
+                      last_index=None):
     """Teacher-forced multi-token decode: consume n tokens per row in ONE
     forward against the cache (the speculative-decoding verify step).
 
@@ -667,6 +668,13 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
     ``active``: optional (b,) bool — continuous batching. Inactive rows
     write nothing and do not advance ``length``; their logits are garbage
     the caller ignores.
+
+    ``last_index``: optional position (int or traced scalar) within the
+    run: project only that position through lm_head — logits (b, 1,
+    vocab). Prefix-cache suffix prefill (serving/continuous.py) feeds
+    multi-hundred-token runs through this path and needs only the
+    next-token row; the full (b, n, vocab) fp32 tensor is the same
+    bucket x vocab waste `forward_local`'s last_index avoids.
     """
     import dataclasses as _dc
 
@@ -746,6 +754,8 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
     cache = _dc.replace(cache, k=kc, v=vc, k_scale=ksc, v_scale=vsc,
                         length=cache.length + n * live)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    if last_index is not None:
+        x = lax.dynamic_slice_in_dim(x, last_index, 1, axis=1)
     logits = qdot(x, params["lm_head"]).astype(jnp.float32)
     return logits, cache
 

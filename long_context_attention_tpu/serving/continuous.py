@@ -40,6 +40,7 @@ import numpy as np
 
 from long_context_attention_tpu.models.llama import (
     ModelConfig,
+    decode_multi_step,
     decode_step,
     forward_local,
 )
@@ -72,13 +73,20 @@ class RequestResult:
     prompt_len: int
 
 
-def _bucket(n: int, quantum: int = 64) -> int:
-    """Pad prompts to power-of-two-ish buckets so prefill compiles O(log)
-    distinct shapes, not one per prompt length."""
+def _bucket(n: int, quantum: int = 64, cap: int = 2048) -> int:
+    """Pad prompts to compile buckets: powers of two up to ``cap``, then
+    multiples of ``cap`` — O(log) distinct shapes for short prompts,
+    bounded padding waste (< cap instead of < n) for long ones. A 16.4K
+    prompt pads to 18432, not 32768 — halving its admission prefill work
+    and keeping its page span inside the row's table. Multiples of 2048
+    stay divisible by any power-of-two shard count (the sharded engines'
+    bucket-divisibility requirement)."""
     b = quantum
-    while b < n:
+    while b < min(n, cap):
         b *= 2
-    return b
+    if n <= b:
+        return b
+    return -(-n // cap) * cap
 
 
 @dataclasses.dataclass(frozen=True)
@@ -896,23 +904,50 @@ class PagedContinuousEngine(ContinuousEngine):
     ``page_size`` should stay >= 2048 on real chips (the decode stream
     rate falls steeply with smaller pages; see ops/decode.py) — tests use
     small pages on the CPU mesh where bandwidth is irrelevant.
+
+    ``prefix_cache=True`` adds automatic prefix caching
+    (serving/prefix_cache.py): full prompt pages are content-registered
+    by a chain hash, a new prompt sharing a page-aligned prefix with any
+    prior one reuses those pool pages bit-exact (refcounted; evicted LRU
+    only when the free list runs dry), and its prefill computes ONLY the
+    suffix — chunked multi-token decode (`decode_multi_step`) against the
+    shared prefix, ``prefill_chunk`` tokens per device call. System-
+    prompt-heavy workloads skip most of their prefill FLOPs and TTFT.
     """
 
     page_size: int = 2048
     pool_pages: int = 0      # physical pages INCLUDING the scratch page 0
+    prefix_cache: bool = False
+    # suffix-prefill chunk cap (tokens per decode_multi_step call); the
+    # actual chunk is min(prefill_chunk, bucket(suffix)) so short suffixes
+    # neither over-pad pages nor add compilations (buckets are O(log))
+    prefill_chunk: int = 256
 
     def __post_init__(self):
         assert self.pool_pages >= 2, "pool needs the scratch page + 1"
         assert self.s_max % self.page_size == 0, (self.s_max, self.page_size)
-        assert not self.host_overlap or True  # overlap composes; no-op
+        assert self.prefill_chunk >= 64 and self.prefill_chunk % 64 == 0, (
+            "prefill_chunk must be a multiple of the bucket quantum (64)")
 
     @property
     def n_pages(self) -> int:
         return self.s_max // self.page_size
 
+    @property
+    def stats(self) -> Dict[str, int]:
+        """Prefix-cache observability for the last/current `serve` call:
+        ``prefix_hit_tokens`` (prompt tokens served from shared pages),
+        ``admitted_tokens``, ``evictions``."""
+        return getattr(self, "_stats", {})
+
     def _pages_needed(self, req: Request) -> int:
         pad = _bucket(len(req.tokens))
         span = max(pad, len(req.tokens) + req.max_new)
+        if self.prefix_cache:
+            # worst-case suffix-chunk padding (cached + ceil(suffix/cs)*cs
+            # <= n + cs) so the serve() pool check covers the hit path too
+            span = max(span, len(req.tokens)
+                       + min(self.prefill_chunk, pad))
         return -(-span // self.page_size)
 
     def init_cache(self) -> KVCache:
@@ -930,14 +965,59 @@ class PagedContinuousEngine(ContinuousEngine):
                 raise ValueError(
                     f"request {r.id} needs {self._pages_needed(r)} pages; "
                     f"pool has {self.pool_pages - 1} allocatable")
-        object.__setattr__(self, "_alloc", _PageAllocator(self.pool_pages))
+        if self.prefix_cache:
+            from long_context_attention_tpu.serving.prefix_cache import (
+                PrefixPageAllocator,
+            )
+            alloc = PrefixPageAllocator(self.pool_pages)
+        else:
+            alloc = _PageAllocator(self.pool_pages)
+        object.__setattr__(self, "_alloc", alloc)
+        object.__setattr__(self, "_stats",
+                           {"prefix_hit_tokens": 0, "admitted_tokens": 0,
+                            "evictions": 0})
         try:
             return super().serve(params, requests, **kw)
         finally:
+            if self.prefix_cache:
+                self._stats["evictions"] = alloc.evictions
             object.__setattr__(self, "_alloc", None)
 
     def _can_admit(self, req: Request, bi: int) -> bool:
-        return self._alloc.available(bi) >= self._pages_needed(req)
+        if not self.prefix_cache:
+            return self._alloc.available(bi) >= self._pages_needed(req)
+        _, lookup_hashes, _, _, span_pages = self._prefix_plan(req)
+        return self._alloc.can_take(bi, lookup_hashes, span_pages)
+
+    def _prefix_plan(self, req: Request):
+        """(all full-page hashes, lookup hashes, hits, chunk size, table
+        span in pages) for admitting ``req`` under the CURRENT allocator
+        state. Hits are capped so >= 1 suffix token remains (the next-token
+        logits must come from a computed query), and forced to 0 when the
+        chunk-padded span would overflow the row's table (rare: prompt
+        within one chunk of s_max) — the bucket-prefill path then applies.
+        """
+        from long_context_attention_tpu.serving.prefix_cache import (
+            chain_hashes,
+        )
+
+        ps = self.page_size
+        n = len(req.tokens)
+        all_hashes = chain_hashes(req.tokens, ps)
+        lookup_hashes = all_hashes[:(n - 1) // ps]
+        hits = self._alloc.lookup(lookup_hashes)
+        cs = None
+        if hits > 0:
+            cached = hits * ps
+            suffix = n - cached
+            cs = min(self.prefill_chunk, _bucket(suffix))
+            span = max(n + req.max_new, cached + (-(-suffix // cs)) * cs)
+            if span > self.s_max:
+                hits, cs = 0, None
+        if hits == 0:
+            lookup_hashes = []
+            span = max(_bucket(n), n + req.max_new)
+        return all_hashes, lookup_hashes, hits, cs, -(-span // ps)
 
     # --- paged admission ----------------------------------------------------
 
@@ -974,14 +1054,27 @@ class PagedContinuousEngine(ContinuousEngine):
         return dataclasses.replace(cache, k=k, v=v, k_scale=ksc, v_scale=vsc,
                                    page_table=table, length=length)
 
-    def _admit_row(self, params, cache, req: Request, bi: int,
-                   sampling: SamplingParams, key: jax.Array):
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
+    def _suffix_chunk(self, params, view, toks: jnp.ndarray,
+                      last_index: jnp.ndarray):
+        """One suffix-prefill chunk: teacher-force ``toks`` (1, cs) through
+        `decode_multi_step` against the b=1 pool VIEW (same physical pool
+        arrays as the engine cache, a one-row page table) — appends land in
+        the row's fresh pages via the paged append kernel, attention reads
+        the shared prefix pages, and only ``last_index``'s position
+        projects through lm_head. The view is donated: the pool updates in
+        place, chunk after chunk."""
+        logits, view = decode_multi_step(params, view, toks, self.cfg,
+                                         interpret=self.interpret,
+                                         last_index=last_index)
+        return logits[:, 0], view
+
+    def _bucket_prefill(self, params, cache, req: Request, bi: int,
+                        row_pt: np.ndarray):
+        """Cold-path admission (no prefix hit): full bucket-padded prefill
+        + page-wise pool insert. Returns (cache, next-token logits)."""
         n = len(req.tokens)
         pad = _bucket(n)
-        need = self._pages_needed(req)
-        pages = self._alloc.take(bi, need)
-        row_pt = np.full((self.n_pages,), -1, np.int32)
-        row_pt[:need] = pages
         toks = np.zeros((1, pad), np.int32)
         toks[0, :n] = np.asarray(req.tokens, np.int32)
         logits, (kv_k, kv_v) = self._prefill_one(params, jnp.asarray(toks),
@@ -990,5 +1083,59 @@ class PagedContinuousEngine(ContinuousEngine):
         cache = self._insert_row_paged(cache, kv_k, kv_v, jnp.int32(bi),
                                        jnp.int32(n), n_chunks,
                                        jnp.asarray(row_pt))
+        return cache, logits
+
+    def _admit_row(self, params, cache, req: Request, bi: int,
+                   sampling: SamplingParams, key: jax.Array):
+        n = len(req.tokens)
+        if not self.prefix_cache:
+            need = self._pages_needed(req)
+            pages = self._alloc.take(bi, need)
+            row_pt = np.full((self.n_pages,), -1, np.int32)
+            row_pt[:need] = pages
+            cache, logits = self._bucket_prefill(params, cache, req, bi,
+                                                 row_pt)
+            first = sample_token(logits, sampling, key)
+            return cache, int(first[0])
+
+        from long_context_attention_tpu.ops.kv_cache import PagedKVCache
+
+        all_hashes, lookup_hashes, hits, cs, span_pages = \
+            self._prefix_plan(req)
+        pages, got = self._alloc.take(bi, lookup_hashes, span_pages)
+        assert got == hits, (got, hits)
+        row_pt = np.full((self.n_pages,), -1, np.int32)
+        row_pt[:span_pages] = pages
+        if hits == 0:
+            cache, logits = self._bucket_prefill(params, cache, req, bi,
+                                                 row_pt)
+        else:
+            cached = hits * self.page_size
+            suffix = np.asarray(req.tokens[cached:], np.int32)
+            n_chunks = -(-len(suffix) // cs)
+            toks = np.zeros((1, n_chunks * cs), np.int32)
+            toks[0, :len(suffix)] = suffix
+            view = PagedKVCache(
+                k=cache.k, v=cache.v,
+                k_scale=cache.k_scale, v_scale=cache.v_scale,
+                page_table=jnp.asarray(row_pt)[None],
+                length=jnp.full((1,), cached, jnp.int32))
+            last = jnp.int32((len(suffix) - 1) % cs)
+            logits = None
+            for ci in range(n_chunks):
+                logits, view = self._suffix_chunk(
+                    params, view,
+                    jnp.asarray(toks[:, ci * cs:(ci + 1) * cs]), last)
+            # the donated view updated the pool in place; re-own its arrays
+            # (pad appends past the prompt are dead: length caps at n and
+            # later decode appends overwrite those slots)
+            cache = dataclasses.replace(
+                cache, k=view.k, v=view.v,
+                k_scale=view.k_scale, v_scale=view.v_scale,
+                page_table=cache.page_table.at[bi].set(jnp.asarray(row_pt)),
+                length=cache.length.at[bi].set(n))
+            self._stats["prefix_hit_tokens"] += cached
+        self._alloc.register(all_hashes, pages[:len(all_hashes)])
+        self._stats["admitted_tokens"] += n
         first = sample_token(logits, sampling, key)
         return cache, int(first[0])
