@@ -870,6 +870,30 @@ class ShardedSpeculativeContinuousEngine(SpeculativeContinuousEngine,
         )(params, tcache, run_toks, drafts, qdist, key, active)
 
 
+@dataclasses.dataclass
+class _Admission:
+    """Host-side state of one in-flight chunked admission (paged engine,
+    ``interleave_admission=True``): the prompt's unprefilled tokens staged
+    as ``n_chunks`` chunks of ``cs``, the row's reserved page table, and
+    the prefix-cache bookkeeping deferred to completion. Holds NO device
+    buffers besides the tiny ``last`` index — the pool view is rebuilt
+    from the live cache each advance (decode blocks donate the pool
+    between chunks)."""
+
+    req: Request
+    bi: int
+    key: jax.Array
+    toks: np.ndarray          # (1, n_chunks*cs) zero-padded suffix tokens
+    cs: int
+    n_chunks: int
+    ci: int
+    last: jnp.ndarray         # final true token's offset in the last chunk
+    row_pt: np.ndarray        # (n_pages,) the row's new page table
+    pages: List[int]
+    all_hashes: List[int]
+    cached: int               # prefix-hit tokens already in shared pages
+
+
 class _PageAllocator:
     """Host-side free-list over the physical page pool. Page 0 is the
     reserved scratch page (see `ops/kv_cache.py:PagedKVCache`). Pages are
@@ -922,12 +946,25 @@ class PagedContinuousEngine(ContinuousEngine):
     # actual chunk is min(prefill_chunk, bucket(suffix)) so short suffixes
     # neither over-pad pages nor add compilations (buckets are O(log))
     prefill_chunk: int = 256
+    # chunked-prefill admission interleaved with decode (vLLM-style): an
+    # incoming prompt prefills ``prefill_chunk`` tokens at a time with one
+    # decode block for the RUNNING rows between chunks, so their
+    # inter-token stall is bounded by one chunk instead of the whole
+    # prompt. Greedy results are identical to the batch-admission
+    # scheduler; sampled runs draw from the same distributions but may
+    # consume PRNG blocks in a different order (same caveat as
+    # ``host_overlap``, which this flag does not compose with yet).
+    interleave_admission: bool = False
 
     def __post_init__(self):
         assert self.pool_pages >= 2, "pool needs the scratch page + 1"
         assert self.s_max % self.page_size == 0, (self.s_max, self.page_size)
         assert self.prefill_chunk >= 64 and self.prefill_chunk % 64 == 0, (
             "prefill_chunk must be a multiple of the bucket quantum (64)")
+        if self.interleave_admission and self.host_overlap:
+            raise ValueError(
+                "interleave_admission does not compose with host_overlap "
+                "yet — pick one (both remove host/admission stalls)")
 
     @property
     def n_pages(self) -> int:
@@ -943,9 +980,11 @@ class PagedContinuousEngine(ContinuousEngine):
     def _pages_needed(self, req: Request) -> int:
         pad = _bucket(len(req.tokens))
         span = max(pad, len(req.tokens) + req.max_new)
-        if self.prefix_cache:
+        if self.prefix_cache or self.interleave_admission:
             # worst-case suffix-chunk padding (cached + ceil(suffix/cs)*cs
             # <= n + cs) so the serve() pool check covers the hit path too
+            # (and interleaved COLD admissions, which chunk the whole
+            # prompt through the same path)
             span = max(span, len(req.tokens)
                        + min(self.prefill_chunk, pad))
         return -(-span // self.page_size)
@@ -977,6 +1016,8 @@ class PagedContinuousEngine(ContinuousEngine):
                            {"prefix_hit_tokens": 0, "admitted_tokens": 0,
                             "evictions": 0})
         try:
+            if self.interleave_admission:
+                return self._serve_interleaved(params, requests, **kw)
             return super().serve(params, requests, **kw)
         finally:
             if self.prefix_cache:
@@ -1016,7 +1057,14 @@ class PagedContinuousEngine(ContinuousEngine):
                 hits, cs = 0, None
         if hits == 0:
             lookup_hashes = []
-            span = max(_bucket(n), n + req.max_new)
+            if self.interleave_admission:
+                # cold interleaved admissions chunk the WHOLE prompt
+                # through the suffix path — span covers the chunk padding,
+                # not the bucket (no bucket prefill happens)
+                cs = min(self.prefill_chunk, _bucket(n))
+                span = max(n + req.max_new, (-(-n // cs)) * cs)
+            else:
+                span = max(_bucket(n), n + req.max_new)
         return all_hashes, lookup_hashes, hits, cs, -(-span // ps)
 
     # --- paged admission ----------------------------------------------------
@@ -1139,3 +1187,154 @@ class PagedContinuousEngine(ContinuousEngine):
         self._stats["admitted_tokens"] += n
         first = sample_token(logits, sampling, key)
         return cache, int(first[0])
+
+    # --- decode-interleaved chunked admission -------------------------------
+
+    def _admission_start(self, req: Request, bi: int,
+                         key: jax.Array) -> "_Admission":
+        """Reserve pages and stage ``req``'s prompt as suffix chunks; no
+        device work happens here. The scheduler advances the returned
+        state one `_suffix_chunk` per iteration (`_admission_advance`),
+        with a decode block for the running rows in between."""
+        n = len(req.tokens)
+        if self.prefix_cache:
+            all_hashes, lookup_hashes, hits, cs, span_pages = \
+                self._prefix_plan(req)
+            pages, got = self._alloc.take(bi, lookup_hashes, span_pages)
+            assert got == hits, (got, hits)
+        else:
+            all_hashes, hits = [], 0
+            cs = min(self.prefill_chunk, _bucket(n))
+            span = max(n + req.max_new, (-(-n // cs)) * cs)
+            span_pages = -(-span // self.page_size)
+            pages = self._alloc.take(bi, span_pages)
+        cached = hits * self.page_size
+        suffix = np.asarray(req.tokens[cached:], np.int32)
+        n_chunks = -(-len(suffix) // cs)
+        toks = np.zeros((1, n_chunks * cs), np.int32)
+        toks[0, :len(suffix)] = suffix
+        row_pt = np.full((self.n_pages,), -1, np.int32)
+        row_pt[:span_pages] = pages
+        return _Admission(req=req, bi=bi, key=key, toks=toks, cs=cs,
+                          n_chunks=n_chunks, ci=0,
+                          last=jnp.int32((len(suffix) - 1) % cs),
+                          row_pt=row_pt, pages=list(pages),
+                          all_hashes=all_hashes, cached=cached)
+
+    def _admission_advance(self, params, cache, st: "_Admission"):
+        """Run ONE prefill chunk of the pending admission against the
+        pool (in place, via the donated one-row view — same device path
+        as the prefix-cache suffix prefill). Returns (cache, next-token
+        logits) — logits are non-None exactly when the admission
+        finished, at which point the row's table entry and length are
+        installed and (under prefix_cache) its full pages registered."""
+        from long_context_attention_tpu.ops.kv_cache import PagedKVCache
+
+        lo = st.ci * st.cs
+        view = PagedKVCache(
+            k=cache.k, v=cache.v,
+            k_scale=cache.k_scale, v_scale=cache.v_scale,
+            page_table=jnp.asarray(st.row_pt)[None],
+            length=jnp.full((1,), st.cached + lo, jnp.int32))
+        logits, view = self._suffix_chunk(
+            params, view, jnp.asarray(st.toks[:, lo:lo + st.cs]), st.last)
+        # the donated view updated the pool in place: cache must adopt the
+        # returned arrays NOW (its previous k/v buffers were consumed)
+        cache = dataclasses.replace(cache, k=view.k, v=view.v,
+                                    k_scale=view.k_scale,
+                                    v_scale=view.v_scale)
+        st.ci += 1
+        if st.ci < st.n_chunks:
+            return cache, None
+        n = len(st.req.tokens)
+        cache = dataclasses.replace(
+            cache,
+            page_table=cache.page_table.at[st.bi].set(
+                jnp.asarray(st.row_pt)),
+            length=cache.length.at[st.bi].set(jnp.int32(n)))
+        if self.prefix_cache:
+            self._alloc.register(st.all_hashes,
+                                 st.pages[:len(st.all_hashes)])
+            self._stats["prefix_hit_tokens"] += st.cached
+            self._stats["admitted_tokens"] += n
+        return cache, logits
+
+    def _serve_interleaved(self, params, requests: Sequence[Request], *,
+                           sampling: SamplingParams = SamplingParams(),
+                           eos_id: Optional[int] = None,
+                           key: Optional[jax.Array] = None
+                           ) -> Dict[int, RequestResult]:
+        """`serve` with chunked-prefill admission: at most one admission
+        is in flight, advanced one ``prefill_chunk`` per scheduler
+        iteration, with one decode block for the running rows between
+        chunks — a running row's inter-token stall is bounded by one
+        chunk's latency instead of the whole incoming prompt's prefill
+        (iteration-level fairness, the chunked-prefill half of Sarathi/
+        vLLM scheduling; the reference has no serving layer to compare).
+        Greedy trajectories are identical to the batch-admission loop."""
+        B = self.max_batch
+        for r in requests:
+            if len(r.tokens) + r.max_new > self.s_max:
+                raise ValueError(
+                    f"request {r.id}: prompt ({len(r.tokens)}) + max_new "
+                    f"({r.max_new}) exceeds cache capacity "
+                    f"s_max={self.s_max}")
+        queue = deque(requests)
+        cache = self.init_cache()
+        dparams = self.decode_params(params)
+        slot: List[Optional[Request]] = [None] * B
+        emitted: List[List[int]] = [[] for _ in range(B)]
+        cur = np.zeros((B,), np.int32)
+        results: Dict[int, RequestResult] = {}
+        key = jax.random.PRNGKey(0) if key is None else key
+        pending: Optional[_Admission] = None
+
+        def live_mask():
+            return jnp.asarray([s is not None for s in slot], jnp.bool_)
+
+        while queue or any(s is not None for s in slot) or pending:
+            if pending is None and queue:
+                for bi in range(B):
+                    if slot[bi] is None and self._can_admit(queue[0], bi):
+                        req = queue.popleft()
+                        pending = self._admission_start(
+                            req, bi, jax.random.fold_in(key, req.id))
+                        break
+            if pending is not None:
+                # admission prefill stays bf16 (params, not dparams) —
+                # same contract as batch admission
+                cache, logits = self._admission_advance(params, cache,
+                                                        pending)
+                if logits is not None:
+                    st, pending = pending, None
+                    first = int(sample_token(logits, sampling, st.key)[0])
+                    slot[st.bi] = st.req
+                    emitted[st.bi] = [first]
+                    cur[st.bi] = first
+                    self._maybe_finish(st.bi, slot, emitted, results,
+                                       eos_id)
+            if not any(s is not None for s in slot):
+                continue
+            key, skey = jax.random.split(key)
+            if self.step_block <= 1:
+                nxt, cache = self._step(dparams, cache, jnp.asarray(cur),
+                                        sampling, live_mask(), skey)
+                nxt = np.asarray(nxt)[:, None]
+            else:
+                budget = np.asarray(
+                    [slot[bi].max_new - len(emitted[bi])
+                     if slot[bi] is not None else 0 for bi in range(B)],
+                    np.int32)
+                nxt, cache = self._step_block(
+                    dparams, cache, jnp.asarray(cur), sampling, live_mask(),
+                    jnp.asarray(budget), skey,
+                    jnp.int32(-1 if eos_id is None else eos_id))
+                nxt = np.asarray(nxt)
+            for j in range(nxt.shape[1]):
+                for bi in range(B):
+                    if slot[bi] is None:
+                        continue
+                    emitted[bi].append(int(nxt[bi, j]))
+                    cur[bi] = int(nxt[bi, j])
+                    self._maybe_finish(bi, slot, emitted, results, eos_id)
+        return results

@@ -218,3 +218,96 @@ def test_paged_backpressure_still_completes():
     with pytest.raises(ValueError, match="pages"):
         paged.serve(params, [Request(id=9, tokens=_prompt(1, 100),
                                      max_new=200)])
+
+
+# --- decode-interleaved chunked admission -----------------------------------
+
+# Cold interleaved admission prefills through the multi-token DECODE kernel
+# while batch admission uses the flash PREFILL kernel — equal math, different
+# bf16 accumulation order, so a bf16 model can flip greedy near-ties between
+# the two schedulers. An f32 model makes the cross-scheduler trajectory
+# comparison exact: the ~1e-7 kernel differences vanish inside the cache's
+# bf16/int8 storage rounding (kernel-level parity of both compute paths is
+# gated separately in test_prefix_cache.py / test_decode.py).
+CFG32 = dataclasses.replace(CFG, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+def test_interleaved_admission_matches_plain(dtype):
+    """interleave_admission=True (cold prompts chunk through the suffix
+    path, decode blocks between chunks) emits exactly the batch-admission
+    paged scheduler's greedy tokens."""
+    params = init_params(jax.random.PRNGKey(0), CFG32)
+    reqs = [Request(id=i, tokens=_prompt(50 + i, n), max_new=m)
+            for i, (n, m) in enumerate([(24, 6), (200, 4), (100, 8),
+                                        (17, 3), (300, 5)])]
+    kw = dict(s_max=S_MAX, max_batch=2, cache_dtype=dtype,
+              page_size=PAGE, pool_pages=12)
+    plain = PagedContinuousEngine(CFG32, **kw)
+    inter = PagedContinuousEngine(CFG32, interleave_admission=True,
+                                  prefill_chunk=64, **kw)
+    rp = plain.serve(params, reqs)
+    ri = inter.serve(params, reqs)
+    assert sorted(ri) == sorted(rp)
+    for i in rp:
+        assert ri[i].tokens == rp[i].tokens, (i, ri[i].tokens, rp[i].tokens)
+
+
+def test_interleaved_admission_with_prefix_cache():
+    """Chunked admission composes with automatic prefix caching: shared
+    pages are still hit and trajectories still match the plain engine."""
+    params = init_params(jax.random.PRNGKey(0), CFG32)
+    system = _prompt(7, 2 * PAGE)
+    reqs = [Request(id=i, tokens=system + _prompt(20 + i, t), max_new=m)
+            for i, (t, m) in enumerate([(30, 5), (70, 4), (5, 6)])]
+    kw = dict(s_max=S_MAX, max_batch=2, page_size=PAGE, pool_pages=14)
+    plain = PagedContinuousEngine(CFG32, **kw)
+    inter = PagedContinuousEngine(CFG32, interleave_admission=True,
+                                  prefix_cache=True, prefill_chunk=64, **kw)
+    rp = plain.serve(params, reqs)
+    ri = inter.serve(params, reqs)
+    for i in rp:
+        assert ri[i].tokens == rp[i].tokens, i
+    assert inter.stats["prefix_hit_tokens"] >= 2 * PAGE
+
+
+def test_interleaved_admission_decodes_between_chunks():
+    """The fairness property itself: while a long prompt admits, the
+    already-running row keeps emitting tokens BETWEEN its prefill chunks
+    (device-call order observed via a probing subclass)."""
+    LOG = []
+
+    @dataclasses.dataclass(frozen=True)
+    class _Probe(PagedContinuousEngine):
+        def _admission_advance(self, params, cache, st):
+            LOG.append("chunk")
+            return super()._admission_advance(params, cache, st)
+
+        def _step(self, *a, **k):
+            LOG.append("step")
+            return PagedContinuousEngine._step(self, *a, **k)
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    # req 0: short prompt, long budget (keeps decoding); req 1: 4-chunk
+    # prompt admitted while req 0 runs
+    reqs = [Request(id=0, tokens=_prompt(1, 16), max_new=12),
+            Request(id=1, tokens=_prompt(2, 250), max_new=3)]
+    eng = _Probe(CFG, s_max=S_MAX, max_batch=2, page_size=PAGE,
+                 pool_pages=12, interleave_admission=True, prefill_chunk=64)
+    res = eng.serve(params, reqs)
+    assert set(res) == {0, 1}
+    # req 1's 250-token prompt = 4 chunks of 64; at least one decode step
+    # must land between consecutive chunks of that admission
+    chunk_pos = [i for i, e in enumerate(LOG) if e == "chunk"]
+    assert len(chunk_pos) >= 4, LOG
+    interleaved = any(
+        LOG[a + 1:b].count("step") > 0
+        for a, b in zip(chunk_pos, chunk_pos[1:]))
+    assert interleaved, LOG
+
+
+def test_interleaved_rejects_host_overlap():
+    with pytest.raises(ValueError, match="host_overlap"):
+        PagedContinuousEngine(CFG, s_max=S_MAX, max_batch=2, page_size=PAGE,
+                              pool_pages=4, interleave_admission=True,
+                              host_overlap=True)
