@@ -9,7 +9,13 @@ Two measurements with the ~1B model:
    batcher at the biggest batch its cache fits vs the paged batcher at
    2x the rows from a pool of the same HBM footprint: aggregate tok/s.
 
-Usage: python benchmarks/bench_paged.py [--ctx 32768] [--page 2048]
+``--stall`` adds a third measurement: the inter-token stall a RUNNING row
+suffers while a long prompt is admitted mid-stream, batch admission vs
+``interleave_admission=True`` (chunked prefill with decode blocks between
+chunks) — the running row's max token gap should drop from ~whole-prompt
+prefill latency to ~one chunk.
+
+Usage: python benchmarks/bench_paged.py [--ctx 32768] [--page 2048] [--stall]
 """
 
 import argparse
@@ -28,6 +34,8 @@ def main():
     ap.add_argument("--layers", type=int, default=16)
     ap.add_argument("--dim", type=int, default=2048)
     ap.add_argument("--skip-e2e", action="store_true")
+    ap.add_argument("--stall", action="store_true",
+                    help="measure admission-induced inter-token stall")
     args = ap.parse_args()
 
     import jax
@@ -100,6 +108,49 @@ def main():
     print(f"attn paged b={B} @{args.ctx}: {t_p:6.2f} ms/step "
           f"({gb/t_p/1e6:.0f} GB/s, page {args.page})", flush=True)
     del paged
+
+    if args.stall:
+        # --- admission stall: running row's max inter-token gap ------------
+        import dataclasses as _dc2
+
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        times: list = []
+
+        @_dc2.dataclass(frozen=True)
+        class _Timed(PagedContinuousEngine):
+            def _step(self, *a, **kw):
+                nxt, cache = PagedContinuousEngine._step(self, *a, **kw)
+                np.asarray(nxt)  # sync: timestamp = real token emission
+                times.append(time.perf_counter())
+                return nxt, cache
+
+        rng = np.random.default_rng(0)
+        long_prompt = list(rng.integers(0, cfg.vocab, args.ctx))
+        # rows fill at t=0; req1 finishes fast, then req2's LONG prompt
+        # admits while req0 is still decoding — the stall under test
+        # req0 must OUTLIVE req2's whole admission (ctx/prefill_chunk
+        # chunks, one per scheduler iteration) so every measured gap is a
+        # genuinely-running row's stall, not req2's own TTFT tail
+        reqs = [Request(id=0, tokens=list(rng.integers(0, cfg.vocab, 2048)),
+                        max_new=24 + args.ctx // 256),
+                Request(id=1, tokens=list(rng.integers(0, cfg.vocab, 1024)),
+                        max_new=4),
+                Request(id=2, tokens=long_prompt, max_new=4)]
+        s_cap = ((args.ctx + 8191) // 4096) * 4096
+        pool = (3 * s_cap) // args.page + 1
+        for name, inter in [("batch admission", False),
+                            ("interleaved    ", True)]:
+            eng = _Timed(cfg, s_max=s_cap, max_batch=2, cache_dtype="int8",
+                         page_size=args.page, pool_pages=pool,
+                         interleave_admission=inter, prefill_chunk=256)
+            eng.serve(params, reqs)  # warm compiles
+            times.clear()
+            eng.serve(params, reqs)
+            gaps = np.diff(np.asarray(times)) * 1e3
+            print(f"stall {name}: max inter-token gap "
+                  f"{gaps.max():7.1f} ms  (median {np.median(gaps):5.1f} ms, "
+                  f"{args.ctx}-tok prompt admitted mid-stream)", flush=True)
+
     if args.skip_e2e:
         return
 

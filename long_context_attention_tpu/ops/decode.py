@@ -444,6 +444,16 @@ def _decode_kernel(
         ).reshape(lse_ref.shape)
 
 
+# scoped-VMEM working set of a multi-token run: the full fp32 (h_kv*G, d)
+# out staging + the (G, bkv) fp32 score tile, plus ~50% for kv double-
+# buffering — calibrated against observed v5e compiles (hard limit 16 MiB)
+_VMEM_BUDGET = 14 * 2 ** 20
+
+
+def _multi_vmem_est(h_kv: int, G: int, d: int, bkv: int) -> int:
+    return (4 * h_kv * G * d + 4 * G * bkv) * 3 // 2
+
+
 def decode_attention(
     q: jnp.ndarray,          # (b, h, d) current-token queries — or
                              # (b, n, h, d) for a multi-token run (verify)
@@ -567,6 +577,15 @@ def decode_attention(
         assert kv_splits in (None, 1), "paged + kv_splits unsupported"
     else:
         bkv = min(block_kv, s_max)
+        if multi:
+            # the in-kernel score tile is (G, bkv) fp32 — long
+            # teacher-forcing runs (chunked admission prefill) must trade
+            # kv-block size for query rows to stay inside scoped VMEM
+            # (same working-set estimate the guard below enforces).
+            # n_tok == 1 (every decode step) keeps the measured 4096
+            # default; small verify windows fit untouched too.
+            while bkv > 512 and _multi_vmem_est(h_kv, G, d, bkv) > _VMEM_BUDGET:
+                bkv //= 2
         while s_max % bkv:
             bkv //= 2
         assert bkv % 128 == 0 or bkv == s_max, (
@@ -579,6 +598,20 @@ def decode_attention(
     splits = max(1, min(int(kv_splits), nk))
     nk_s = -(-nk // splits)  # tiles per split (ragged tail gated off)
     interp = default_interpret() if interpret is None else bool(interpret)
+
+    if multi and not interp:
+        # fail loudly (with the knob to turn) instead of a Mosaic scoped-
+        # VMEM stack OOM (paged runs can't shrink bkv below the page size;
+        # dense runs land here only when the fp32 out staging alone is
+        # too big for any bkv)
+        est = _multi_vmem_est(h_kv, G, d, bkv)
+        if est > _VMEM_BUDGET:
+            raise ValueError(
+                f"multi-token decode run too large for VMEM: n_tok={n_tok} "
+                f"(G={G} query rows x kv block {bkv}) needs ~{est >> 20} "
+                f"MiB on-chip; lower the run length (prefill_chunk / "
+                f"speculative window)"
+                + (" or page_size" if paged else " or block_kv"))
 
     if multi:
         # (b, n, h, d) -> (b, h_kv, g, n, d) -> (b, h_kv, g*n, d):
