@@ -49,6 +49,7 @@ from long_context_attention_tpu.parallel.mesh import make_usp_mesh
 from long_context_attention_tpu.serving.engine import (
     SamplingParams,
     sample_token,
+    token_logprob,
 )
 
 __all__ = ["Request", "RequestResult", "ContinuousEngine",
@@ -71,6 +72,9 @@ class RequestResult:
     id: int
     tokens: List[int]          # generated ids (stops at eos, inclusive)
     prompt_len: int
+    # log P(token) under softmax(raw logits) per generated token, aligned
+    # with ``tokens`` — populated when the engine has return_logprobs=True
+    logprobs: Optional[List[float]] = None
 
 
 def _bucket(n: int, quantum: int = 64, cap: int = 2048) -> int:
@@ -114,6 +118,9 @@ class ContinuousEngine:
     # "int8": decode steps run with w8a8-quantized weights (ops/wquant.py),
     # halving the per-step weight stream; admission prefill stays bf16
     weight_dtype: str = "bfloat16"
+    # report log P(token) for every generated token (RequestResult.logprobs)
+    # — one extra log_softmax gather per step, rides the existing host sync
+    return_logprobs: bool = False
 
     def decode_params(self, params):
         """Params pytree for the decode steps (int8 QTensor weights when
@@ -201,7 +208,8 @@ class ContinuousEngine:
         # multi-GB cache every step
         logits, cache = self._decode_one(params, cache, tokens, active)
         nxt = sample_token(logits, sampling, key)
-        return nxt, cache
+        lp = token_logprob(logits, nxt) if self.return_logprobs else None
+        return nxt, lp, cache
 
     @functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=2)
     def _step_block(self, params, cache: KVCache, tokens: jnp.ndarray,
@@ -218,16 +226,18 @@ class ContinuousEngine:
             cache, tok, act, left = carry
             logits, cache = self._decode_one(params, cache, tok, act)
             nxt = sample_token(logits, sampling, skey)
+            lp = token_logprob(logits, nxt) if self.return_logprobs else None
             nxt = jnp.where(act, nxt, tok)
             left = left - act.astype(jnp.int32)
             done = (left <= 0) | ((eos >= 0) & (nxt == eos))
             act = act & ~done
-            return (cache, nxt, act, left), nxt
+            return (cache, nxt, act, left), (nxt, lp)
 
         keys = jax.random.split(key, self.step_block)
-        (cache, _, _, _), toks = jax.lax.scan(
+        (cache, _, _, _), (toks, lps) = jax.lax.scan(
             step, (cache, tokens, active, budget), keys)
-        return jnp.transpose(toks), cache
+        lps = jnp.transpose(lps) if self.return_logprobs else None
+        return jnp.transpose(toks), lps, cache
 
     @functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=2)
     def _step_block_carry(self, params, cache: KVCache, tokens: jnp.ndarray,
@@ -242,16 +252,18 @@ class ContinuousEngine:
             cache, tok, act, left = carry
             logits, cache = self._decode_one(params, cache, tok, act)
             nxt = sample_token(logits, sampling, skey)
+            lp = token_logprob(logits, nxt) if self.return_logprobs else None
             nxt = jnp.where(act, nxt, tok)
             left = left - act.astype(jnp.int32)
             done = (left <= 0) | ((eos >= 0) & (nxt == eos))
             act = act & ~done
-            return (cache, nxt, act, left), nxt
+            return (cache, nxt, act, left), (nxt, lp)
 
         keys = jax.random.split(key, max(1, self.step_block))
-        (cache, tok, act, left), toks = jax.lax.scan(
+        (cache, tok, act, left), (toks, lps) = jax.lax.scan(
             step, (cache, tokens, active, budget), keys)
-        return jnp.transpose(toks), cache, tok, act, left
+        lps = jnp.transpose(lps) if self.return_logprobs else None
+        return jnp.transpose(toks), lps, cache, tok, act, left
 
     @functools.partial(jax.jit, static_argnums=0)
     def _admit_vecs(self, tok, act, left, bi, first, budget):
@@ -267,11 +279,20 @@ class ContinuousEngine:
         scheduler then retries at the next block boundary."""
         return True
 
+    def _sample_first(self, logits, sampling: SamplingParams,
+                      key: jax.Array):
+        """Admission epilogue shared by every engine: sample the first
+        token from the prefill logits; returns (int token, logprob|None)."""
+        first = sample_token(logits, sampling, key)
+        lp = (float(token_logprob(logits, first)[0])
+              if self.return_logprobs else None)
+        return int(first[0]), lp
+
     def _admit_row(self, params, cache, req: Request, bi: int,
                    sampling: SamplingParams, key: jax.Array):
         """Prefill one request and insert it at batch row ``bi``.
-        Returns (cache, first sampled token id). Overridden by the sharded
-        engine; the host scheduler is shared."""
+        Returns (cache, first sampled token id, its logprob|None).
+        Overridden by the sharded engine; the host scheduler is shared."""
         n = len(req.tokens)
         pad = _bucket(n)
         toks = np.zeros((1, pad), np.int32)
@@ -280,8 +301,8 @@ class ContinuousEngine:
                                                  jnp.int32(n - 1))
         cache = self._insert_row(cache, kv_k, kv_v,
                                  jnp.int32(bi), jnp.int32(n))
-        first = sample_token(logits, sampling, key)
-        return cache, int(first[0])
+        first, lp = self._sample_first(logits, sampling, key)
+        return cache, first, lp
 
     # --- host-side scheduler ----------------------------------------------
 
@@ -308,6 +329,7 @@ class ContinuousEngine:
         dparams = self.decode_params(params)
         slot: List[Optional[Request]] = [None] * B
         emitted: List[List[int]] = [[] for _ in range(B)]
+        lps = [[] for _ in range(B)] if self.return_logprobs else None
         cur = np.zeros((B,), np.int32)
         results: Dict[int, RequestResult] = {}
         key = jax.random.PRNGKey(0) if key is None else key
@@ -321,12 +343,14 @@ class ContinuousEngine:
                     continue
                 req = queue.popleft()
                 skey = jax.random.fold_in(key, req.id)
-                cache, first = self._admit_row(params, cache, req, bi,
-                                               sampling, skey)
+                cache, first, flp = self._admit_row(params, cache, req, bi,
+                                                    sampling, skey)
                 slot[bi] = req
                 emitted[bi] = [first]
+                if lps is not None:
+                    lps[bi] = [flp]
                 cur[bi] = first
-                self._maybe_finish(bi, slot, emitted, results, eos_id)
+                self._maybe_finish(bi, slot, emitted, results, eos_id, lps)
 
         def live_mask():
             return jnp.asarray([s is not None for s in slot], jnp.bool_)
@@ -337,26 +361,31 @@ class ContinuousEngine:
                 continue  # everything admitted finished at its first token
             key, skey = jax.random.split(key)
             if self.step_block <= 1:
-                nxt, cache = self._step(dparams, cache, jnp.asarray(cur),
-                                        sampling, live_mask(), skey)
+                nxt, lp, cache = self._step(dparams, cache, jnp.asarray(cur),
+                                            sampling, live_mask(), skey)
                 nxt = np.asarray(nxt)[:, None]
+                lp = np.asarray(lp)[:, None] if lps is not None else None
             else:
                 budget = np.asarray(
                     [slot[bi].max_new - len(emitted[bi])
                      if slot[bi] is not None else 0 for bi in range(B)],
                     np.int32)
-                nxt, cache = self._step_block(
+                nxt, lp, cache = self._step_block(
                     dparams, cache, jnp.asarray(cur), sampling, live_mask(),
                     jnp.asarray(budget), skey,
                     jnp.int32(-1 if eos_id is None else eos_id))
                 nxt = np.asarray(nxt)
+                lp = np.asarray(lp) if lps is not None else None
             for j in range(nxt.shape[1]):
                 for bi in range(B):
                     if slot[bi] is None:
                         continue
                     emitted[bi].append(int(nxt[bi, j]))
+                    if lps is not None:
+                        lps[bi].append(float(lp[bi, j]))
                     cur[bi] = int(nxt[bi, j])
-                    self._maybe_finish(bi, slot, emitted, results, eos_id)
+                    self._maybe_finish(bi, slot, emitted, results, eos_id,
+                                       lps)
         return results
 
     def _serve_overlapped(self, params, requests: Sequence[Request], *,
@@ -385,6 +414,7 @@ class ContinuousEngine:
         dparams = self.decode_params(params)
         slot: List[Optional[Request]] = [None] * B
         emitted: List[List[int]] = [[] for _ in range(B)]
+        lps = [[] for _ in range(B)] if self.return_logprobs else None
         results: Dict[int, RequestResult] = {}
         key = jax.random.PRNGKey(0) if key is None else key
         tok_d = jnp.zeros((B,), jnp.int32)
@@ -401,11 +431,13 @@ class ContinuousEngine:
                     continue
                 req = queue.popleft()
                 skey = jax.random.fold_in(key, req.id)
-                cache, first = self._admit_row(params, cache, req, bi,
-                                               sampling, skey)
+                cache, first, flp = self._admit_row(params, cache, req, bi,
+                                                    sampling, skey)
                 slot[bi] = req
                 emitted[bi] = [first]
-                self._maybe_finish(bi, slot, emitted, results, eos_id)
+                if lps is not None:
+                    lps[bi] = [flp]
+                self._maybe_finish(bi, slot, emitted, results, eos_id, lps)
                 if slot[bi] is not None:
                     tok_d, act_d, left_d = self._admit_vecs(
                         tok_d, act_d, left_d, jnp.int32(bi),
@@ -422,27 +454,31 @@ class ContinuousEngine:
             nxt_block = None
             if any(s is not None for s in slot):
                 key, skey = jax.random.split(key)
-                toks, cache, tok_d, act_d, left_d = \
+                toks, lpb, cache, tok_d, act_d, left_d = \
                     self._step_block_carry(dparams, cache, tok_d, sampling,
                                            act_d, left_d, skey, eos)
-                nxt_block = (toks, [s.id if s is not None else None
-                                    for s in slot])
+                nxt_block = (toks, lpb, [s.id if s is not None else None
+                                         for s in slot])
             if pending is not None:
-                toks, ids = pending
+                toks, lpb, ids = pending
                 nxt = np.asarray(toks)  # sync block i-1; block i runs on
+                lpb = np.asarray(lpb) if lps is not None else None
                 for j in range(nxt.shape[1]):
                     for bi in range(B):
                         if slot[bi] is None or slot[bi].id != ids[bi]:
                             continue
                         emitted[bi].append(int(nxt[bi, j]))
-                        self._maybe_finish(bi, slot, emitted, results, eos_id)
+                        if lps is not None:
+                            lps[bi].append(float(lpb[bi, j]))
+                        self._maybe_finish(bi, slot, emitted, results,
+                                           eos_id, lps)
             admit()  # AFTER processing: freshest finish knowledge; the
             #          admission device-ops enqueue before the next block
             pending = nxt_block
         return results
 
     @staticmethod
-    def _maybe_finish(bi, slot, emitted, results, eos_id):
+    def _maybe_finish(bi, slot, emitted, results, eos_id, lps=None):
         req = slot[bi]
         if req is None:
             return
@@ -451,7 +487,8 @@ class ContinuousEngine:
         if done:
             results[req.id] = RequestResult(
                 id=req.id, tokens=list(emitted[bi]),
-                prompt_len=len(req.tokens))
+                prompt_len=len(req.tokens),
+                logprobs=(list(lps[bi]) if lps is not None else None))
             slot[bi] = None
 
 
@@ -534,8 +571,8 @@ class ShardedContinuousEngine(ContinuousEngine):
                                         jnp.int32(n - 1))
         cache = self._insert_row_cache(cache, row, jnp.int32(bi),
                                        jnp.int32(n))
-        first = sample_token(logits, sampling, key)
-        return cache, int(first[0])
+        first, lp = self._sample_first(logits, sampling, key)
+        return cache, first, lp
 
     def _decode_one(self, params, cache: KVCache, tokens, active):
         from jax.sharding import PartitionSpec as P
@@ -585,6 +622,11 @@ class SpeculativeContinuousEngine(ContinuousEngine):
         assert self.draft_cfg is not None, "draft_cfg is required"
         assert self.cfg.vocab == self.draft_cfg.vocab, "vocabularies differ"
         assert self.gamma >= 1
+        if self.return_logprobs:
+            raise ValueError(
+                "speculative decoding does not report logprobs (accepted "
+                "tokens come from the draft/verify rule, not one softmax) "
+                "— use a non-speculative engine for logprobs")
 
     @property
     def _draft_eng(self) -> ContinuousEngine:
@@ -654,10 +696,10 @@ class SpeculativeContinuousEngine(ContinuousEngine):
                     continue
                 req = queue.popleft()
                 skey = jax.random.fold_in(key, req.id)
-                tcache, first = self._admit_row(params, tcache, req, bi,
-                                                sampling, skey)
-                dcache, _ = deng._admit_row(draft_params, dcache, req, bi,
-                                            sampling, skey)
+                tcache, first, _ = self._admit_row(params, tcache, req, bi,
+                                                   sampling, skey)
+                dcache, _, _ = deng._admit_row(draft_params, dcache, req, bi,
+                                               sampling, skey)
                 slot[bi] = req
                 emitted[bi] = [first]
                 cur[bi] = first
@@ -1143,8 +1185,8 @@ class PagedContinuousEngine(ContinuousEngine):
             row_pt[:need] = pages
             cache, logits = self._bucket_prefill(params, cache, req, bi,
                                                  row_pt)
-            first = sample_token(logits, sampling, key)
-            return cache, int(first[0])
+            first, lp = self._sample_first(logits, sampling, key)
+            return cache, first, lp
 
         from long_context_attention_tpu.ops.kv_cache import PagedKVCache
 
@@ -1185,8 +1227,8 @@ class PagedContinuousEngine(ContinuousEngine):
             self._stats["prefix_hit_tokens"] += cached
         self._alloc.register(all_hashes, pages[:len(all_hashes)])
         self._stats["admitted_tokens"] += n
-        first = sample_token(logits, sampling, key)
-        return cache, int(first[0])
+        first, lp = self._sample_first(logits, sampling, key)
+        return cache, first, lp
 
     # --- decode-interleaved chunked admission -------------------------------
 
@@ -1284,6 +1326,7 @@ class PagedContinuousEngine(ContinuousEngine):
         dparams = self.decode_params(params)
         slot: List[Optional[Request]] = [None] * B
         emitted: List[List[int]] = [[] for _ in range(B)]
+        lps = [[] for _ in range(B)] if self.return_logprobs else None
         cur = np.zeros((B,), np.int32)
         results: Dict[int, RequestResult] = {}
         key = jax.random.PRNGKey(0) if key is None else key
@@ -1307,34 +1350,42 @@ class PagedContinuousEngine(ContinuousEngine):
                                                         pending)
                 if logits is not None:
                     st, pending = pending, None
-                    first = int(sample_token(logits, sampling, st.key)[0])
+                    first, flp = self._sample_first(logits, sampling,
+                                                    st.key)
                     slot[st.bi] = st.req
                     emitted[st.bi] = [first]
+                    if lps is not None:
+                        lps[st.bi] = [flp]
                     cur[st.bi] = first
                     self._maybe_finish(st.bi, slot, emitted, results,
-                                       eos_id)
+                                       eos_id, lps)
             if not any(s is not None for s in slot):
                 continue
             key, skey = jax.random.split(key)
             if self.step_block <= 1:
-                nxt, cache = self._step(dparams, cache, jnp.asarray(cur),
-                                        sampling, live_mask(), skey)
+                nxt, lp, cache = self._step(dparams, cache, jnp.asarray(cur),
+                                            sampling, live_mask(), skey)
                 nxt = np.asarray(nxt)[:, None]
+                lp = np.asarray(lp)[:, None] if lps is not None else None
             else:
                 budget = np.asarray(
                     [slot[bi].max_new - len(emitted[bi])
                      if slot[bi] is not None else 0 for bi in range(B)],
                     np.int32)
-                nxt, cache = self._step_block(
+                nxt, lp, cache = self._step_block(
                     dparams, cache, jnp.asarray(cur), sampling, live_mask(),
                     jnp.asarray(budget), skey,
                     jnp.int32(-1 if eos_id is None else eos_id))
                 nxt = np.asarray(nxt)
+                lp = np.asarray(lp) if lps is not None else None
             for j in range(nxt.shape[1]):
                 for bi in range(B):
                     if slot[bi] is None:
                         continue
                     emitted[bi].append(int(nxt[bi, j]))
+                    if lps is not None:
+                        lps[bi].append(float(lp[bi, j]))
                     cur[bi] = int(nxt[bi, j])
-                    self._maybe_finish(bi, slot, emitted, results, eos_id)
+                    self._maybe_finish(bi, slot, emitted, results, eos_id,
+                                       lps)
         return results

@@ -26,7 +26,8 @@ from long_context_attention_tpu.models.llama import (
 from long_context_attention_tpu.ops.kv_cache import KVCache
 from long_context_attention_tpu.parallel.mesh import MeshAxes, make_usp_mesh
 
-__all__ = ["Engine", "GenerationResult", "SamplingParams", "sample_token"]
+__all__ = ["Engine", "GenerationResult", "SamplingParams", "sample_token",
+           "token_logprob"]
 
 
 @dataclasses.dataclass
@@ -79,6 +80,15 @@ def sample_token(logits: jnp.ndarray, params: SamplingParams,
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = transform_logits(logits, params)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def token_logprob(logits: jnp.ndarray, tok: jnp.ndarray) -> jnp.ndarray:
+    """(b, vocab) fp32 logits + (b,) chosen ids -> (b,) fp32 log P(tok)
+    under softmax of the RAW logits — the model's distribution before any
+    sampling transform, the quantity serving APIs report as `logprobs`."""
+    lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lsm, tok[:, None].astype(jnp.int32),
+                               axis=-1)[:, 0]
 
 
 @dataclasses.dataclass(frozen=True)

@@ -286,3 +286,68 @@ def test_sharded_speculative_continuous_matches_plain(params, dparams):
     assert sorted(sampled) == [0, 1, 2]
     for r in reqs:
         assert len(sampled[r.id].tokens) == r.max_new
+
+
+def test_logprobs_match_teacher_forcing(params):
+    """return_logprobs=True: every reported logprob (admission first
+    token AND decode steps, per-step and blocked schedulers) equals
+    log-softmax of the model's logits at that position, checked by
+    teacher-forcing prompt + generation through the prefill path."""
+    from jax.sharding import PartitionSpec as P
+
+    from long_context_attention_tpu.models.llama import forward_local
+    from long_context_attention_tpu.parallel.mesh import make_usp_mesh
+
+    prompt = _prompt(3, 12)
+    reqs = [Request(id=0, tokens=prompt, max_new=5)]
+    eng = ContinuousEngine(CFG, s_max=S_MAX, max_batch=2,
+                           return_logprobs=True)
+    res = eng.serve(params, reqs)[0]
+    assert len(res.logprobs) == len(res.tokens) == 5
+
+    seq = prompt + res.tokens
+    toks = np.zeros((1, 64), np.int32)  # pad: trailing junk is causal-dead
+    toks[0, :len(seq)] = seq
+    mesh = make_usp_mesh(1, 1, 1, devices=jax.devices()[:1])
+
+    def fwd(p, t):
+        return forward_local(p, t, CFG, ulysses_axis="ulysses",
+                             ring_axis="ring")
+
+    logits = jax.shard_map(fwd, mesh=mesh, in_specs=(P(), P()),
+                           out_specs=P(), check_vma=False)(
+        params, jnp.asarray(toks))
+    lsm = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    for j, (tok, lp) in enumerate(zip(res.tokens, res.logprobs)):
+        want = float(lsm[0, len(prompt) - 1 + j, tok])
+        assert abs(lp - want) < 5e-2, (j, lp, want)
+
+    # blocked / pipelined / paged-interleaved schedulers report the same
+    # logprobs (same per-step compute, different host loops)
+    from long_context_attention_tpu.serving import PagedContinuousEngine
+    variants = [
+        ContinuousEngine(CFG, s_max=S_MAX, max_batch=2, step_block=3,
+                         return_logprobs=True),
+        ContinuousEngine(CFG, s_max=S_MAX, max_batch=2, step_block=2,
+                         host_overlap=True, return_logprobs=True),
+        PagedContinuousEngine(CFG, s_max=S_MAX, max_batch=2, page_size=64,
+                              pool_pages=8, interleave_admission=True,
+                              prefill_chunk=64, return_logprobs=True),
+    ]
+    for v in variants:
+        r2 = v.serve(params, reqs)[0]
+        assert r2.tokens == res.tokens
+        np.testing.assert_allclose(r2.logprobs, res.logprobs, atol=2e-2)
+
+
+def test_logprobs_off_by_default_and_spec_guard(params):
+    reqs = [Request(id=0, tokens=_prompt(4, 8), max_new=2)]
+    res = ContinuousEngine(CFG, s_max=S_MAX, max_batch=1).serve(params,
+                                                                reqs)[0]
+    assert res.logprobs is None
+    from long_context_attention_tpu.serving import (
+        SpeculativeContinuousEngine,
+    )
+    with pytest.raises(ValueError, match="logprobs"):
+        SpeculativeContinuousEngine(CFG, s_max=S_MAX, max_batch=1,
+                                    draft_cfg=CFG, return_logprobs=True)
