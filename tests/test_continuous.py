@@ -330,7 +330,7 @@ def test_logprobs_match_teacher_forcing(params):
                          return_logprobs=True),
         ContinuousEngine(CFG, s_max=S_MAX, max_batch=2, step_block=2,
                          host_overlap=True, return_logprobs=True),
-        PagedContinuousEngine(CFG, s_max=S_MAX, max_batch=2, page_size=64,
+        PagedContinuousEngine(CFG, s_max=S_MAX, max_batch=2, page_size=128,
                               pool_pages=8, interleave_admission=True,
                               prefill_chunk=64, return_logprobs=True),
     ]
