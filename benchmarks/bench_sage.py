@@ -1,0 +1,95 @@
+"""Benchmark the INT8 quantized-MXU (Sage-role) prefill kernel vs the bf16
+flash kernel at the headline shapes.
+
+Effective TFLOP/s uses the same useful-FLOP convention as bench.py (2 matmuls
+x 2*b*h*s^2*d x 0.5 causal) — the int8 path can exceed the chip's bf16 peak
+because the MXU runs s8 x s8 at 2x the bf16 rate; "effective" rates measure
+attention work per second, not silicon FLOPs.
+
+Usage: python benchmarks/bench_sage.py [--seq N] [--iters N] [--no-bf16]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench(seq, iters, *, heads=32, kv_heads=8, head_dim=128, causal=True,
+          impl="sage", pv_int8=True, best_of=3):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from long_context_attention_tpu.ops.flash import flash_attention
+    from long_context_attention_tpu.ops.sage import sage_attention
+
+    b = 1
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (b, seq, heads, head_dim), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, seq, kv_heads, head_dim), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, seq, kv_heads, head_dim), jnp.bfloat16)
+
+    if impl == "sage":
+        def one(qq):
+            return sage_attention(qq, k, v, causal=causal, pv_int8=pv_int8)
+    else:
+        def one(qq):
+            return flash_attention(qq, k, v, causal=causal)
+
+    @jax.jit
+    def chained(q, k, v):
+        def body(_, qq):
+            return one(qq).astype(q.dtype)
+        return jnp.sum(lax.fori_loop(0, iters, body, q).astype(jnp.float32))
+
+    float(chained(q, k, v))  # compile + warm
+    best = float("inf")
+    for _ in range(best_of):
+        t0 = time.perf_counter()
+        float(chained(q, k, v))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / iters
+    frac = 0.5 if causal else 1.0
+    flops = 2 * 2 * b * heads * seq * seq * head_dim * frac
+    return flops / dt / 1e12, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", type=int, default=131072)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--no-bf16", action="store_true")
+    ap.add_argument("--non-causal", action="store_true")
+    args = ap.parse_args()
+    causal = not args.non_causal
+
+    rows = []
+    for impl, pv in (("sage", True), ("sage", False)):
+        tf, dt = bench(args.seq, args.iters, causal=causal, impl=impl,
+                       pv_int8=pv)
+        rows.append((f"sage pv_int8={pv}", tf, dt))
+        print(f"{rows[-1][0]:20s} {tf:7.1f} eff-TFLOP/s  {dt*1e3:8.2f} ms",
+              file=sys.stderr)
+    if not args.no_bf16:
+        tf, dt = bench(args.seq, args.iters, causal=causal, impl="pallas")
+        rows.append(("bf16 flash", tf, dt))
+        print(f"{rows[-1][0]:20s} {tf:7.1f} TFLOP/s      {dt*1e3:8.2f} ms",
+              file=sys.stderr)
+
+    best = max(rows, key=lambda r: r[1])
+    bf16 = next((r for r in rows if r[0] == "bf16 flash"), None)
+    print(json.dumps({
+        "metric": f"sage_attn_eff_tflops_{args.seq//1024}k"
+                  f"_{'causal' if causal else 'noncausal'}_gqa",
+        "value": round(rows[0][1], 2),
+        "unit": "TFLOP/s",
+        "vs_baseline": (round(rows[0][1] / bf16[1], 3) if bf16 else None),
+    }))
+
+
+if __name__ == "__main__":
+    main()

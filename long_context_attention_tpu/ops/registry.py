@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from long_context_attention_tpu.ops import flash as _flash
 from long_context_attention_tpu.ops import reference as _ref
+from long_context_attention_tpu.ops import sage as _sage
 
 __all__ = ["AttnImpl", "get_attn_impl", "register_attn_impl", "ATTN_IMPLS"]
 
@@ -86,10 +87,22 @@ def _pallas_full(q, k, v, **kw):
     return _flash.flash_attention(q, k, v, **kw)
 
 
+def _sage_bwd(q, k, v, out, lse, dout, **kw):
+    # straight-through backward: bf16 flash recomputation anchored on the
+    # quantized forward's (out, lse) — sage is a forward-path quantization
+    # (the reference's Sage AttnTypes are likewise inference kernels)
+    kw.pop("pv_int8", None)
+    return _flash.flash_attention_bwd(q, k, v, out, lse, dout, **kw)
+
+
 ATTN_IMPLS: Dict[str, AttnImpl] = {
     "pallas": AttnImpl("pallas", _pallas_full,
                        _flash.flash_attention_fwd, _flash.flash_attention_bwd),
     "xla": AttnImpl("xla", _xla_full, _xla_fwd, _xla_bwd),
+    # INT8 quantized-MXU forward (the SageAttention registry role,
+    # `kernels/__init__.py:171-242`): self-attention prefill/ulysses paths
+    "sage": AttnImpl("sage", _sage.sage_attention_full,
+                     _sage.sage_attention_fwd, _sage_bwd),
 }
 
 

@@ -1,0 +1,531 @@
+"""SageAttention-role quantized-MXU prefill attention (int8 QK + int8 PV).
+
+The reference ships SageAttention as four first-class ``AttnType`` registry
+entries (SAGE_AUTO / SAGE_FP16 / SAGE_FP16_TRITON / SAGE_FP8,
+`yunchang/kernels/__init__.py:38-53`, dispatched at `:171-242`): INT8-quantized
+QK^T with K smoothing and FP16/FP8 PV, used as a faster lossy-but-accurate
+inference forward. This module is the TPU-native counterpart, built for the
+v5e MXU where s8 x s8 -> s32 runs at 2x the bf16 rate:
+
+* **K smoothing (exact).** K is mean-centered per (batch, kv-head, channel)
+  before quantization. Softmax is invariant to a per-row additive constant,
+  and ``q_i . mean_k`` is constant across kv positions, so unlike the other
+  quantization steps this one is *lossless* — it just removes the common-mode
+  component that would otherwise dominate int8 range.
+* **Per-token scales, folded post-matmul.** Q is quantized per (b, h, token)
+  and K per (b, h_kv, token); both scale vectors fold into the fp32 score
+  tile as rank-1 row/column multiplies after the s32 matmul — exact.
+* **int8 PV (SageAttention2-style).** V is quantized per token; its scale
+  folds into P after the row-sum (so the softmax denominator is exact), then
+  P is dynamically re-quantized per row to int8 for a second s8 MXU matmul.
+  ``pv_int8=False`` keeps PV in bf16 (SageAttention-v1 behaviour) at ~half
+  the PV matmul rate.
+* **HBM wins too.** K and V stream int8 (half the bf16 bytes); the fp32
+  per-token scales ride in the kernels' native lane-oriented layout
+  ((rows, n_blocks, 1, block), the same trick as the LSE).
+
+Contract: identical to ops/flash.py — ``(out (b, s, h, d), lse (b, h, s)
+fp32)`` — so the output merges with any other block via ops/merge.py and the
+impl drops into the registry (ops/registry.py) next to ``pallas`` and ``xla``.
+
+Like the reference's Sage adapters this is a *forward* path; the
+differentiable wrapper (``sage_attention_full``) runs this forward and the
+bf16 flash recomputation backward on the original inputs (straight-through),
+which is the standard training recipe for quantized attention.
+
+Scope (v1): plain self-attention, causal (triangular grid) or non-causal
+(rectangular grid), GQA, softmax_scale. Ring position descriptors, windows,
+softcap, segments, dropout and ALiBi stay on the bf16 kernel — sage targets
+the two places all the long-context FLOPs live: full-sequence prefill and the
+post-a2a local attention of the Ulysses path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from long_context_attention_tpu.utils.config import (
+    NEG_INF,
+    BlockSizes,
+    default_interpret,
+)
+
+__all__ = [
+    "sage_attention",
+    "sage_attention_fwd",
+    "sage_attention_full",
+    "sage_quantize_kv",
+]
+
+_LOG2E = math.log2(math.e)
+_LN2 = math.log(2.0)
+
+
+# ---------------------------------------------------------------------------
+# Quantization pass (fused XLA, one sweep over HBM)
+# ---------------------------------------------------------------------------
+
+
+def _quant_per_token(x):
+    """(..., s, d) fp -> int8 values + (..., s) fp32 absmax/127 scales."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    safe = jnp.maximum(scale, 1e-30)[..., None]
+    vals = jnp.clip(jnp.round(xf / safe), -127, 127).astype(jnp.int8)
+    return vals, scale
+
+
+def sage_quantize_kv(k_bhsd, v_bhsd):
+    """Quantize BHSD K/V for the sage kernels.
+
+    K is mean-centered over tokens per (b, h_kv, channel) first — exact under
+    softmax (see module docstring). Returns (k8, ks, v8, vs, k_mean) with
+    values int8 BHSD, scales fp32 (b, h_kv, s), and the removed mean
+    (b, h_kv, 1, d) fp32. Centering shifts every score in q-row i by the
+    row-constant ``-scale * (q_i . mean_k)`` — softmax (and thus ``out``) is
+    unaffected, but the LSE is shifted by exactly that constant, so callers
+    must add ``scale * (q . k_mean)`` back to keep the LSE merge-compatible
+    (sage_attention does).
+    """
+    kf = k_bhsd.astype(jnp.float32)
+    k_mean = jnp.mean(kf, axis=2, keepdims=True)
+    k8, ks = _quant_per_token(kf - k_mean)
+    v8, vs = _quant_per_token(v_bhsd)
+    return k8, ks, v8, vs, k_mean
+
+
+def _scale_tiles(scale_bhs, block):
+    """(b, h, s) fp32 -> (b*h, s//block, 1, block): lane-oriented per-token
+    scale rows whose (1, block) tiles are Mosaic-legal for every block."""
+    b, h, s = scale_bhs.shape
+    return scale_bhs.reshape(b * h, s // block, 1, block)
+
+
+def _qscale_tiles(scale_bhs, block):
+    """(b, h, s) fp32 -> (b*h, s//block, block, 1): sublane-oriented per-row
+    scales ((block, 1) tiles broadcast over score columns in-kernel)."""
+    b, h, s = scale_bhs.shape
+    return scale_bhs.reshape(b * h, s // block, block, 1)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
+                  m_scr, l_scr, acc_scr, *, scale, masked, pv_int8,
+                  bq, bkv):
+    """Shared online-softmax step over one (q-tile, kv-tile) pair.
+
+    Scores: s = (q8 . k8^T)_s32 * qs_row * ks_col * scale, in exp2 units.
+    ``masked`` applies the in-tile causal triangle (diagonal tiles only —
+    whole-tile skipping happens at grid level).
+    """
+    q8 = q_ref[0, 0, :, :]                      # (bq, d) int8
+    k8 = k_ref[0, 0, :, :]                      # (bkv, d) int8
+    s32 = jax.lax.dot_general(
+        q8, k8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    qs = qs_ref[0, 0, :, :]                     # (bq, 1) fp32
+    ks = ks_ref[0, 0, :, :]                     # (1, bkv) fp32
+    s = s32.astype(jnp.float32) * (qs * scale) * ks
+    if masked:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+        mask = cols > rows
+        s = jnp.where(mask, NEG_INF, s)
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp2(s - m_new)
+    if masked:
+        p = jnp.where(mask, 0.0, p)
+    alpha = jnp.exp2(m_prev - m_new)
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    # fold V's per-token scale into P *after* the row-sum (denominator exact)
+    p = p * vs_ref[0, 0, :, :]                  # (1, bkv) broadcast
+    if pv_int8:
+        # dynamic per-row requantization of P -> second s8 MXU matmul. An
+        # all-masked row has rowmax 0 -> p/ps = 0/eps = 0 (no-op).
+        rowmax = jnp.max(p, axis=1, keepdims=True)
+        ps = jnp.maximum(rowmax, 1e-20) * (1.0 / 127.0)
+        p8 = jnp.round(p / ps).astype(jnp.int8)
+        pv = jax.lax.dot_general(
+            p8, v_ref[0, 0, :, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32) * ps
+    else:
+        v = v_ref[0, 0, :, :].astype(jnp.bfloat16)
+        pv = jax.lax.dot(p.astype(jnp.bfloat16), v,
+                         preferred_element_type=jnp.float32)
+    acc_scr[...] = acc_scr[...] * alpha + pv
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+
+def _emit(out_ref, lse_ref, m_scr, l_scr, acc_scr):
+    l = l_scr[:, :1]
+    m = m_scr[:, :1]
+    dead = l == 0.0
+    safe_l = jnp.where(dead, 1.0, l)
+    out_ref[...] = jnp.where(dead, 0.0, acc_scr[...] / safe_l
+                             ).astype(out_ref.dtype).reshape(out_ref.shape)
+    lse_ref[...] = jnp.where(dead, -jnp.inf, m * _LN2 + jnp.log(safe_l)
+                             ).reshape(lse_ref.shape)
+
+
+def _sage_kernel_tri(
+    iq_tab_ref, ik_tab_ref,  # scalar prefetch: linear step -> (iq, ik)
+    q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, lse_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale, pv_int8, bq,
+):
+    """Causal self-attention over the triangular live-tile grid (the same
+    scalar-prefetched (iq, ik) table enumeration as ops/flash.py's
+    _fwd_kernel_tri: no skipped grid steps, flat compile times)."""
+    idx = pl.program_id(2)
+    iq = iq_tab_ref[idx]
+    ik = ik_tab_ref[idx]
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    kw = dict(scale=scale, pv_int8=pv_int8, bq=bq, bkv=bq)
+
+    @pl.when(ik < iq)
+    def _():
+        _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
+                      m_scr, l_scr, acc_scr, masked=False, **kw)
+
+    @pl.when(ik == iq)
+    def _():
+        _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
+                      m_scr, l_scr, acc_scr, masked=True, **kw)
+
+    @pl.when(ik == iq)  # the diagonal tile is the row's last step
+    def _done():
+        _emit(out_ref, lse_ref, m_scr, l_scr, acc_scr)
+
+
+def _sage_kernel_rect(
+    q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, lse_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale, pv_int8, bq, bkv,
+):
+    """Non-causal self-attention over the full rectangular grid."""
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
+                  m_scr, l_scr, acc_scr, masked=False,
+                  scale=scale, pv_int8=pv_int8, bq=bq, bkv=bkv)
+
+    @pl.when(ik == nk - 1)
+    def _done():
+        _emit(out_ref, lse_ref, m_scr, l_scr, acc_scr)
+
+
+# ---------------------------------------------------------------------------
+# BHSD drivers
+# ---------------------------------------------------------------------------
+
+
+def _sage_fwd_tri_bhsd(q8, qs, k8, ks, v8, vs, *, scale, pv_int8, bq,
+                       out_dtype, interpret):
+    b, h, s, d = q8.shape
+    h_kv = k8.shape[1]
+    g = h // h_kv
+    nq = s // bq
+    tri = nq * (nq + 1) // 2
+    iq_tab = jnp.asarray(np.repeat(np.arange(nq), np.arange(1, nq + 1)), jnp.int32)
+    ik_tab = jnp.asarray(np.concatenate([np.arange(i + 1) for i in range(nq)]), jnp.int32)
+
+    def qi(ib, ih, idx, iq_t, ik_t):
+        return (ib, ih, iq_t[idx], 0)
+
+    def qsi(ib, ih, idx, iq_t, ik_t):
+        return (ib * h + ih, iq_t[idx], 0, 0)
+
+    def kvi(ib, ih, idx, iq_t, ik_t):
+        return (ib, ih // g, ik_t[idx], 0)
+
+    def ksi(ib, ih, idx, iq_t, ik_t):
+        return (ib * h_kv + ih // g, ik_t[idx], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, h, tri),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), qi),
+            pl.BlockSpec((1, 1, bq, 1), qsi),
+            pl.BlockSpec((1, 1, bq, d), kvi),
+            pl.BlockSpec((1, 1, 1, bq), ksi),
+            pl.BlockSpec((1, 1, bq, d), kvi),
+            pl.BlockSpec((1, 1, 1, bq), ksi),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), qi),
+            pl.BlockSpec((1, 1, 1, bq), qsi),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(_sage_kernel_tri, scale=scale * _LOG2E,
+                          pv_int8=pv_int8, bq=bq),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s, d), out_dtype),
+            jax.ShapeDtypeStruct((b * h, s // bq, 1, bq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * s * s * d,
+            bytes_accessed=q8.size * 1 + k8.size * 2,
+            transcendentals=b * h * s * s // 2,
+        ),
+        interpret=interpret,
+    )(iq_tab, ik_tab,
+      q8, _qscale_tiles(qs, bq),
+      k8, _scale_tiles(ks, bq), v8, _scale_tiles(vs, bq))
+    return out, lse.reshape(b, h, s)
+
+
+def _sage_fwd_rect_bhsd(q8, qs, k8, ks, v8, vs, *, scale, pv_int8, bq, bkv,
+                        out_dtype, interpret):
+    b, h, s_q, d = q8.shape
+    _, h_kv, s_kv, _ = k8.shape
+    g = h // h_kv
+    nq, nk = s_q // bq, s_kv // bkv
+
+    out, lse = pl.pallas_call(
+        functools.partial(_sage_kernel_rect, scale=scale * _LOG2E,
+                          pv_int8=pv_int8, bq=bq, bkv=bkv),
+        grid=(b, h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, 1, bq, 1),
+                         lambda ib, ih, iq, ik: (ib * h + ih, iq, 0, 0)),
+            pl.BlockSpec((1, 1, bkv, d), lambda ib, ih, iq, ik: (ib, ih // g, ik, 0)),
+            pl.BlockSpec((1, 1, 1, bkv),
+                         lambda ib, ih, iq, ik: (ib * h_kv + ih // g, ik, 0, 0)),
+            pl.BlockSpec((1, 1, bkv, d), lambda ib, ih, iq, ik: (ib, ih // g, ik, 0)),
+            pl.BlockSpec((1, 1, 1, bkv),
+                         lambda ib, ih, iq, ik: (ib * h_kv + ih // g, ik, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, 1, 1, bq),
+                         lambda ib, ih, iq, ik: (ib * h + ih, iq, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s_q, d), out_dtype),
+            jax.ShapeDtypeStruct((b * h, s_q // bq, 1, bq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s_q * s_kv * d,
+            bytes_accessed=q8.size * 1 + k8.size * 2,
+            transcendentals=b * h * s_q * s_kv,
+        ),
+        interpret=interpret,
+    )(q8, _qscale_tiles(qs, bq),
+      k8, _scale_tiles(ks, bkv), v8, _scale_tiles(vs, bkv))
+    return out, lse.reshape(b, h, s_q)
+
+
+# ---------------------------------------------------------------------------
+# Public API (BSHD contract)
+# ---------------------------------------------------------------------------
+
+
+def _to_bhsd(x):
+    return jnp.transpose(x, (0, 2, 1, 3))
+
+
+def _fit(block, seq):
+    block = min(block, seq)
+    while seq % block:
+        block //= 2
+    return max(block, 1)
+
+
+def sage_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    pv_int8: bool = True,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+    return_lse: bool = False,
+):
+    """INT8 quantized-MXU attention (see module docstring). BSHD in/out.
+
+    Args:
+      q: (b, s_q, h, d) bf16/fp32; k, v: (b, s_kv, h_kv, d), GQA supported.
+      causal: triangular-grid causal self-attention (requires s_q == s_kv).
+      pv_int8: also run PV on the s8 MXU (SageAttention2-style). False keeps
+        PV in bf16 (v1-style) — slightly tighter numerics, ~half the PV rate.
+      return_lse: also return the (b, h, s_q) fp32 log-sum-exp.
+
+    Forward-only (like the reference's Sage adapters); for a differentiable
+    layer use ``sage_attention_full``.
+    """
+    b, s_q, h, d = q.shape
+    _, s_kv, h_kv, _ = k.shape
+    assert h % h_kv == 0, f"GQA requires h ({h}) % h_kv ({h_kv}) == 0"
+    bs = block_sizes or BlockSizes()
+    interpret = default_interpret() if interpret is None else bool(interpret)
+    scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(d)
+
+    qb = _to_bhsd(q)
+    q8, qs = _quant_per_token(qb)
+    k8, ks, v8, vs, k_mean = sage_quantize_kv(_to_bhsd(k), _to_bhsd(v))
+
+    if causal:
+        assert s_q == s_kv, (
+            "sage_attention causal requires self-attention (s_q == s_kv); "
+            "rings/cross-attention stay on the bf16 kernel")
+        bq = _fit(min(bs.block_q, bs.block_kv), s_q)
+        out, lse = _sage_fwd_tri_bhsd(
+            q8, qs, k8, ks, v8, vs, scale=scale, pv_int8=pv_int8, bq=bq,
+            out_dtype=q.dtype, interpret=interpret)
+    else:
+        bq = _fit(bs.block_q, s_q)
+        bkv = _fit(bs.block_kv, s_kv)
+        out, lse = _sage_fwd_rect_bhsd(
+            q8, qs, k8, ks, v8, vs, scale=scale, pv_int8=pv_int8,
+            bq=bq, bkv=bkv, out_dtype=q.dtype, interpret=interpret)
+    if return_lse:
+        # undo the K-centering LSE shift (row-constant, softmax-invariant —
+        # out needs no correction, but merge/backward anchoring does)
+        g = h // h_kv
+        mean_rep = jnp.repeat(k_mean[:, :, 0, :], g, axis=1)  # (b, h, d)
+        lse = lse + scale * jnp.einsum(
+            "bhsd,bhd->bhs", qb.astype(jnp.float32), mean_rep)
+    out = _to_bhsd(out)
+    return (out, lse) if return_lse else out
+
+
+def sage_attention_fwd(q, k, v, **kw):
+    """Registry fwd-stage entry: returns (out, lse).
+
+    Accepts (and checks) the common registry kwargs; anything the sage path
+    does not implement raises rather than silently computing the wrong thing
+    (the reference's FA3 adapter silently dropped causal/window,
+    `kernels/attention.py:283-284` — the failure mode to avoid).
+    """
+    _vet_kwargs(kw)
+    return sage_attention(
+        q, k, v,
+        causal=kw.get("causal", False),
+        softmax_scale=kw.get("softmax_scale"),
+        pv_int8=kw.get("pv_int8", True),
+        block_sizes=kw.get("block_sizes"),
+        interpret=kw.get("interpret"),
+        return_lse=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _sage_full(q, k, v, causal, scale, pv_int8):
+    out, _ = sage_attention_fwd(q, k, v, causal=causal, softmax_scale=scale,
+                                pv_int8=pv_int8)
+    return out
+
+
+def _sage_full_fwd(q, k, v, causal, scale, pv_int8):
+    out, lse = sage_attention_fwd(q, k, v, causal=causal,
+                                  softmax_scale=scale, pv_int8=pv_int8)
+    return out, (q, k, v, out, lse)
+
+
+def _sage_full_bwd(causal, scale, pv_int8, res, dout):
+    # straight-through: bf16 flash recomputation backward on the original
+    # inputs, with the quantized forward's (out, lse) as the flash
+    # decomposition anchor — the standard quantized-attention training recipe
+    from long_context_attention_tpu.ops.flash import flash_attention_bwd
+
+    q, k, v, out, lse = res
+    dq, dk, dv = flash_attention_bwd(q, k, v, out, lse, dout,
+                                     causal=causal, softmax_scale=scale)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_sage_full.defvjp(_sage_full_fwd, _sage_full_bwd)
+
+
+def sage_attention_full(q, k, v, **kw):
+    """Registry full-stage entry: differentiable end-to-end (quantized
+    forward + bf16 recomputation backward)."""
+    _vet_kwargs(kw)
+    causal = kw.get("causal", False)
+    scale = kw.get("softmax_scale")
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    return _sage_full(q, k, v, bool(causal), float(scale),
+                      bool(kw.get("pv_int8", True)))
+
+
+def _vet_kwargs(kw):
+    """Raise on kwargs the sage path can't honor (without running it)."""
+    kw = dict(kw)
+    kw.pop("causal", None), kw.pop("softmax_scale", None)
+    kw.pop("pv_int8", None), kw.pop("block_sizes", None)
+    kw.pop("interpret", None), kw.pop("return_lse", None)
+    for name in ("q_offsets", "kv_offsets"):
+        off = kw.pop(name, None)
+        if off is not None:
+            try:  # traced offsets (ring ranks) can't be checked -> unsupported
+                arr = np.asarray(off).reshape(-1)
+            except Exception:
+                raise NotImplementedError(
+                    f"sage_attention: non-trivial {name} unsupported; "
+                    "use impl='pallas' for ring schedules") from None
+            if arr.size != 1 or int(arr[0]) != 0:
+                raise NotImplementedError(
+                    f"sage_attention: non-trivial {name} unsupported; "
+                    "use impl='pallas' for ring schedules")
+    if kw.pop("q_stride", 1) != 1 or kw.pop("kv_stride", 1) != 1:
+        raise NotImplementedError("sage_attention: stride layouts unsupported")
+    neutral = {
+        "window_size": (-1, -1), "softcap": 0.0, "dropout_p": 0.0,
+        "q_segment_ids": None, "kv_segment_ids": None, "alibi_slopes": None,
+        "dropout_key": None, "dropout_seed": None,
+    }
+    for name, ok in neutral.items():
+        val = kw.pop(name, ok)
+        bad = (val is not None) if ok is None else (val != ok)
+        if bad:
+            raise NotImplementedError(
+                f"sage_attention does not implement {name}; use impl='pallas'")
+    assert not kw, f"unexpected kwargs {sorted(kw)}"

@@ -31,6 +31,11 @@ from long_context_attention_tpu.parallel.moe import (
     moe_param_specs,
 )
 from long_context_attention_tpu.parallel.pipeline import pipeline_apply
+from long_context_attention_tpu.parallel.zero import (
+    init_zero_opt_state,
+    make_zero_train_step,
+    zero_param_specs,
+)
 from long_context_attention_tpu.parallel.ring import RingConfig, ring_attention_local
 from long_context_attention_tpu.parallel.tp import (
     psum_for_value,
@@ -66,6 +71,9 @@ __all__ = [
     "moe_mlp_local",
     "moe_param_specs",
     "pipeline_apply",
+    "init_zero_opt_state",
+    "make_zero_train_step",
+    "zero_param_specs",
     "psum_for_value",
     "tp_region_input",
     "tp_region_output",

@@ -1,0 +1,120 @@
+"""ZeRO-1/2 optimizer sharding vs the plain train step (8-device CPU mesh).
+
+The reference's ZeRO story is pure delegation (DeepSpeed ZERO_STAGE=3 in the
+Megatron patch launcher); the in-repo implementation is gated the same way as
+every other parallel feature: exact-trajectory parity against the unsharded
+step, plus an explicit check that the Adam state is *physically* sharded.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from long_context_attention_tpu.models.llama import (
+    ModelConfig,
+    init_params,
+    make_train_step,
+    param_specs,
+)
+from long_context_attention_tpu.parallel import make_usp_mesh
+from long_context_attention_tpu.parallel.mesh import MeshAxes
+from long_context_attention_tpu.parallel.zero import (
+    init_zero_opt_state,
+    make_zero_train_step,
+    zero_param_specs,
+)
+
+CFG = ModelConfig(vocab=64, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                  head_dim=32, ffn_hidden=128, layout="zigzag",
+                  attn_impl="pallas")
+B, S = 4, 128
+
+
+def data(rng):
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab, size=(B, S)), jnp.int32)
+    labels = jnp.roll(tokens, -1, axis=1)
+    mask = jnp.ones((B, S), jnp.int32).at[:, -1].set(0)
+    return tokens, labels, mask
+
+
+def _run(step, params, opt_state, batches):
+    losses = []
+    for tokens, labels, mask in batches:
+        params, opt_state, loss = step(params, opt_state, tokens, labels, mask)
+        losses.append(float(loss))
+    return params, opt_state, losses
+
+
+@pytest.mark.parametrize("degrees", [(4, 1, 2, 1), (2, 2, 2, 1), (2, 1, 2, 2)])
+def test_zero_trajectory_matches_plain_step(rng, degrees):
+    """3 ZeRO steps == 3 plain steps (same mesh): reduce-scatter + sharded
+    Adam + param all-gather must be a pure re-bracketing of the math."""
+    dp, ulysses, ring, tp = degrees
+    mesh = make_usp_mesh(dp=dp, ulysses=ulysses, ring=ring, tp=tp)
+    opt = optax.adam(1e-2)
+    # fp32 params: reduce-scatter and all-reduce order sums differently by
+    # ~1 fp32 ulp; bf16 params round those ties visibly (see CLAUDE.md on
+    # bf16 trajectory comparisons), fp32 keeps the trajectories tight
+    params = jax.tree.map(lambda x: x.astype(jnp.float32),
+                          init_params(jax.random.PRNGKey(0), CFG))
+    batches = [data(rng) for _ in range(3)]
+
+    p_ref = jax.tree.map(jnp.copy, params)
+    step_ref = make_train_step(CFG, mesh, opt)
+    p_ref, _, losses_ref = _run(step_ref, p_ref, opt.init(p_ref), batches)
+
+    zspecs = zero_param_specs(params, param_specs(MeshAxes(), tp=tp > 1),
+                              mesh)
+    opt_state = init_zero_opt_state(opt, params, mesh, zspecs)
+    step_z = make_zero_train_step(CFG, mesh, opt)
+    p_z, opt_state, losses_z = _run(step_z, params, opt_state, batches)
+
+    np.testing.assert_allclose(losses_z, losses_ref, rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(p_z), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=1e-4, rtol=0)
+
+
+def test_opt_state_is_physically_sharded(rng):
+    """Adam moments occupy 1/dp of their full size per device (the ZeRO-1
+    memory claim), and stay sharded across a step."""
+    dp = 4
+    mesh = make_usp_mesh(dp=dp, ulysses=1, ring=2)
+    opt = optax.adam(1e-2)
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    zspecs = zero_param_specs(params, param_specs(MeshAxes(), tp=False), mesh)
+    opt_state = init_zero_opt_state(opt, params, mesh, zspecs)
+
+    def check(state):
+        mu = state[0].mu  # ScaleByAdamState
+        checked = 0
+        for leaf in jax.tree.leaves(mu):
+            if leaf.size < dp:
+                continue
+            shard = leaf.sharding.shard_shape(leaf.shape)
+            if int(np.prod(shard)) * dp == leaf.size:
+                checked += 1
+        # every large leaf (embed, attention/ffn weights) must be dp-sharded
+        assert checked >= 8, checked
+
+    check(opt_state)
+    step = make_zero_train_step(CFG, mesh, opt)
+    tokens, labels, mask = data(rng)
+    params, opt_state, loss = step(params, opt_state, tokens, labels, mask)
+    assert np.isfinite(float(loss))
+    check(opt_state)
+    # params come back replicated (or tp-sharded only): full shard shape
+    for leaf in jax.tree.leaves(params):
+        assert leaf.sharding.shard_shape(leaf.shape) == leaf.shape
+
+
+def test_zero_specs_skip_undividable_leaves():
+    mesh = make_usp_mesh(dp=4, ulysses=1, ring=2)
+    params = {"w": jnp.zeros((8, 6)), "tiny": jnp.zeros((3,))}
+    from jax.sharding import PartitionSpec as P
+    specs = zero_param_specs(params, P(), mesh)
+    assert specs["w"] == P("dp", None)  # dim0 divisible
+    assert specs["tiny"] == P()         # nothing divides by 4
