@@ -1,0 +1,112 @@
+"""Benchmark block-sparse attention vs the dense causal flash kernel.
+
+The sparse kernel's promise is cost proportional to live tiles: a density-d
+mask should run ~1/d of the dense kernel's time at equal per-tile efficiency.
+This reports, per pattern, wall time, effective TFLOP/s over *live* work,
+and the speedup vs dense causal — plus "sparse efficiency": achieved speedup
+divided by the ideal (1/density) speedup.
+
+Usage: python benchmarks/bench_sparse.py [--seq N] [--iters N] [--block N]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_one(fn, q, k, v, iters, best_of=3):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def chained(q, k, v):
+        def body(_, qq):
+            return fn(qq, k, v).astype(q.dtype)
+        return jnp.sum(lax.fori_loop(0, iters, body, q).astype(jnp.float32))
+
+    float(chained(q, k, v))  # compile + warm
+    best = float("inf")
+    for _ in range(best_of):
+        t0 = time.perf_counter()
+        float(chained(q, k, v))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", type=int, default=131072)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--block", type=int, default=1024)
+    ap.add_argument("--heads", type=int, default=32)
+    ap.add_argument("--kv-heads", type=int, default=8)
+    ap.add_argument("--head-dim", type=int, default=128)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from long_context_attention_tpu.ops.flash import flash_attention
+    from long_context_attention_tpu.ops.sparse import (
+        block_sparse_attention,
+        global_local_block_mask,
+        mask_density,
+        strided_block_mask,
+    )
+
+    b, s, h, hkv, d = 1, args.seq, args.heads, args.kv_heads, args.head_dim
+    n = s // args.block
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (b, s, h, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, s, hkv, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, s, hkv, d), jnp.bfloat16)
+
+    dense_dt = bench_one(
+        lambda qq, kk_, vv: flash_attention(qq, kk_, vv, causal=True),
+        q, k, v, args.iters)
+    dense_flops = 2 * 2 * b * h * s * s * d * 0.5
+    print(f"{'dense causal':28s} {dense_dt*1e3:9.2f} ms  "
+          f"{dense_flops/dense_dt/1e12:7.1f} TFLOP/s", file=sys.stderr)
+
+    patterns = {
+        # StreamingLLM shape: 1 sink tile + 8-tile local band
+        "stream(sink1,win8)": global_local_block_mask(n, n, 8, sink_tiles=1),
+        # dilated: every 8th kv tile + 4-tile local band
+        "strided(8,local4)": strided_block_mask(n, n, 8, local_tiles=4),
+        # wide band: half-density window
+        f"window({n//2})": global_local_block_mask(n, n, n // 2, sink_tiles=0),
+    }
+
+    rows = []
+    for name, mask in patterns.items():
+        dens = mask_density(mask, causal=True)
+        dt = bench_one(
+            lambda qq, kk_, vv, m=mask: block_sparse_attention(
+                qq, kk_, vv, m, causal=True,
+                block_q=args.block, block_kv=args.block),
+            q, k, v, args.iters)
+        live_flops = 2 * 2 * b * h * s * s * d * dens
+        speedup = dense_dt / dt
+        eff = speedup * dens / 0.5  # vs ideal 0.5/dens speedup over causal
+        rows.append((name, dens, dt, speedup, eff))
+        print(f"{name:28s} {dt*1e3:9.2f} ms  {live_flops/dt/1e12:7.1f} "
+              f"live-TFLOP/s  density {dens:.3f}  {speedup:5.2f}x dense  "
+              f"eff {eff:.2f}", file=sys.stderr)
+
+    headline = rows[0]
+    print(json.dumps({
+        "metric": f"block_sparse_attn_speedup_{args.seq//1024}k_{headline[0]}",
+        "value": round(headline[3], 2),
+        "unit": "x dense causal",
+        "density": round(headline[1], 4),
+        "sparse_efficiency": round(headline[4], 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

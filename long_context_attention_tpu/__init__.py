@@ -17,6 +17,14 @@ Public surface (the analog of `yunchang/__init__.py:1-12`):
 __version__ = "0.2.0"
 
 from long_context_attention_tpu.ops import (
+    block_sparse_attention,
+    block_sparse_attention_fwd,
+    causal_block_mask,
+    global_local_block_mask,
+    mask_density,
+    random_block_mask,
+    sliding_window_block_mask,
+    strided_block_mask,
     flash_attention,
     flash_attention_bwd,
     flash_attention_fwd,
@@ -45,6 +53,14 @@ from long_context_attention_tpu.parallel import (
 )
 
 __all__ = [
+    "block_sparse_attention",
+    "block_sparse_attention_fwd",
+    "causal_block_mask",
+    "global_local_block_mask",
+    "mask_density",
+    "random_block_mask",
+    "sliding_window_block_mask",
+    "strided_block_mask",
     "flash_attention",
     "flash_attention_bwd",
     "flash_attention_fwd",

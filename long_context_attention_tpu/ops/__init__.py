@@ -19,8 +19,26 @@ from long_context_attention_tpu.ops.registry import (
     get_attn_impl,
     register_attn_impl,
 )
+from long_context_attention_tpu.ops.sparse import (
+    block_sparse_attention,
+    block_sparse_attention_fwd,
+    causal_block_mask,
+    global_local_block_mask,
+    mask_density,
+    random_block_mask,
+    sliding_window_block_mask,
+    strided_block_mask,
+)
 
 __all__ = [
+    "block_sparse_attention",
+    "block_sparse_attention_fwd",
+    "causal_block_mask",
+    "global_local_block_mask",
+    "mask_density",
+    "random_block_mask",
+    "sliding_window_block_mask",
+    "strided_block_mask",
     "xla_attention",
     "xla_attention_bwd",
     "merge_attn_blocks",
