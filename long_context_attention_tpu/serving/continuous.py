@@ -997,6 +997,11 @@ class PagedContinuousEngine(ContinuousEngine):
     # consume PRNG blocks in a different order (same caveat as
     # ``host_overlap``, which this flag does not compose with yet).
     interleave_admission: bool = False
+    # host-side page/prefix bookkeeping implementation: None = use the
+    # native C++ core (native/lca_host.cc via serving/native.py) when it
+    # builds, falling back to pure Python; True = require native; False =
+    # force Python. Decisions are bit-identical either way.
+    native_runtime: Optional[bool] = None
 
     def __post_init__(self):
         assert self.pool_pages >= 2, "pool needs the scratch page + 1"
@@ -1046,13 +1051,7 @@ class PagedContinuousEngine(ContinuousEngine):
                 raise ValueError(
                     f"request {r.id} needs {self._pages_needed(r)} pages; "
                     f"pool has {self.pool_pages - 1} allocatable")
-        if self.prefix_cache:
-            from long_context_attention_tpu.serving.prefix_cache import (
-                PrefixPageAllocator,
-            )
-            alloc = PrefixPageAllocator(self.pool_pages)
-        else:
-            alloc = _PageAllocator(self.pool_pages)
+        alloc = self._make_alloc()
         object.__setattr__(self, "_alloc", alloc)
         object.__setattr__(self, "_stats",
                            {"prefix_hit_tokens": 0, "admitted_tokens": 0,
@@ -1065,6 +1064,36 @@ class PagedContinuousEngine(ContinuousEngine):
             if self.prefix_cache:
                 self._stats["evictions"] = alloc.evictions
             object.__setattr__(self, "_alloc", None)
+
+    def _make_alloc(self):
+        """Page allocator for one serve() call: the native (C++) runtime
+        core when built and enabled, else the pure-Python structures. The
+        two make bit-identical decisions (tests/test_native_alloc.py), so
+        the switch can never change serving results — only host-side speed."""
+        use_native = self.native_runtime
+        if use_native is None or use_native:
+            from long_context_attention_tpu.serving import native
+            if native.native_available():
+                object.__setattr__(self, "_alloc_kind", "native")
+                if self.prefix_cache:
+                    return native.NativePrefixPageAllocator(self.pool_pages)
+                return native.NativePageAllocator(self.pool_pages)
+            if use_native:
+                raise RuntimeError(
+                    "native_runtime=True but native/lca_host.cc failed to "
+                    "build (g++ missing?)")
+        object.__setattr__(self, "_alloc_kind", "python")
+        if self.prefix_cache:
+            from long_context_attention_tpu.serving.prefix_cache import (
+                PrefixPageAllocator,
+            )
+            return PrefixPageAllocator(self.pool_pages)
+        return _PageAllocator(self.pool_pages)
+
+    @property
+    def last_alloc_kind(self) -> str:
+        """"native" or "python": which allocator the last serve() used."""
+        return getattr(self, "_alloc_kind", "unused")
 
     def _can_admit(self, req: Request, bi: int) -> bool:
         if not self.prefix_cache:
