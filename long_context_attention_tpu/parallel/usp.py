@@ -35,6 +35,7 @@ from long_context_attention_tpu.parallel.ulysses import gather_heads, scatter_he
 from long_context_attention_tpu.utils.config import BlockSizes
 
 __all__ = ["usp_attention_local", "async_usp_attention_local",
+           "ulysses_sparse_attention_local",
            "LongContextAttention", "UlyssesAttention",
            "AsyncLongContextAttention"]
 
@@ -104,6 +105,46 @@ def usp_attention_local(
         dropout_p=dropout_p, dropout_seed=seed, alibi_slopes=sl_local,
         block_sizes=block_sizes, interpret=interpret,
     )
+    return gather_heads(out, ulysses_axis)
+
+
+def ulysses_sparse_attention_local(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_mask,
+    *,
+    ulysses_axis: str,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Block-sparse attention under SP-Ulysses: after the head-scatter /
+    seq-gather a2a every rank holds the FULL sequence for h/U heads, so the
+    static live-tile mask (ops/sparse.py) applies unchanged — the sparse
+    analog of `UlyssesAttention.forward` (`ulysses/attn_layer.py:50-120`).
+
+    Only shared (2-D) masks compose with ulysses > 1: a per-head (3-D) mask
+    would need a different static tile table per rank, but ``shard_map``
+    traces one SPMD program (per-head masks work on the single-device /
+    ulysses=1 path). Ring composition is likewise out of scope: ring ranks
+    see traced KV offsets, while the sparse tables are static by design.
+    """
+    from long_context_attention_tpu.ops.sparse import block_sparse_attention
+
+    import numpy as _np
+    if _np.asarray(block_mask).ndim != 2 and lax.axis_size(ulysses_axis) > 1:
+        raise ValueError(
+            "per-head (3-D) block masks do not compose with ulysses > 1 — "
+            "every rank runs the same static tile table; use a shared mask")
+    q = scatter_heads(q, ulysses_axis)
+    k = scatter_heads(k, ulysses_axis)
+    v = scatter_heads(v, ulysses_axis)
+    out = block_sparse_attention(
+        q, k, v, block_mask, causal=causal, softmax_scale=softmax_scale,
+        block_q=block_q, block_kv=block_kv, interpret=interpret)
     return gather_heads(out, ulysses_axis)
 
 
@@ -303,7 +344,25 @@ class UlyssesAttention(_LayerBase):
     def __call__(self, q, k, v, *, causal: bool = False,
                  softmax_scale: Optional[float] = None,
                  window_size: Tuple[int, int] = (-1, -1),
-                 softcap: float = 0.0) -> jnp.ndarray:
+                 softcap: float = 0.0, block_mask=None,
+                 sparse_block_q: int = 512,
+                 sparse_block_kv: int = 512) -> jnp.ndarray:
+        if block_mask is not None:
+            # block-sparse local attention (ops/sparse.py) after the a2a;
+            # shared (2-D) static tile masks only — see
+            # ulysses_sparse_attention_local
+            if window_size != (-1, -1) or softcap != 0.0:
+                raise NotImplementedError(
+                    "block_mask does not combine with window/softcap — "
+                    "encode the window in the mask itself")
+            fn = functools.partial(
+                ulysses_sparse_attention_local, block_mask=block_mask,
+                ulysses_axis=self.axes.ulysses, causal=causal,
+                softmax_scale=softmax_scale, block_q=sparse_block_q,
+                block_kv=sparse_block_kv, interpret=self.interpret,
+            )
+            return self._shard_map(
+                lambda q, k, v: fn(q, k, v), 3)(q, k, v)
         fn = functools.partial(
             usp_attention_local,
             ulysses_axis=self.axes.ulysses, ring_axis=self.axes.ring,

@@ -233,3 +233,38 @@ def test_mask_density_reporting():
         (n * (n + 1) / 2) / (n * n))
     band = sliding_window_block_mask(n, n, 1)
     assert mask_density(band) == pytest.approx(1 / n)
+
+
+def test_ulysses_sparse_matches_single_device(rng):
+    """Block-sparse under SP-Ulysses (8-dev CPU mesh): the a2a-sharded layer
+    equals single-device sparse attention on the full tensors (the oracle
+    pattern of SURVEY.md §4), and both match the dense-bias oracle."""
+    from long_context_attention_tpu.parallel import UlyssesAttention, make_usp_mesh
+
+    q, k, v = make_qkv(rng, b=2, s=512, h=8, hkv=4)
+    n = 512 // BQ
+    mask = global_local_block_mask(n, n, 2, sink_tiles=1)
+    mesh = make_usp_mesh(dp=1, ulysses=4, ring=1)
+    layer = UlyssesAttention(mesh=mesh)
+    out = layer(q, k, v, causal=True, block_mask=mask,
+                sparse_block_q=BQ, sparse_block_kv=BKV)
+    single = block_sparse_attention(q, k, v, mask, causal=True,
+                                    block_q=BQ, block_kv=BKV)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(single),
+                               atol=2e-5, rtol=0)
+    ref_out, _ = oracle(q, k, v, mask, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-5, rtol=0)
+
+
+def test_ulysses_sparse_rejects_per_head_mask(rng):
+    from long_context_attention_tpu.parallel import UlyssesAttention, make_usp_mesh
+
+    q, k, v = make_qkv(rng, b=1, s=256, h=8, hkv=4)
+    n = 256 // BQ
+    mask = random_block_mask(n, n, 0.5, seed=5, heads=8)
+    mesh = make_usp_mesh(dp=1, ulysses=4, ring=1)
+    layer = UlyssesAttention(mesh=mesh)
+    with pytest.raises(ValueError, match="per-head"):
+        layer(q, k, v, causal=True, block_mask=mask,
+              sparse_block_q=BQ, sparse_block_kv=BKV)
