@@ -76,6 +76,15 @@ class ModelConfig:
     # and the dispatch all_to_all. 0 = dense model (the default).
     n_experts: int = 0
     moe_capacity_factor: float = 2.0
+    # Gradient rematerialization (jax.checkpoint) over the layer scan — the
+    # long-context memory lever: "none" saves every layer's internal
+    # activations for the backward; "full" saves only each layer's input
+    # residual stream (b, s, dim) and recomputes the rest (attention
+    # internals, FFN hidden) in the backward pass; "dots" saves matmul
+    # outputs but recomputes elementwise work (a FLOPs/memory midpoint).
+    # Trades ~1 extra forward of FLOPs for O(layers x s x (hidden+heads*d))
+    # of activation HBM — what makes 128K+ training steps fit on a chip.
+    remat: str = "none"
 
     @property
     def moe(self) -> bool:
@@ -249,6 +258,23 @@ def _layer(cfg: ModelConfig, x, lp, positions, *, ulysses_axis, ring_axis,
     return x, (k, v)
 
 
+def _maybe_remat(body, cfg: ModelConfig):
+    """Wrap a layer-scan body in jax.checkpoint per ``cfg.remat``.
+
+    ``prevent_cse=False`` is the documented safe setting under ``lax.scan``
+    (the scan boundary already blocks the problematic CSE) and avoids the
+    optimization-barrier overhead."""
+    if cfg.remat == "none":
+        return body
+    if cfg.remat == "full":
+        return jax.checkpoint(body, prevent_cse=False)
+    if cfg.remat == "dots":
+        return jax.checkpoint(
+            body, prevent_cse=False,
+            policy=jax.checkpoint_policies.checkpoint_dots)
+    raise ValueError(f"remat must be none|full|dots, got {cfg.remat!r}")
+
+
 def forward_local(params: Params, tokens: jnp.ndarray, cfg: ModelConfig, *,
                   ulysses_axis: str, ring_axis: str,
                   interpret: Optional[bool] = None,
@@ -278,6 +304,7 @@ def forward_local(params: Params, tokens: jnp.ndarray, cfg: ModelConfig, *,
                        tp_axis=tp_axis, ep_axis=ep_axis)
         return x, (kv if return_kv else None)
 
+    body = _maybe_remat(body, cfg)
     x, kv = lax.scan(body, x, params["layers"])
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     if last_index is not None:
@@ -360,7 +387,7 @@ def make_pp_train_step(cfg: ModelConfig, mesh: Mesh, optimizer, n_micro: int,
                                    tp_axis=axes.tp if tp else None)
                     return xx, None
 
-                x, _ = lax.scan(body, x, layers_slice)
+                x, _ = lax.scan(_maybe_remat(body, cfg), x, layers_slice)
                 return x
 
             def inject(t):

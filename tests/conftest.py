@@ -21,6 +21,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Drop compiled-executable caches at module boundaries.
+
+    The suite compiles thousands of distinct programs; letting the in-process
+    jit cache grow across all ~30 modules has crashed XLA's CPU compiler deep
+    into the run (segfault in backend_compile_and_load after ~240 tests).
+    Cross-module cache reuse is minimal, so this costs little and bounds the
+    compiler state each module sees."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def devices8():
     devs = jax.devices()
