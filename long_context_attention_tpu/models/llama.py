@@ -66,6 +66,13 @@ class ModelConfig:
     # AND serving (prefill + decode kernels) so windowed models serve.
     window_left: int = -1
     softcap: float = 0.0
+    # StreamingLLM attention sinks (arXiv:2309.17453): with a sliding
+    # window, tokens at absolute positions < sink_tokens stay visible —
+    # honored by training, prefill AND decode kernels so windowed+sink
+    # models train and serve with identical attention semantics. No effect
+    # without a window; single-chip serving only (the sequence-sharded
+    # decode path computes per-rank window bounds and does not compose).
+    sink_tokens: int = 0
     # parallelism
     layout: str = "zigzag"
     attn_impl: str = "pallas"
@@ -237,6 +244,7 @@ def _layer(cfg: ModelConfig, x, lp, positions, *, ulysses_axis, ring_axis,
         q, k, v,
         ulysses_axis=ulysses_axis, ring_axis=ring_axis, layout=cfg.layout,
         causal=True, window_size=(cfg.window_left, -1), softcap=cfg.softcap,
+        sink_tokens=cfg.sink_tokens,
         impl=cfg.attn_impl, block_sizes=cfg.block_sizes,
         interpret=interpret,
     )
@@ -490,6 +498,7 @@ def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
         out, lse = flash_attention_fwd(q, k, v, causal=True,
                                        window_size=(cfg.window_left, -1),
                                        softcap=cfg.softcap,
+                                       sink_tokens=cfg.sink_tokens,
                                        softmax_scale=scale,
                                        interpret=interpret)
         if start > 0:
@@ -508,6 +517,7 @@ def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
             c_out, c_lse = flash_attention_fwd_cache(
                 q, kcl, vcl, k_scale=kscl, v_scale=vscl,
                 window_size=(cfg.window_left, -1), softcap=cfg.softcap,
+                sink_tokens=cfg.sink_tokens,
                 q_start=start, softmax_scale=scale, interpret=interpret,
             )
             acc, acc_lse = merge_attn_blocks(
@@ -624,6 +634,8 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
             kc_all, vc_all = res[0], res[1]
             if len(res) > 2:
                 ksc_all, vsc_all = res[2], res[3]
+            assert cfg.sink_tokens == 0, (
+                "sink_tokens does not compose with sequence-sharded decode")
             attn = sharded_decode_attention(
                 q[:, 0], kc_all, vc_all, att_len, ksc_all, vsc_all,
                 axis_name=shard_axes, softmax_scale=scale,
@@ -641,7 +653,7 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
                 q[:, 0], kc_all, vc_all, att_len, ksc_all, vsc_all,
                 softmax_scale=scale, interpret=interpret, layer=li,
                 window_size=(cfg.window_left, -1), softcap=cfg.softcap,
-                page_table=pt,
+                sink_tokens=cfg.sink_tokens, page_table=pt,
             )  # (b, h, d)
 
         x = x + qdot(attn.reshape(b, 1, cfg.q_dim), lp["wo"]).astype(x.dtype)
@@ -750,6 +762,8 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
             kc_all, vc_all = res[0], res[1]
             if len(res) > 2:
                 ksc_all, vsc_all = res[2], res[3]
+            assert cfg.sink_tokens == 0, (
+                "sink_tokens does not compose with sequence-sharded decode")
             out = sharded_decode_attention(
                 q, kc_all, vc_all, att_len, ksc_all, vsc_all,
                 axis_name=shard_axes, softmax_scale=scale,
@@ -768,7 +782,7 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
                 q, kc_all, vc_all, att_len, ksc_all, vsc_all,
                 softmax_scale=scale, interpret=interpret, layer=li,
                 window_size=(cfg.window_left, -1), softcap=cfg.softcap,
-                page_table=pt,
+                sink_tokens=cfg.sink_tokens, page_table=pt,
             )  # (b, n, h, d)
 
         x = x + qdot(out.reshape(b, n, cfg.q_dim), lp["wo"]).astype(x.dtype)

@@ -295,7 +295,7 @@ def _decode_kernel(
     scale: float, block_kv: int, quantized: bool, g: int,
     layered: bool = False, window_left: int = -1, softcap: float = 0.0,
     alibi: bool = False, has_first_cols: bool = False, n_tok: int = 1,
-    paged: bool = False, int8_mxu: bool = False,
+    paged: bool = False, int8_mxu: bool = False, sink_tokens: int = 0,
 ):
     refs = list(refs)
     if layered:
@@ -355,9 +355,13 @@ def _decode_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     # the gate also kills the ragged tail when nk * splits over-covers s_max,
-    # and tiles wholly left of the window
-    @pl.when((gt * block_kv < length)
-             & ((gt + 1) * block_kv > first_col))
+    # and tiles wholly left of the window (sink tiles stay live: StreamingLLM
+    # attention sinks keep global positions < sink_tokens visible)
+    live = (gt + 1) * block_kv > first_col
+    if sink_tokens > 0:
+        live = live | (gt * block_kv < sink_tokens)
+
+    @pl.when((gt * block_kv < length) & live)
     def _compute():
         if int8_mxu:
             # SageAttention-style s8 MXU QK: the query was row-quantized to
@@ -395,7 +399,10 @@ def _decode_kernel(
         if fc_ref is not None:
             invisible |= cols < first_col
         elif window_left >= 0:
-            invisible |= cols < qpos - window_left
+            win_drop = cols < qpos - window_left
+            if sink_tokens > 0:
+                win_drop &= cols >= sink_tokens  # sinks stay visible
+            invisible |= win_drop
         s = jnp.where(invisible, NEG_INF, s)
 
         m_prev = m_scr[:, :1]
@@ -472,6 +479,7 @@ def decode_attention(
     window_size: tuple = (-1, -1),
     softcap: float = 0.0,
     alibi_slopes=None,
+    sink_tokens: int = 0,
     first_cols: Optional[jnp.ndarray] = None,
     page_table: Optional[jnp.ndarray] = None,
     mxu_int8: bool = True,
@@ -631,6 +639,13 @@ def decode_attention(
                        ).astype(jnp.int8)
 
     w_left = int(window_size[0])
+    # StreamingLLM sinks: only meaningful with a left window; the sharded
+    # per-row first_cols path owns its own visibility bounds
+    sink = int(sink_tokens) if w_left >= 0 else 0
+    if sink > 0 and first_cols is not None:
+        raise NotImplementedError(
+            "sink_tokens does not compose with explicit first_cols (the "
+            "sharded-window path computes per-rank bounds itself)")
     has_fc = first_cols is not None
 
     def _clamped_gt(ibb, isp, ik, lens, rest):
@@ -647,7 +662,12 @@ def decode_attention(
         elif w_left >= 0:
             # the earliest visible column over the run's rows (token 0)
             lo = jnp.maximum(lens[ibb] - n_tok - w_left, 0) // bkv
-            gt = jnp.maximum(gt, jnp.minimum(lo, last))
+            gt2 = jnp.maximum(gt, jnp.minimum(lo, last))
+            if sink > 0:
+                # sink tiles keep their identity (their DMA must happen)
+                gt = jnp.where(gt * bkv < sink, gt, gt2)
+            else:
+                gt = gt2
         return gt
 
     def _phys(ibb, gt, rest):
@@ -762,7 +782,7 @@ def decode_attention(
                           window_left=w_left, softcap=float(softcap),
                           alibi=alibi_slopes is not None,
                           has_first_cols=has_fc, n_tok=n_tok, paged=paged,
-                          int8_mxu=int8_mxu),
+                          int8_mxu=int8_mxu, sink_tokens=sink),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, h_kv, splits, G, d), jnp.float32),

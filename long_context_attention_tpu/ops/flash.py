@@ -107,6 +107,11 @@ class FlashConfig:
     # to the scores, evaluated against *global* positions so ring/USP shards
     # see the same bias as a single device.
     alibi: bool = False
+    # StreamingLLM attention sinks (arXiv:2309.17453): tokens at global
+    # positions < sink stay visible through the left sliding-window mask
+    # (no effect without a left window). Evaluated against global positions,
+    # so ring/USP shards agree with a single device; 0 = off.
+    sink: int = 0
 
     @property
     def use_tri_grid(self) -> bool:
@@ -159,7 +164,10 @@ def _tile_mask(cfg: FlashConfig, q_first, kv_first, bq, bkv):
     if cfg.mask_right >= 0:
         mask = mask | (cols > rows + cfg.mask_right)
     if cfg.mask_left >= 0:
-        mask = mask | (cols < rows - cfg.mask_left)
+        left_drop = cols < rows - cfg.mask_left
+        if cfg.sink > 0:
+            left_drop = left_drop & (cols >= cfg.sink)  # sinks stay visible
+        mask = mask | left_drop
     return mask
 
 
@@ -169,7 +177,10 @@ def _tile_skip(cfg: FlashConfig, q_first, q_last, kv_first, kv_last):
     if cfg.mask_right >= 0:
         skip = skip | (kv_first > q_last + cfg.mask_right)
     if cfg.mask_left >= 0:
-        skip = skip | (kv_last < q_first - cfg.mask_left)
+        left_skip = kv_last < q_first - cfg.mask_left
+        if cfg.sink > 0:
+            left_skip = left_skip & (kv_first >= cfg.sink)
+        skip = skip | left_skip
     return skip
 
 
@@ -181,7 +192,10 @@ def _tile_interior(cfg: FlashConfig, q_first, q_last, kv_first, kv_last):
     if cfg.mask_right >= 0:
         ok = ok & (kv_last <= q_first + cfg.mask_right)
     if cfg.mask_left >= 0:
-        ok = ok & (kv_first >= q_last - cfg.mask_left)
+        left_ok = kv_first >= q_last - cfg.mask_left
+        if cfg.sink > 0:
+            left_ok = left_ok | (kv_last < cfg.sink)  # wholly-sink tiles
+        ok = ok & left_ok
     return ok
 
 
@@ -433,7 +447,11 @@ def _flash_fwd_static_bhsd(q, k, v, cfg: FlashConfig):
                 ikc = jnp.minimum(ikc, jnp.clip(hi, 0, nk - 1))
             if cfg.mask_left >= 0:
                 lo = (iq * bq - cfg.mask_left) // bkv
-                ikc = jnp.maximum(ikc, jnp.clip(lo, 0, nk - 1))
+                ikc2 = jnp.maximum(ikc, jnp.clip(lo, 0, nk - 1))
+                if cfg.sink > 0:
+                    ikc = jnp.where(ik * bkv < cfg.sink, ikc, ikc2)
+                else:
+                    ikc = ikc2
             return (ib, ih // g, ikc, 0)
     else:
         def kv_im(ib, ih, iq, ik):
@@ -667,7 +685,13 @@ def _kv_clamp_index_map(cfg: FlashConfig, g: int, chunk_q: int, nk: int):
             ikc = jnp.minimum(ikc, jnp.clip(hi, 0, nk - 1))
         if cfg.mask_left >= 0:
             lo = (q_first - cfg.mask_left - kv0) // bkv
-            ikc = jnp.maximum(ikc, jnp.clip(lo, 0, nk - 1))
+            ikc2 = jnp.maximum(ikc, jnp.clip(lo, 0, nk - 1))
+            if cfg.sink > 0:
+                # sink tiles stay visible through the left window: keep
+                # their true index so their DMA is never elided away
+                ikc = jnp.where(kv0 + ik * bkv < cfg.sink, ikc, ikc2)
+            else:
+                ikc = ikc2
         return (ib, ih // g, ikc, 0)
 
     return index_map
@@ -1016,6 +1040,10 @@ def _q_band_static(cfg: FlashConfig, ik, bq, bkv, nq):
         lo = jnp.clip((ik * bkv - cfg.mask_right) // bq, 0, nq - 1)
     if cfg.mask_left >= 0:
         hi = jnp.clip((ik * bkv + bkv - 1 + cfg.mask_left) // bq, 0, nq - 1)
+        if cfg.sink > 0:
+            # sink kv tiles interact with every causally-later q tile
+            hi = jnp.where(jnp.int32(ik * bkv) < cfg.sink,
+                           jnp.int32(nq - 1), hi)
     return lo, hi
 
 
@@ -1243,7 +1271,12 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
                 ikc = jnp.minimum(ikc, jnp.clip(hi, 0, nk - 1))
             if cfg.mask_left >= 0:
                 lo = (iq * bq - cfg.mask_left) // bkv
-                ikc = jnp.maximum(ikc, jnp.clip(lo, 0, nk - 1))
+                ikc2 = jnp.maximum(ikc, jnp.clip(lo, 0, nk - 1))
+                if cfg.sink > 0:
+                    # sink tiles stay visible through the left window
+                    ikc = jnp.where(ik * bkv < cfg.sink, ikc, ikc2)
+                else:
+                    ikc = ikc2
             return (ib, ih // g, ikc, 0)
     elif cfg.needs_mask and cfg.n_kv_chunks == 1 and cfg.kv_stride == 1:
         kv_index_map = _kv_clamp_index_map(bwd_cfg, g, chunk_q, nk)
@@ -1330,7 +1363,12 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
                 iqc = jnp.maximum(iqc, jnp.clip(lo, 0, nq - 1))
             if cfg.mask_left >= 0:
                 hi = (kv_last + cfg.mask_left - q0) // bq
-                iqc = jnp.minimum(iqc, jnp.clip(hi, 0, nq - 1))
+                iqc2 = jnp.minimum(iqc, jnp.clip(hi, 0, nq - 1))
+                if cfg.sink > 0:
+                    # sink kv tiles are visible to every later q row
+                    iqc = jnp.where(kv_first < cfg.sink, iqc, iqc2)
+                else:
+                    iqc = iqc2
             return iqc
     else:
 
@@ -1345,7 +1383,11 @@ def _flash_bwd_bhsd(q, k, v, q_off, kv_off, out, lse, dout, cfg: FlashConfig,
                 iqc = jnp.maximum(iqc, jnp.clip(lo, 0, nq - 1))
             if cfg.mask_left >= 0:
                 hi = (ik * bkv + bkv - 1 + cfg.mask_left) // bq
-                iqc = jnp.minimum(iqc, jnp.clip(hi, 0, nq - 1))
+                iqc2 = jnp.minimum(iqc, jnp.clip(hi, 0, nq - 1))
+                if cfg.sink > 0:
+                    iqc = jnp.where(ik * bkv < cfg.sink, iqc, iqc2)
+                else:
+                    iqc = iqc2
             return iqc
 
         def _q_im(ib, ihk, ik, ig, iq, *_):
@@ -1502,11 +1544,13 @@ def _fit_block(block: int, limit: int) -> int:
 def _resolve_cfg(
     h, h_kv, s_q, s_kv, d, *, causal, softmax_scale, window_size, softcap,
     n_q_chunks, n_kv_chunks, q_stride, kv_stride, block_sizes, interpret,
-    segmented=False, dropout_p=0.0, alibi=False,
+    segmented=False, dropout_p=0.0, alibi=False, sink_tokens=0,
 ) -> FlashConfig:
     assert h % h_kv == 0, f"GQA requires h ({h}) % h_kv ({h_kv}) == 0"
     assert s_q % n_q_chunks == 0 and s_kv % n_kv_chunks == 0
     assert 0.0 <= dropout_p < 1.0, dropout_p
+    if window_size[0] < 0:
+        sink_tokens = 0  # sinks only shape the left sliding-window mask
     bs = block_sizes or BlockSizes()
     chunk_q = s_q // n_q_chunks
     chunk_kv = s_kv // n_kv_chunks
@@ -1537,6 +1581,7 @@ def _resolve_cfg(
         segmented=bool(segmented),
         dropout_p=float(dropout_p),
         alibi=bool(alibi),
+        sink=int(sink_tokens),
     )
 
 
@@ -1568,12 +1613,17 @@ def flash_attention(
     dropout_key=None,
     dropout_seed=None,
     alibi_slopes=None,
+    sink_tokens: int = 0,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     return_lse: bool = False,
     tri_grid: Optional[bool] = None,
 ):
     """Flash attention with flash-attn semantics and global-position masking.
+
+    ``sink_tokens``: StreamingLLM attention sinks (arXiv:2309.17453) — tokens
+    at global positions < sink_tokens stay visible through the left sliding
+    window (no effect without one). Composes with every other feature here.
 
     Args:
       q: (b, s_q, h, d); k, v: (b, s_kv, h_kv, d), h % h_kv == 0 (GQA).
@@ -1613,6 +1663,7 @@ def flash_attention(
         q_stride=q_stride, kv_stride=kv_stride, block_sizes=block_sizes,
         interpret=interpret, segmented=segmented,
         dropout_p=dropout_p, alibi=alibi_slopes is not None,
+        sink_tokens=sink_tokens,
     )
     if q_offsets is None and kv_offsets is None:
         # tri_grid defaults ON for plain causal self-attention (the table-
@@ -1696,6 +1747,7 @@ def flash_attention_fwd(q, k, v, **kwargs):
         interpret=kwargs.pop("interpret", None),
         segmented=q_segment_ids is not None,
         dropout_p=dropout_p, alibi=alibi_slopes is not None,
+        sink_tokens=kwargs.pop("sink_tokens", 0),
     )
     cfg = dataclasses.replace(cfg, kv_quantized=True)
     assert not kwargs, f"unexpected kwargs {sorted(kwargs)}"
@@ -1717,7 +1769,7 @@ def flash_attention_fwd_cache(
     q, k_cache, v_cache, *,
     k_scale=None, v_scale=None, softmax_scale=None,
     window_size=(-1, -1), softcap=0.0, q_start=0,
-    kv_lengths=None,
+    kv_lengths=None, sink_tokens=0,
     block_sizes=None, interpret=None,
 ):
     """fwd-only attention of q (b, s_q, h, d) against a **BHSD cache slice**
@@ -1739,7 +1791,7 @@ def flash_attention_fwd_cache(
         causal=False, softmax_scale=softmax_scale, window_size=window_size,
         softcap=softcap, n_q_chunks=1, n_kv_chunks=1, q_stride=1, kv_stride=1,
         block_sizes=block_sizes, interpret=interpret,
-        segmented=kv_lengths is not None,
+        segmented=kv_lengths is not None, sink_tokens=sink_tokens,
     )
     if k_scale is not None:
         cfg = dataclasses.replace(cfg, kv_quantized=True)
@@ -1764,7 +1816,7 @@ def flash_attention_bwd(
     q_offsets=None, kv_offsets=None, q_stride=1, kv_stride=1,
     q_segment_ids=None, kv_segment_ids=None,
     dropout_p=0.0, dropout_key=None, dropout_seed=None, alibi_slopes=None,
-    block_sizes=None, interpret=None,
+    sink_tokens=0, block_sizes=None, interpret=None,
 ):
     """bwd-only entry (the ring backward's per-step call). BSHD in/out.
 
@@ -1789,6 +1841,7 @@ def flash_attention_bwd(
         q_stride=q_stride, kv_stride=kv_stride, block_sizes=block_sizes,
         interpret=interpret, segmented=segmented,
         dropout_p=dropout_p, alibi=alibi_slopes is not None,
+        sink_tokens=sink_tokens,
     )
     q_off = _resolve_offsets(q_offsets, n_q_chunks)
     kv_off = _resolve_offsets(kv_offsets, n_kv_chunks)

@@ -32,8 +32,12 @@ def _build_mask(
     kv_pos: jnp.ndarray,  # (s_kv,) int32 global positions
     causal: bool,
     window_size: Tuple[int, int],
+    sink_tokens: int = 0,
 ) -> Optional[jnp.ndarray]:
-    """Boolean mask, True where the score must be dropped (-inf)."""
+    """Boolean mask, True where the score must be dropped (-inf).
+
+    ``sink_tokens``: StreamingLLM attention sinks — global kv positions
+    < sink_tokens stay visible through the left window."""
     left, right = window_size
     if causal:
         # flash-attn semantics: causal overrides the right window to 0.
@@ -46,7 +50,10 @@ def _build_mask(
     if right >= 0:
         mask = mask | (cols > rows + right)
     if left >= 0:
-        mask = mask | (cols < rows - left)
+        left_drop = cols < rows - left
+        if sink_tokens > 0:
+            left_drop = left_drop & (cols >= sink_tokens)
+        mask = mask | left_drop
     return mask
 
 
@@ -58,6 +65,7 @@ def xla_attention(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
     window_size: Tuple[int, int] = (-1, -1),
+    sink_tokens: int = 0,
     softcap: float = 0.0,
     q_positions: Optional[jnp.ndarray] = None,
     kv_positions: Optional[jnp.ndarray] = None,
@@ -107,7 +115,8 @@ def xla_attention(
         q_positions = jnp.arange(s_q, dtype=jnp.int32) + (s_kv - s_q)
     if kv_positions is None:
         kv_positions = jnp.arange(s_kv, dtype=jnp.int32)
-    mask = _build_mask(q_positions, kv_positions, causal, window_size)
+    mask = _build_mask(q_positions, kv_positions, causal, window_size,
+                       sink_tokens)
     if mask is not None:
         scores = jnp.where(mask[None, None], -jnp.inf, scores)
     if q_segment_ids is not None:
@@ -140,6 +149,7 @@ def xla_attention_bwd(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
     window_size: Tuple[int, int] = (-1, -1),
+    sink_tokens: int = 0,
     softcap: float = 0.0,
     q_positions: Optional[jnp.ndarray] = None,
     kv_positions: Optional[jnp.ndarray] = None,
@@ -179,7 +189,8 @@ def xla_attention_bwd(
         q_positions = jnp.arange(s_q, dtype=jnp.int32) + (s_kv - s_q)
     if kv_positions is None:
         kv_positions = jnp.arange(s_kv, dtype=jnp.int32)
-    mask = _build_mask(q_positions, kv_positions, causal, window_size)
+    mask = _build_mask(q_positions, kv_positions, causal, window_size,
+                       sink_tokens)
 
     lse_b = lse.astype(jnp.float32)[..., None]  # (b, h, s_q, 1)
     dead = jnp.isneginf(lse_b)

@@ -55,6 +55,7 @@ def _xla_kw(q_len, kv_len, kw):
         softmax_scale=kw.get("softmax_scale"),
         window_size=kw.get("window_size", (-1, -1)),
         softcap=kw.get("softcap", 0.0),
+        sink_tokens=kw.get("sink_tokens", 0),
     )
     q_off, kv_off = kw.get("q_offsets"), kw.get("kv_offsets")
     if q_off is not None:

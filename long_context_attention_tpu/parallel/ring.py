@@ -80,6 +80,10 @@ class RingConfig:
     # function of (seed, global positions), so every ring step draws
     # independent bits and the backward replays the forward exactly.
     dropout_p: float = 0.0
+    # StreamingLLM attention sinks: global positions < sink stay visible
+    # through the left sliding window. Positions are global descriptors, so
+    # every ring schedule agrees with a single device.
+    sink: int = 0
 
     def __post_init__(self):
         if self.layout not in LAYOUTS:
@@ -109,6 +113,8 @@ class RingConfig:
         if self.dropout_p > 0.0:
             kw["dropout_p"] = self.dropout_p
             kw["dropout_seed"] = seed
+        if self.sink > 0:
+            kw["sink_tokens"] = self.sink
         if self.impl == "pallas":
             kw["block_sizes"] = self.block_sizes
             kw["interpret"] = self.interpret
@@ -375,6 +381,7 @@ def ring_attention_local(
     dropout_p: float = 0.0,
     dropout_seed=None,
     alibi_slopes=None,
+    sink_tokens: int = 0,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     return_lse: bool = False,
@@ -399,6 +406,7 @@ def ring_attention_local(
         softmax_scale=softmax_scale, window=(int(window_size[0]), int(window_size[1])),
         softcap=softcap, impl=impl, block_sizes=block_sizes, interpret=interpret,
         kv_quant=kv_quant, bidirectional=bidirectional, dropout_p=float(dropout_p),
+        sink=int(sink_tokens) if int(window_size[0]) >= 0 else 0,
     )
     if dropout_p > 0.0 and dropout_seed is None:
         raise ValueError("dropout_p > 0 requires dropout_seed ((2,) int32); "

@@ -59,6 +59,7 @@ def usp_attention_local(
     dropout_p: float = 0.0,
     dropout_key=None,
     alibi_slopes=None,
+    sink_tokens: int = 0,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
@@ -103,6 +104,7 @@ def usp_attention_local(
         impl=impl, segment_ids=segment_ids, kv_quant=kv_quant,
         bidirectional=bidirectional,
         dropout_p=dropout_p, dropout_seed=seed, alibi_slopes=sl_local,
+        sink_tokens=sink_tokens,
         block_sizes=block_sizes, interpret=interpret,
     )
     return gather_heads(out, ulysses_axis)
@@ -252,18 +254,20 @@ class LongContextAttention(_LayerBase):
                  segment_ids: Optional[jnp.ndarray] = None,
                  dropout_p: float = 0.0,
                  dropout_key=None,
-                 alibi_slopes=None) -> jnp.ndarray:
+                 alibi_slopes=None,
+                 sink_tokens: int = 0) -> jnp.ndarray:
         """``dropout_p``/``dropout_key`` and ``alibi_slopes`` ((h,) global
         slopes) match the reference layer's training knobs
         (`hybrid/attn_layer.py:62-67`); both are replicated operands — the
-        local shards slice/seed by rank inside ``usp_attention_local``."""
+        local shards slice/seed by rank inside ``usp_attention_local``.
+        ``sink_tokens``: StreamingLLM sinks through the left window."""
         fn = functools.partial(
             usp_attention_local,
             ulysses_axis=self.axes.ulysses, ring_axis=self.axes.ring,
             layout=self.layout, causal=causal, softmax_scale=softmax_scale,
             window_size=window_size, softcap=softcap, impl=self.impl,
             kv_quant=self.kv_quant, bidirectional=self.bidirectional,
-            dropout_p=dropout_p,
+            dropout_p=dropout_p, sink_tokens=sink_tokens,
             block_sizes=self.block_sizes, interpret=self.interpret,
         )
         # optional operands ride as extra shard_map inputs with their specs

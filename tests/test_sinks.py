@@ -1,0 +1,145 @@
+"""StreamingLLM attention sinks (sink_tokens) through every layer.
+
+Tokens at absolute positions < sink_tokens stay visible through the left
+sliding window (arXiv:2309.17453). Gated against the position-aware XLA
+oracle: the flash kernel (fwd + bwd, tile-straddling sink boundaries), the
+ring schedules (global positions), and the serving decode kernel — a
+windowed+sink model's decode logits must equal the cache-free training
+forward teacher-forced, which proves prefill/chunked-prefill/decode all
+apply the same mask.
+"""
+
+import dataclasses as dc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from long_context_attention_tpu.models.llama import (
+    ModelConfig,
+    decode_step,
+    init_params,
+    make_forward,
+)
+from long_context_attention_tpu.ops.flash import flash_attention
+from long_context_attention_tpu.ops.reference import xla_attention
+from long_context_attention_tpu.parallel import (
+    LongContextAttention,
+    make_usp_mesh,
+    permute_for_layout,
+    unpermute_from_layout,
+)
+from long_context_attention_tpu.serving import Engine
+from long_context_attention_tpu.utils.config import BlockSizes
+
+BS = BlockSizes(block_q=64, block_kv=64)
+
+
+def make_qkv(rng, b=2, s=256, h=4, hkv=2, d=64):
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.float32)
+    return q, k, v
+
+
+# sink=37 straddles a 64-wide tile; sink=128 is tile-aligned
+@pytest.mark.parametrize("sink", [37, 64, 128])
+def test_flash_fwd_matches_oracle(rng, sink):
+    q, k, v = make_qkv(rng)
+    out, lse = flash_attention(q, k, v, causal=True, window_size=(80, -1),
+                               sink_tokens=sink, block_sizes=BS,
+                               return_lse=True)
+    ref_out, ref_lse = xla_attention(q, k, v, causal=True,
+                                     window_size=(80, -1), sink_tokens=sink)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                               atol=2e-5, rtol=0)
+    # and the sinks must actually matter: without them the result differs
+    plain = flash_attention(q, k, v, causal=True, window_size=(80, -1),
+                            block_sizes=BS)
+    assert float(jnp.max(jnp.abs(out - plain))) > 1e-2
+
+
+def test_flash_grads_match_oracle(rng):
+    q, k, v = make_qkv(rng, b=1)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(
+            q, k, v, causal=True, window_size=(80, -1), sink_tokens=37,
+            block_sizes=BS) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(
+            q, k, v, causal=True, window_size=(80, -1), sink_tokens=37)[0] ** 2)
+
+    gs = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=0)
+
+
+def test_sink_ignored_without_window(rng):
+    q, k, v = make_qkv(rng, s=128)
+    out = flash_attention(q, k, v, causal=True, sink_tokens=64,
+                          block_sizes=BS)
+    plain = flash_attention(q, k, v, causal=True, block_sizes=BS)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(plain))
+
+
+@pytest.mark.parametrize("layout", ["basic", "zigzag", "stripe"])
+def test_ring_layouts_with_sinks(rng, layout):
+    """Sinks are defined on GLOBAL positions: every ring schedule must agree
+    with the single-device oracle."""
+    mesh = make_usp_mesh(dp=1, ulysses=2, ring=4)
+    layer = LongContextAttention(mesh=mesh, layout=layout, impl="pallas",
+                                 block_sizes=BlockSizes(32, 32))
+    q, k, v = make_qkv(rng, b=2, s=256, h=8, hkv=4)
+    qp, kp, vp = (permute_for_layout(x, layout, 4) for x in (q, k, v))
+    out = layer(qp, kp, vp, causal=True, window_size=(48, -1), sink_tokens=24)
+    out = unpermute_from_layout(out, layout, 4)
+    ref, _ = xla_attention(q, k, v, causal=True, window_size=(48, -1),
+                           sink_tokens=24)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-5, rtol=0)
+
+
+def test_windowed_sink_model_serves():
+    """Decode logits of a window+sink model equal the cache-free training
+    forward teacher-forced (prefill, chunked prefill and decode kernels all
+    honor the sinks)."""
+    cfg = ModelConfig(vocab=96, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                      head_dim=32, ffn_hidden=128, layout="basic",
+                      window_left=24, sink_tokens=8)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(4), (2, 48), 0,
+                                cfg.vocab, jnp.int32)
+    eng = Engine(cfg=cfg, s_max=64, cache_dtype="bfloat16")
+    logits, cache = eng.prefill(params, prompt)
+    fwd = make_forward(cfg, make_usp_mesh(1, 1, 1))
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(fwd(params, prompt)[:, -1]),
+        atol=1e-3, rtol=0)
+    # the sinks must change the result: a sink-free model's prefill differs
+    cfg0 = dc.replace(cfg, sink_tokens=0)
+    l0, _ = Engine(cfg=cfg0, s_max=64, cache_dtype="bfloat16").prefill(
+        params, prompt)
+    assert float(jnp.max(jnp.abs(logits - l0))) > 1e-3
+
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    seq = prompt
+    for _ in range(4):
+        dl, cache = decode_step(params, cache, tok, cfg)
+        seq = jnp.concatenate([seq, tok[:, None]], axis=1)
+        fl = fwd(params, seq)[:, -1]
+        np.testing.assert_allclose(np.asarray(dl), np.asarray(fl),
+                                   atol=0.0, rtol=0)
+        tok = jnp.argmax(dl, -1).astype(jnp.int32)
+
+    # chunked prefill agrees under window+sink (chunks cross the sink line)
+    l2, _ = eng.prefill_chunked(params, prompt, chunk_size=16)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(logits),
+                               atol=2e-2, rtol=0)
