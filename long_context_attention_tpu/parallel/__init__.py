@@ -13,6 +13,7 @@ from long_context_attention_tpu.parallel.mesh import (
 from long_context_attention_tpu.parallel.layouts import (
     LAYOUTS,
     extract_local,
+    segment_ids_from_cu_seqlens,
     layout_permutation,
     permute_for_layout,
     position_descriptor,
@@ -56,6 +57,7 @@ __all__ = [
     "seq_sharding",
     "LAYOUTS",
     "extract_local",
+    "segment_ids_from_cu_seqlens",
     "layout_permutation",
     "permute_for_layout",
     "position_descriptor",

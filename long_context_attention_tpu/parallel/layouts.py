@@ -43,6 +43,7 @@ __all__ = [
     "position_descriptor",
     "bidir_position_descriptor",
     "positions_from_descriptor",
+    "segment_ids_from_cu_seqlens",
 ]
 
 LAYOUTS = ("basic", "zigzag", "stripe")
@@ -161,3 +162,25 @@ def positions_from_descriptor(offsets: jnp.ndarray, stride: int,
     chunk = local_len // n_chunks
     within = (jnp.arange(local_len, dtype=jnp.int32) % chunk) * stride
     return jnp.repeat(offsets.astype(jnp.int32), chunk) + within
+
+
+def segment_ids_from_cu_seqlens(cu_seqlens, seq_len: int) -> jnp.ndarray:
+    """Translate the reference's varlen interface to segment ids.
+
+    The reference's varlen rings take flash-attn ``cu_seqlens`` — cumulative
+    sequence boundaries over a packed (batch-of-one) token stream
+    (`ring/ring_flash_attn_varlen.py:28`). The TPU-idiomatic form here is a
+    per-token int32 segment id (attention only within equal ids), which —
+    unlike boundary offsets — shards and ring-rotates like any other token
+    array. Sequence i (``cu_seqlens[i] <= t < cu_seqlens[i+1]``) gets id
+    i + 1; tokens at/after ``cu_seqlens[-1]`` are padding and share id 0
+    (padding rows attend only padding; their outputs are ignored).
+
+    Returns (1, seq_len) int32, ready for ``flash_attention(q_segment_ids=...)``
+    or ``LongContextAttention(segment_ids=...)`` after layout permutation.
+    """
+    cu = jnp.asarray(cu_seqlens, jnp.int32)
+    t = jnp.arange(seq_len, dtype=jnp.int32)
+    ids = jnp.searchsorted(cu, t, side="right").astype(jnp.int32)
+    ids = jnp.where((t >= cu[-1]) | (ids == 0), 0, ids)
+    return ids[None]

@@ -138,3 +138,36 @@ def test_usp_varlen_grads(rng):
         np.testing.assert_allclose(np.asarray(gi, np.float32),
                                    np.asarray(ri, np.float32),
                                    err_msg=name, **TOL)
+
+
+def test_segment_ids_from_cu_seqlens(rng):
+    """The cu_seqlens adapter reproduces explicit segment ids exactly — the
+    API bridge for users coming from the reference's varlen rings
+    (`ring/ring_flash_attn_varlen.py:28`)."""
+    import numpy as np
+    from long_context_attention_tpu.parallel import segment_ids_from_cu_seqlens
+
+    ids = segment_ids_from_cu_seqlens([0, 5, 5, 12, 16], 20)
+    expect = np.array([[1]*5 + [3]*7 + [4]*4 + [0]*4], np.int32)
+    np.testing.assert_array_equal(np.asarray(ids), expect)
+
+    # end-to-end: packed varlen attention via cu_seqlens == via explicit ids
+    import jax.numpy as jnp
+    from long_context_attention_tpu.ops.flash import flash_attention
+    from long_context_attention_tpu.utils.config import BlockSizes
+
+    s = 128
+    cu = [0, 37, 90, 128]
+    seg = segment_ids_from_cu_seqlens(cu, s)
+    q = jnp.asarray(rng.standard_normal((1, s, 2, 32)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, s, 2, 32)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, s, 2, 32)), jnp.float32)
+    bs = BlockSizes(32, 32)
+    out = flash_attention(q, k, v, causal=True, q_segment_ids=seg,
+                          kv_segment_ids=seg, block_sizes=bs)
+    explicit = jnp.asarray(
+        np.array([[1]*37 + [2]*53 + [3]*38]), jnp.int32)
+    ref = flash_attention(q, k, v, causal=True, q_segment_ids=explicit,
+                          kv_segment_ids=explicit, block_sizes=bs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=0)
