@@ -289,7 +289,8 @@ def forward_local(params: Params, tokens: jnp.ndarray, cfg: ModelConfig, *,
                   return_kv: bool = False,
                   tp_axis: Optional[str] = None,
                   ep_axis: Optional[str] = None,
-                  last_index=None):
+                  last_index=None,
+                  layer_gather=None):
     """Device-local forward: tokens (b, s_local) int32 -> logits fp32
     (b, s_local, vocab). Call inside shard_map over the USP mesh.
 
@@ -300,13 +301,19 @@ def forward_local(params: Params, tokens: jnp.ndarray, cfg: ModelConfig, *,
     ``last_index``: optional LOCAL position (int or traced scalar): project
     only that position through lm_head — logits (b, 1, vocab). Serving
     prefill reads a single next-token row; the full (s, vocab) fp32 tensor
-    (and its whole-prompt lm_head matmul) is bucket x vocab waste there."""
+    (and its whole-prompt lm_head matmul) is bucket x vocab waste there.
+    ``layer_gather``: optional hook applied to each layer's param slice
+    inside the scan body — the ZeRO-3 per-layer all-gather
+    (parallel/zero.py make_zero3_train_step); its autograd transpose is the
+    gradient reduce-scatter, and under remat the backward re-gathers."""
     b, s = tokens.shape
     positions = local_positions(cfg, s, ulysses_axis=ulysses_axis,
                                 ring_axis=ring_axis)
     x = params["embed"][tokens]
 
     def body(x, lp):
+        if layer_gather is not None:
+            lp = layer_gather(lp)
         x, kv = _layer(cfg, x, lp, positions, ulysses_axis=ulysses_axis,
                        ring_axis=ring_axis, interpret=interpret,
                        tp_axis=tp_axis, ep_axis=ep_axis)
@@ -826,7 +833,8 @@ def loss_local(params: Params, tokens, labels, mask, cfg: ModelConfig, *,
                ulysses_axis: str, ring_axis: str, dp_axis: Optional[str] = None,
                interpret: Optional[bool] = None,
                tp_axis: Optional[str] = None,
-               ep_axis: Optional[str] = None) -> jnp.ndarray:
+               ep_axis: Optional[str] = None,
+               layer_gather=None) -> jnp.ndarray:
     """This shard's *contribution* to the global-mean next-token cross-entropy
     (psum over (dp, ring, ulysses) of the returned scalar = the global loss).
 
@@ -837,7 +845,8 @@ def loss_local(params: Params, tokens, labels, mask, cfg: ModelConfig, *,
     """
     logits = forward_local(params, tokens, cfg, ulysses_axis=ulysses_axis,
                            ring_axis=ring_axis, interpret=interpret,
-                           tp_axis=tp_axis, ep_axis=ep_axis)
+                           tp_axis=tp_axis, ep_axis=ep_axis,
+                           layer_gather=layer_gather)
     logp = jax.nn.log_softmax(logits, axis=-1)
     ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     maskf = mask.astype(jnp.float32)

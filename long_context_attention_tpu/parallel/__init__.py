@@ -34,7 +34,10 @@ from long_context_attention_tpu.parallel.moe import (
 from long_context_attention_tpu.parallel.pipeline import pipeline_apply
 from long_context_attention_tpu.parallel.zero import (
     init_zero_opt_state,
+    make_zero3_train_step,
     make_zero_train_step,
+    shard_params_zero3,
+    zero3_param_specs,
     zero_param_specs,
 )
 from long_context_attention_tpu.parallel.ring import RingConfig, ring_attention_local
@@ -74,7 +77,10 @@ __all__ = [
     "moe_param_specs",
     "pipeline_apply",
     "init_zero_opt_state",
+    "make_zero3_train_step",
     "make_zero_train_step",
+    "shard_params_zero3",
+    "zero3_param_specs",
     "zero_param_specs",
     "psum_for_value",
     "tp_region_input",

@@ -42,6 +42,9 @@ __all__ = [
     "zero_param_specs",
     "init_zero_opt_state",
     "make_zero_train_step",
+    "zero3_param_specs",
+    "shard_params_zero3",
+    "make_zero3_train_step",
 ]
 
 
@@ -190,6 +193,151 @@ def make_zero_train_step(cfg, mesh: Mesh, optimizer,
         # ZeRO param all-gather, inserted by GSPMD at the p + u above
         params = lax.with_sharding_constraint(
             params, jax.tree.map(lambda s: NamedSharding(mesh, s), base_tree))
+        return params, opt_state, loss
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-3 / FSDP: parameters sharded at rest, gathered one layer at a time
+# ---------------------------------------------------------------------------
+
+
+def _zero3_dim(shape, dp: int, skip_dim0: bool) -> Optional[int]:
+    """Largest shardable dim; ``skip_dim0`` keeps the stacked-layer axis
+    whole (the scan must slice layers locally)."""
+    best = None
+    for i, n in enumerate(shape):
+        if skip_dim0 and i == 0:
+            continue
+        if n % dp == 0 and n >= dp:
+            if best is None or n > shape[best]:
+                best = i
+    return best
+
+
+def zero3_param_specs(params_or_shapes, mesh: Mesh,
+                      axes: MeshAxes = MeshAxes()):
+    """Per-leaf dp-sharded specs for ZeRO-3 rest layout: every leaf shards
+    its largest divisible dim over dp (never the stacked-layer axis);
+    non-divisible leaves (norm vectors with dim % dp != 0) stay replicated."""
+    dp = mesh.shape[axes.dp]
+
+    def one_tree(tree, skip_dim0):
+        def one(leaf):
+            dim = _zero3_dim(leaf.shape, dp, skip_dim0)
+            if dim is None:
+                return P()
+            return P(*[axes.dp if i == dim else None
+                       for i in range(len(leaf.shape))])
+        return jax.tree.map(one, tree)
+
+    p = dict(params_or_shapes)
+    layers = p.pop("layers")
+    out = one_tree(p, skip_dim0=False)
+    out["layers"] = one_tree(layers, skip_dim0=True)
+    return out
+
+
+def shard_params_zero3(params, mesh: Mesh, zspecs):
+    """Place params in the ZeRO-3 rest layout (each dp rank holds 1/dp of
+    every shardable leaf)."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, zspecs, is_leaf=lambda x: not isinstance(x, (dict,)))
+
+
+def make_zero3_train_step(cfg, mesh: Mesh, optimizer,
+                          axes: MeshAxes = MeshAxes(), *,
+                          interpret: Optional[bool] = None):
+    """ZeRO-3 (FSDP) train step: parameters AND optimizer state live
+    dp-sharded between steps; the forward's layer scan all-gathers exactly
+    one layer's weights at a time (`models/llama.py forward_local
+    layer_gather`), and the gather's autograd transpose delivers each
+    gradient already reduce-scattered over dp — the ZeRO-3 cycle
+    (gather -> compute -> release, grads scattered) with no hand-written
+    backward. Per-device param+state memory is O(total/dp) + one layer;
+    combine with ``cfg.remat`` for the full FSDP memory profile.
+
+    The reference reaches this through DeepSpeed (``ZERO_STAGE=3`` in its
+    Megatron launcher, `patches/Megatron-DeepSpeed.patch`); here it is
+    native. Contract matches make_train_step, but ``params`` must be in the
+    rest layout (``shard_params_zero3``) and ``opt_state`` from
+    ``init_zero_opt_state(optimizer, params, mesh, zero3_param_specs(...))``.
+    dp x ring x ulysses meshes; tp/pp/MoE stay on their dedicated steps.
+    """
+    from long_context_attention_tpu.models.llama import init_params, loss_local
+
+    assert not cfg.moe, "ZeRO-3: MoE uses make_train_step (ep-sharded grads)"
+    assert axes.pp not in mesh.axis_names and axes.tp not in mesh.axis_names, \
+        "ZeRO-3 composes with dp x ring x ulysses (tp/pp have their own steps)"
+    dp = mesh.shape[axes.dp]
+    shapes = jax.eval_shape(functools.partial(init_params, cfg=cfg),
+                            jax.random.PRNGKey(0))
+    zspecs = zero3_param_specs(shapes, mesh, axes)
+    table = _shape_table(shapes, zspecs)
+    tok_spec = P(axes.dp, axes.seq)
+    sp_axes = (axes.ring, axes.ulysses)
+
+    def _gdim(spec) -> Optional[int]:
+        for i, e in enumerate(tuple(spec)):
+            if e == axes.dp:
+                return i
+        return None
+
+    top_gdims = {k: _gdim(zspecs[k]) for k in zspecs if k != "layers"}
+    # inside the scan the stacked-layer axis is consumed: gather dim - 1
+    layer_gdims = {k: (None if _gdim(s) is None else _gdim(s) - 1)
+                   for k, s in zspecs["layers"].items()}
+
+    def local_grads(p_shard, tokens, labels, mask):
+        def lf(p):
+            full_top = {
+                k: (lax.all_gather(v, axes.dp, axis=top_gdims[k], tiled=True)
+                    if top_gdims[k] is not None else v)
+                for k, v in p.items() if k != "layers"
+            }
+
+            def layer_gather(lp):
+                return {k: (lax.all_gather(t, axes.dp, axis=layer_gdims[k],
+                                           tiled=True)
+                            if layer_gdims[k] is not None else t)
+                        for k, t in lp.items()}
+
+            pf = {**full_top, "layers": p["layers"]}
+            return loss_local(pf, tokens, labels, mask, cfg,
+                              ulysses_axis=axes.ulysses, ring_axis=axes.ring,
+                              dp_axis=axes.dp, interpret=interpret,
+                              layer_gather=layer_gather)
+
+        loss, grads = jax.value_and_grad(lf)(p_shard)
+        loss = lax.psum(loss, (axes.dp,) + sp_axes)
+        # sequence-parallel replication sum for every leaf; the dp reduction
+        # of SHARDED leaves already happened inside autograd (all_gather's
+        # transpose is the reduce-scatter) — only replicated leaves psum dp
+        grads = jax.tree.map(lambda g: lax.psum(g, sp_axes), grads)
+        grads = jax.tree.map(
+            lambda g, s: g if axes.dp in tuple(s) else lax.psum(g, axes.dp),
+            grads, zspecs)
+        return loss, grads
+
+    mapped = jax.shard_map(
+        local_grads, mesh=mesh,
+        in_specs=(zspecs, tok_spec, tok_spec, tok_spec),
+        out_specs=(P(), zspecs),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, tokens, labels, mask):
+        loss, grads = mapped(params, tokens, labels, mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        opt_state = _constrain_state(opt_state, mesh, table)
+        params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype),
+                              params, updates)
+        # params STAY in the rest layout — no ZeRO-1-style final all-gather
+        params = lax.with_sharding_constraint(
+            params, jax.tree.map(lambda s: NamedSharding(mesh, s), zspecs))
         return params, opt_state, loss
 
     return step
