@@ -112,6 +112,15 @@ class FlashConfig:
     # (no effect without a left window). Evaluated against global positions,
     # so ring/USP shards agree with a single device; 0 = off.
     sink: int = 0
+    # fast softmax: compute p = exp2(s - m) in bfloat16 instead of fp32 on
+    # the self-attention fast paths (tri/static kernels). The kernel is
+    # VPU-bound at 1024-tile shapes and bf16 exp2 runs packed: +3.7%
+    # measured at the 128K headline (131.4 -> 136.2 TFLOP/s). Accuracy: p
+    # carries an 8-bit mantissa, ~2 bf16 output ulps of extra rounding
+    # (max |diff| 0.016 vs the fp32-softmax kernel on N(0,1) bf16 inputs) —
+    # well inside the reference's 1e-1 gate but NOT bit-identical, so it is
+    # opt-in (`flash_attention(fast_softmax=True)`), off by default.
+    exp_bf16: bool = False
 
     @property
     def use_tri_grid(self) -> bool:
@@ -255,11 +264,20 @@ def _fwd_kernel_tri(
             s = jnp.where(mask, NEG_INF, s)
         m_prev = m_scr[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp2(s - m_new)
-        if masked:
-            p = jnp.where(mask, 0.0, p)
+        if cfg.exp_bf16:
+            # fast softmax: packed bf16 exp2 (see FlashConfig.exp_bf16); the
+            # row sum accumulates fp32
+            p = jnp.exp2((s - m_new).astype(jnp.bfloat16))
+            if masked:
+                p = jnp.where(mask, jnp.bfloat16(0.0), p)
+            psum_row = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+        else:
+            p = jnp.exp2(s - m_new)
+            if masked:
+                p = jnp.where(mask, 0.0, p)
+            psum_row = jnp.sum(p, axis=1, keepdims=True)
         alpha = jnp.exp2(m_prev - m_new)
-        l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        l_new = l_scr[:, :1] * alpha + psum_row
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
@@ -397,11 +415,18 @@ def _fwd_kernel_static(
             s = jnp.where(mask, NEG_INF, s)
         m_prev = m_scr[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = ex(s - m_new)
-        if masked:
-            p = jnp.where(mask, 0.0, p)
+        if cfg.exp_bf16 and use_exp2:
+            p = ex((s - m_new).astype(jnp.bfloat16))
+            if masked:
+                p = jnp.where(mask, jnp.bfloat16(0.0), p)
+            psum_row = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+        else:
+            p = ex(s - m_new)
+            if masked:
+                p = jnp.where(mask, 0.0, p)
+            psum_row = jnp.sum(p, axis=1, keepdims=True)
         alpha = ex(m_prev - m_new)
-        l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        l_new = l_scr[:, :1] * alpha + psum_row
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
@@ -1618,12 +1643,16 @@ def flash_attention(
     interpret: Optional[bool] = None,
     return_lse: bool = False,
     tri_grid: Optional[bool] = None,
+    fast_softmax: bool = False,
 ):
     """Flash attention with flash-attn semantics and global-position masking.
 
     ``sink_tokens``: StreamingLLM attention sinks (arXiv:2309.17453) — tokens
     at global positions < sink_tokens stay visible through the left sliding
     window (no effect without one). Composes with every other feature here.
+    ``fast_softmax``: bf16 exp2 on the self-attention fast paths — +3.7% at
+    the 128K headline for ~2 bf16 output ulps of rounding (opt-in; see
+    FlashConfig.exp_bf16). The backward keeps the fp32 recompute either way.
 
     Args:
       q: (b, s_q, h, d); k, v: (b, s_kv, h_kv, d), h % h_kv == 0 (GQA).
@@ -1665,6 +1694,8 @@ def flash_attention(
         dropout_p=dropout_p, alibi=alibi_slopes is not None,
         sink_tokens=sink_tokens,
     )
+    if fast_softmax:
+        cfg = dataclasses.replace(cfg, exp_bf16=True)
     if q_offsets is None and kv_offsets is None:
         # tri_grid defaults ON for plain causal self-attention (the table-
         # driven triangular grid has flat compile times); pass False to force

@@ -8,6 +8,7 @@ per-layer KVCache (INT8/FP8) and a jit-compiled greedy decode loop.
 from long_context_attention_tpu.serving.continuous import (
     ContinuousEngine,
     PagedContinuousEngine,
+    PagedSpeculativeContinuousEngine,
     Request,
     RequestResult,
     ShardedContinuousEngine,
@@ -26,7 +27,7 @@ from long_context_attention_tpu.serving.speculative import (
 )
 
 __all__ = ["ContinuousEngine", "Engine", "GenerationResult",
-           "PagedContinuousEngine", "Request",
+           "PagedContinuousEngine", "PagedSpeculativeContinuousEngine", "Request",
            "RequestResult", "ShardedContinuousEngine", "ShardedEngine",
            "ShardedSpeculativeContinuousEngine",
            "SpeculativeContinuousEngine", "SpeculativeEngine",

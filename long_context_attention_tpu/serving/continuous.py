@@ -1418,3 +1418,65 @@ class PagedContinuousEngine(ContinuousEngine):
                     self._maybe_finish(bi, slot, emitted, results, eos_id,
                                        lps)
         return results
+
+
+@dataclasses.dataclass(frozen=True)
+class PagedSpeculativeContinuousEngine(SpeculativeContinuousEngine,
+                                       PagedContinuousEngine):
+    """Speculative continuous batching over a PAGED target cache: the
+    full serving matrix point — iteration-level scheduling (Orca) x paged
+    HBM (vLLM) x draft/verify rounds (speculative decoding) in one engine.
+
+    The TARGET cache is the paged pool (admission reserves pages via the
+    allocator — native C++ core when built — and prefix_cache composes:
+    a shared-prefix admission reuses pages and prefills only the suffix);
+    the DRAFT model keeps a dense cache (a draft is small by construction,
+    so its b x s_max cache is cheap, and draft appends/rollbacks stay on
+    the fastest path). Verify rounds run `decode_multi_step` straight
+    against the pool through the row page tables — the same paged
+    multi-token path prefix-cache suffix admission uses. Rollback is still
+    free: rejecting a suffix just resets the row's logical length; the
+    row's reserved pages absorb the next round's run.
+
+    Greedy emission is token-identical to the dense speculative engine and
+    to the plain target-greedy chain (tests/test_paged.py).
+    """
+
+    def __post_init__(self):
+        PagedContinuousEngine.__post_init__(self)
+        SpeculativeContinuousEngine.__post_init__(self)
+        if self.interleave_admission or self.host_overlap:
+            raise ValueError(
+                "speculative rounds already amortize the host sync; "
+                "interleave_admission/host_overlap do not compose here")
+
+    def _pages_needed(self, req: Request) -> int:
+        # a verify round may append up to gamma + 1 tokens beyond the
+        # accepted prefix before rollback trims the length — reserve for it
+        pad = _bucket(len(req.tokens))
+        span = max(pad, len(req.tokens) + req.max_new + self.gamma + 1)
+        if self.prefix_cache:
+            span = max(span, len(req.tokens)
+                       + min(self.prefill_chunk, pad))
+        return -(-span // self.page_size)
+
+    def serve(self, params, draft_params, requests: Sequence[Request],
+              **kw) -> Dict[int, RequestResult]:
+        # the paged allocator lifecycle around the speculative round loop
+        for r in requests:
+            if self._pages_needed(r) > self.pool_pages - 1:
+                raise ValueError(
+                    f"request {r.id} needs {self._pages_needed(r)} pages; "
+                    f"pool has {self.pool_pages - 1} allocatable")
+        alloc = self._make_alloc()
+        object.__setattr__(self, "_alloc", alloc)
+        object.__setattr__(self, "_stats",
+                           {"prefix_hit_tokens": 0, "admitted_tokens": 0,
+                            "evictions": 0})
+        try:
+            return SpeculativeContinuousEngine.serve(
+                self, params, draft_params, requests, **kw)
+        finally:
+            if self.prefix_cache:
+                self._stats["evictions"] = alloc.evictions
+            object.__setattr__(self, "_alloc", None)

@@ -197,3 +197,36 @@ def test_fused_bwd_matches_two_kernel_tpu(rng, causal, win):
     for x, y, name in zip(a, r, ("dq", "dk", "dv")):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                       err_msg=name)
+
+
+def test_fast_softmax_inside_reference_gate(rng):
+    """fast_softmax=True (bf16 exp2 on the fast paths) stays well inside the
+    reference's bf16 gate on both causal (tri grid) and non-causal (static)
+    paths, and the backward is unchanged (fp32 recompute)."""
+    import jax
+
+    q = jnp.asarray(rng.normal(size=(1, 256, 4, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(1, 256, 2, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(1, 256, 2, 64)), jnp.bfloat16)
+    bs = BlockSizes(64, 64)
+    for causal in (True, False):
+        fast = flash_attention(q, k, v, causal=causal, block_sizes=bs,
+                               fast_softmax=True)
+        base = flash_attention(q, k, v, causal=causal, block_sizes=bs)
+        d = float(jnp.max(jnp.abs(fast.astype(jnp.float32)
+                                  - base.astype(jnp.float32))))
+        assert d < 3e-2, (causal, d)  # ~2 bf16 output ulps
+
+    def loss(q, k, v, fs):
+        return jnp.sum(flash_attention(q, k, v, causal=True, block_sizes=bs,
+                                       fast_softmax=fs).astype(jnp.float32) ** 2)
+
+    gf = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, True)
+    gb = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, False)
+    for a, b in zip(gf, gb):
+        # backward recomputes in fp32 from (out, lse): only the slightly
+        # different forward residuals separate the two
+        d = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                  - b.astype(jnp.float32))))
+        assert d < 2.0, d
+        assert np.isfinite(d)

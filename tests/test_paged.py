@@ -311,3 +311,52 @@ def test_interleaved_rejects_host_overlap():
         PagedContinuousEngine(CFG, s_max=S_MAX, max_batch=2, page_size=PAGE,
                               pool_pages=4, interleave_admission=True,
                               host_overlap=True)
+
+
+def test_paged_speculative_matches_dense_speculative():
+    """The full serving-matrix point: paged pool x speculative rounds x
+    continuous batching emits exactly the dense speculative engine's (and
+    therefore the plain target-greedy) tokens, through queueing, page
+    reuse, rollback past page boundaries, and prefix sharing."""
+    from long_context_attention_tpu.serving import (
+        PagedSpeculativeContinuousEngine,
+        SpeculativeContinuousEngine,
+    )
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    dcfg = dataclasses.replace(CFG, n_layers=1)
+    dparams = init_params(jax.random.PRNGKey(7), dcfg)
+    shared = _prompt(90, 140)  # > page_size: a full shared page
+    reqs = [Request(id=i, tokens=shared + _prompt(50 + i, n), max_new=m)
+            for i, (n, m) in enumerate([(12, 7), (40, 5), (80, 9), (18, 4)])]
+
+    dense = SpeculativeContinuousEngine(
+        CFG, s_max=S_MAX, max_batch=2, draft_cfg=dcfg, gamma=3
+    ).serve(params, dparams, reqs)
+    for prefix in (False, True):
+        paged = PagedSpeculativeContinuousEngine(
+            CFG, s_max=S_MAX, max_batch=2, draft_cfg=dcfg, gamma=3,
+            page_size=PAGE, pool_pages=9, prefix_cache=prefix,
+        )
+        got = paged.serve(params, dparams, reqs)
+        assert sorted(got) == sorted(dense)
+        for i in dense:
+            assert got[i].tokens == dense[i].tokens, (
+                prefix, i, got[i].tokens, dense[i].tokens)
+        if prefix:
+            assert paged.stats["prefix_hit_tokens"] > 0
+
+
+def test_paged_speculative_capacity_guard():
+    from long_context_attention_tpu.serving import (
+        PagedSpeculativeContinuousEngine,
+    )
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    dcfg = dataclasses.replace(CFG, n_layers=1)
+    eng = PagedSpeculativeContinuousEngine(
+        CFG, s_max=256, max_batch=2, draft_cfg=dcfg, gamma=3,
+        page_size=PAGE, pool_pages=3)
+    with pytest.raises(ValueError, match="pages"):
+        eng.serve(params, init_params(jax.random.PRNGKey(7), dcfg),
+                  [Request(id=0, tokens=_prompt(1, 100), max_new=200)])
