@@ -33,11 +33,14 @@ differentiable wrapper (``sage_attention_full``) runs this forward and the
 bf16 flash recomputation backward on the original inputs (straight-through),
 which is the standard training recipe for quantized attention.
 
-Scope (v1): plain self-attention, causal (triangular grid) or non-causal
-(rectangular grid), GQA, softmax_scale. Ring position descriptors, windows,
-softcap, segments, dropout and ALiBi stay on the bf16 kernel — sage targets
-the two places all the long-context FLOPs live: full-sequence prefill and the
-post-a2a local attention of the Ulysses path.
+Scope: plain self-attention (causal triangular grid / non-causal rectangular
+grid), GQA, softmax_scale, AND the full ring position-descriptor contract
+(traced chunk offsets + strides, sliding windows, sinks) via the
+position-aware kernel — so ``RingConfig(impl="sage")`` /
+``LongContextAttention(impl="sage")`` dispatch the int8-MXU forward inside
+every ring schedule, the reference's ring × SAGE_* composition
+(`ring/ring_flash_attn.py:36`, `kernels/__init__.py:177-242`). Softcap,
+segments, dropout and ALiBi stay on the bf16 kernel (they raise).
 """
 
 from __future__ import annotations
@@ -122,13 +125,14 @@ def _qscale_tiles(scale_bhs, block):
 
 
 def _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
-                  m_scr, l_scr, acc_scr, *, scale, masked, pv_int8,
+                  m_scr, l_scr, acc_scr, *, scale, mask, pv_int8,
                   bq, bkv):
     """Shared online-softmax step over one (q-tile, kv-tile) pair.
 
     Scores: s = (q8 . k8^T)_s32 * qs_row * ks_col * scale, in exp2 units.
-    ``masked`` applies the in-tile causal triangle (diagonal tiles only —
-    whole-tile skipping happens at grid level).
+    ``mask`` is an optional (bq, bkv) True-=-drop boolean tile (the causal
+    diagonal triangle, or a global-position mask on the ring path) —
+    whole-tile skipping happens at grid level.
     """
     q8 = q_ref[0, 0, :, :]                      # (bq, d) int8
     k8 = k_ref[0, 0, :, :]                      # (bkv, d) int8
@@ -137,15 +141,12 @@ def _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
     qs = qs_ref[0, 0, :, :]                     # (bq, 1) fp32
     ks = ks_ref[0, 0, :, :]                     # (1, bkv) fp32
     s = s32.astype(jnp.float32) * (qs * scale) * ks
-    if masked:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
-        mask = cols > rows
+    if mask is not None:
         s = jnp.where(mask, NEG_INF, s)
     m_prev = m_scr[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
     p = jnp.exp2(s - m_new)
-    if masked:
+    if mask is not None:
         p = jnp.where(mask, 0.0, p)
     alpha = jnp.exp2(m_prev - m_new)
     l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
@@ -204,12 +205,14 @@ def _sage_kernel_tri(
     @pl.when(ik < iq)
     def _():
         _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
-                      m_scr, l_scr, acc_scr, masked=False, **kw)
+                      m_scr, l_scr, acc_scr, mask=None, **kw)
 
     @pl.when(ik == iq)
     def _():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 1)
         _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
-                      m_scr, l_scr, acc_scr, masked=True, **kw)
+                      m_scr, l_scr, acc_scr, mask=cols > rows, **kw)
 
     @pl.when(ik == iq)  # the diagonal tile is the row's last step
     def _done():
@@ -232,8 +235,68 @@ def _sage_kernel_rect(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
-                  m_scr, l_scr, acc_scr, masked=False,
+                  m_scr, l_scr, acc_scr, mask=None,
                   scale=scale, pv_int8=pv_int8, bq=bq, bkv=bkv)
+
+    @pl.when(ik == nk - 1)
+    def _done():
+        _emit(out_ref, lse_ref, m_scr, l_scr, acc_scr)
+
+
+def _sage_kernel_pos(
+    q_off_ref, kv_off_ref,  # scalar prefetch: global chunk start positions
+    q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, lse_ref,
+    m_scr, l_scr, acc_scr,
+    *, mcfg, scale, pv_int8, chunk_q, chunk_kv,
+):
+    """Position-descriptor sage forward — the ring-schedule path.
+
+    Same global-position machinery as ops/flash.py's ``_fwd_kernel`` (the
+    offsets may be traced ring ranks; masks/skips evaluate against global
+    token positions via the shared ``_tile_skip``/``_tile_interior``/
+    ``_tile_mask`` helpers and a mask-only FlashConfig ``mcfg``), with the
+    int8-MXU score/PV math of ``_sage_compute``. This is what lets
+    ``RingConfig(impl="sage")`` dispatch the quantized kernel inside every
+    ring schedule, matching the reference's SAGE-through-ring dispatch
+    (`ring/ring_flash_attn.py:36`, `kernels/__init__.py:177-242`).
+    """
+    from long_context_attention_tpu.ops.flash import (
+        _positions, _tile_interior, _tile_mask, _tile_skip)
+
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+    bq, bkv = mcfg.block_q, mcfg.block_kv
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q_first, q_last = _positions(q_off_ref, iq * bq, bq, chunk_q, mcfg.q_stride)
+    kv_first, kv_last = _positions(kv_off_ref, ik * bkv, bkv, chunk_kv,
+                                   mcfg.kv_stride)
+    if mcfg.needs_mask:
+        active = jnp.logical_not(_tile_skip(mcfg, q_first, q_last,
+                                            kv_first, kv_last))
+        interior = _tile_interior(mcfg, q_first, q_last, kv_first, kv_last)
+    else:
+        active = jnp.bool_(True)
+        interior = jnp.bool_(True)
+
+    kw = dict(scale=scale, pv_int8=pv_int8, bq=bq, bkv=bkv)
+
+    @pl.when(active & interior)
+    def _():
+        _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
+                      m_scr, l_scr, acc_scr, mask=None, **kw)
+
+    @pl.when(active & jnp.logical_not(interior))
+    def _():
+        _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
+                      m_scr, l_scr, acc_scr,
+                      mask=_tile_mask(mcfg, q_first, kv_first, bq, bkv), **kw)
 
     @pl.when(ik == nk - 1)
     def _done():
@@ -311,6 +374,78 @@ def _sage_fwd_tri_bhsd(q8, qs, k8, ks, v8, vs, *, scale, pv_int8, bq,
     return out, lse.reshape(b, h, s)
 
 
+def _sage_fwd_pos_bhsd(q8, qs, k8, ks, v8, vs, q_off, kv_off, *, mcfg,
+                       scale, pv_int8, out_dtype, interpret):
+    """Position-descriptor driver (ring schedules / cross-attention): the
+    rectangular grid of ops/flash.py's ``_flash_fwd_bhsd`` — scalar-prefetched
+    chunk offsets, whole-tile skipping by global positions, DMA-eliding
+    clamped KV index maps when the kv side is one contiguous chunk — with the
+    int8 operand set (values + per-token scales)."""
+    from long_context_attention_tpu.ops.flash import _kv_clamp_index_map
+
+    b, h, s_q, d = q8.shape
+    _, h_kv, s_kv, _ = k8.shape
+    g = h // h_kv
+    bq, bkv = mcfg.block_q, mcfg.block_kv
+    nq, nk = s_q // bq, s_kv // bkv
+    chunk_q = s_q // mcfg.n_q_chunks
+    chunk_kv = s_kv // mcfg.n_kv_chunks
+
+    if mcfg.needs_mask and mcfg.n_kv_chunks == 1 and mcfg.kv_stride == 1:
+        kv_index_map = _kv_clamp_index_map(mcfg, g, chunk_q, nk)
+    else:
+        kv_index_map = lambda ib, ih, iq, ik, *_: (ib, ih // g, ik, 0)
+
+    def sc_map(ib, ih, iq, ik, *pref):
+        ibb, ihk, ikc, _ = kv_index_map(ib, ih, iq, ik, *pref)
+        return (ibb * h_kv + ihk, ikc, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, 1, bq, 1),
+                         lambda ib, ih, iq, ik, *_: (ib * h + ih, iq, 0, 0)),
+            pl.BlockSpec((1, 1, bkv, d), kv_index_map),
+            pl.BlockSpec((1, 1, 1, bkv), sc_map),
+            pl.BlockSpec((1, 1, bkv, d), kv_index_map),
+            pl.BlockSpec((1, 1, 1, bkv), sc_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik, *_: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, 1, 1, bq),
+                         lambda ib, ih, iq, ik, *_: (ib * h + ih, iq, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(_sage_kernel_pos, mcfg=mcfg, scale=scale * _LOG2E,
+                          pv_int8=pv_int8, chunk_q=chunk_q, chunk_kv=chunk_kv),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s_q, d), out_dtype),
+            jax.ShapeDtypeStruct((b * h, s_q // bq, 1, bq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s_q * s_kv * d,
+            bytes_accessed=q8.size * 1 + k8.size * 2,
+            transcendentals=b * h * s_q * s_kv,
+        ),
+        interpret=interpret,
+    )(q_off, kv_off,
+      q8, _qscale_tiles(qs, bq),
+      k8, _scale_tiles(ks, bkv), v8, _scale_tiles(vs, bkv))
+    return out, lse.reshape(b, h, s_q)
+
+
 def _sage_fwd_rect_bhsd(q8, qs, k8, ks, v8, vs, *, scale, pv_int8, bq, bkv,
                         out_dtype, interpret):
     b, h, s_q, d = q8.shape
@@ -385,6 +520,12 @@ def sage_attention(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
     pv_int8: bool = True,
+    window_size: Tuple[int, int] = (-1, -1),
+    sink_tokens: int = 0,
+    q_offsets=None,
+    kv_offsets=None,
+    q_stride: int = 1,
+    kv_stride: int = 1,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     return_lse: bool = False,
@@ -393,9 +534,18 @@ def sage_attention(
 
     Args:
       q: (b, s_q, h, d) bf16/fp32; k, v: (b, s_kv, h_kv, d), GQA supported.
-      causal: triangular-grid causal self-attention (requires s_q == s_kv).
+      causal: causal masking — plain self-attention takes the triangular
+        live-tile grid; everything else (ring position descriptors,
+        cross-attention, windows) runs the position-aware rectangular grid.
       pv_int8: also run PV on the s8 MXU (SageAttention2-style). False keeps
         PV in bf16 (v1-style) — slightly tighter numerics, ~half the PV rate.
+      q_offsets / kv_offsets / q_stride / kv_stride: the global-position
+        descriptor of parallel/layouts.py (offsets may be traced ring ranks) —
+        the same contract as ops/flash.py, which is what lets every ring
+        schedule dispatch ``impl="sage"`` like the reference dispatches its
+        SAGE_* AttnTypes inside the ring (`ring/ring_flash_attn.py:36`).
+      window_size / sink_tokens: sliding-window ± StreamingLLM sinks,
+        evaluated against global positions (ring/USP-consistent).
       return_lse: also return the (b, h, s_q) fp32 log-sum-exp.
 
     Forward-only (like the reference's Sage adapters); for a differentiable
@@ -407,25 +557,49 @@ def sage_attention(
     bs = block_sizes or BlockSizes()
     interpret = default_interpret() if interpret is None else bool(interpret)
     scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(d)
+    window = (int(window_size[0]), int(window_size[1]))
 
     qb = _to_bhsd(q)
     q8, qs = _quant_per_token(qb)
     k8, ks, v8, vs, k_mean = sage_quantize_kv(_to_bhsd(k), _to_bhsd(v))
 
-    if causal:
-        assert s_q == s_kv, (
-            "sage_attention causal requires self-attention (s_q == s_kv); "
-            "rings/cross-attention stay on the bf16 kernel")
+    trivial = (q_offsets is None and kv_offsets is None
+               and q_stride == 1 and kv_stride == 1)
+    if trivial and causal and s_q == s_kv and window == (-1, -1):
         bq = _fit(min(bs.block_q, bs.block_kv), s_q)
         out, lse = _sage_fwd_tri_bhsd(
             q8, qs, k8, ks, v8, vs, scale=scale, pv_int8=pv_int8, bq=bq,
             out_dtype=q.dtype, interpret=interpret)
-    else:
+    elif trivial and not causal and window == (-1, -1):
         bq = _fit(bs.block_q, s_q)
         bkv = _fit(bs.block_kv, s_kv)
         out, lse = _sage_fwd_rect_bhsd(
             q8, qs, k8, ks, v8, vs, scale=scale, pv_int8=pv_int8,
             bq=bq, bkv=bkv, out_dtype=q.dtype, interpret=interpret)
+    else:
+        # position-descriptor path (ring schedules / cross-attention / window)
+        from long_context_attention_tpu.ops.flash import (
+            FlashConfig, _resolve_offsets)
+
+        if q_offsets is None and kv_offsets is None and s_q != s_kv:
+            # flash-attn semantics: bottom-right alignment on length mismatch
+            q_offsets = jnp.array([s_kv - s_q], jnp.int32)
+        n_q_chunks = 1 if q_offsets is None else len(q_offsets)
+        n_kv_chunks = 1 if kv_offsets is None else len(kv_offsets)
+        bq = _fit(bs.block_q, s_q // n_q_chunks)
+        bkv = _fit(bs.block_kv, s_kv // n_kv_chunks)
+        mcfg = FlashConfig(
+            causal=causal, scale=scale, window=window, softcap=0.0,
+            q_stride=int(q_stride), kv_stride=int(kv_stride),
+            n_q_chunks=n_q_chunks, n_kv_chunks=n_kv_chunks,
+            block_q=bq, block_kv=bkv, block_q_bwd=bq, block_kv_bwd=bkv,
+            interpret=interpret, sink=int(sink_tokens))
+        out, lse = _sage_fwd_pos_bhsd(
+            q8, qs, k8, ks, v8, vs,
+            _resolve_offsets(q_offsets, n_q_chunks),
+            _resolve_offsets(kv_offsets, n_kv_chunks),
+            mcfg=mcfg, scale=scale, pv_int8=pv_int8,
+            out_dtype=q.dtype, interpret=interpret)
     if return_lse:
         # undo the K-centering LSE shift (row-constant, softmax-invariant —
         # out needs no correction, but merge/backward anchoring does)
@@ -451,6 +625,12 @@ def sage_attention_fwd(q, k, v, **kw):
         causal=kw.get("causal", False),
         softmax_scale=kw.get("softmax_scale"),
         pv_int8=kw.get("pv_int8", True),
+        window_size=kw.get("window_size", (-1, -1)),
+        sink_tokens=kw.get("sink_tokens", 0),
+        q_offsets=kw.get("q_offsets"),
+        kv_offsets=kw.get("kv_offsets"),
+        q_stride=kw.get("q_stride", 1),
+        kv_stride=kw.get("kv_stride", 1),
         block_sizes=kw.get("block_sizes"),
         interpret=kw.get("interpret"),
         return_lse=True)
@@ -497,28 +677,20 @@ def sage_attention_full(q, k, v, **kw):
 
 
 def _vet_kwargs(kw):
-    """Raise on kwargs the sage path can't honor (without running it)."""
+    """Raise on kwargs the sage path can't honor (without running it).
+
+    Positions/strides/window/sinks are handled (the ring contract); what
+    remains unsupported raises rather than silently computing the wrong
+    thing (the reference's FA3 adapter silently dropped causal/window,
+    `kernels/attention.py:283-284` — the failure mode to avoid).
+    """
     kw = dict(kw)
-    kw.pop("causal", None), kw.pop("softmax_scale", None)
-    kw.pop("pv_int8", None), kw.pop("block_sizes", None)
-    kw.pop("interpret", None), kw.pop("return_lse", None)
-    for name in ("q_offsets", "kv_offsets"):
-        off = kw.pop(name, None)
-        if off is not None:
-            try:  # traced offsets (ring ranks) can't be checked -> unsupported
-                arr = np.asarray(off).reshape(-1)
-            except Exception:
-                raise NotImplementedError(
-                    f"sage_attention: non-trivial {name} unsupported; "
-                    "use impl='pallas' for ring schedules") from None
-            if arr.size != 1 or int(arr[0]) != 0:
-                raise NotImplementedError(
-                    f"sage_attention: non-trivial {name} unsupported; "
-                    "use impl='pallas' for ring schedules")
-    if kw.pop("q_stride", 1) != 1 or kw.pop("kv_stride", 1) != 1:
-        raise NotImplementedError("sage_attention: stride layouts unsupported")
+    for name in ("causal", "softmax_scale", "pv_int8", "block_sizes",
+                 "interpret", "return_lse", "window_size", "sink_tokens",
+                 "q_offsets", "kv_offsets", "q_stride", "kv_stride"):
+        kw.pop(name, None)
     neutral = {
-        "window_size": (-1, -1), "softcap": 0.0, "dropout_p": 0.0,
+        "softcap": 0.0, "dropout_p": 0.0,
         "q_segment_ids": None, "kv_segment_ids": None, "alibi_slopes": None,
         "dropout_key": None, "dropout_seed": None,
     }

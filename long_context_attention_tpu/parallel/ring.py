@@ -115,7 +115,7 @@ class RingConfig:
             kw["dropout_seed"] = seed
         if self.sink > 0:
             kw["sink_tokens"] = self.sink
-        if self.impl == "pallas":
+        if self.impl in ("pallas", "sage"):
             kw["block_sizes"] = self.block_sizes
             kw["interpret"] = self.interpret
         return kw

@@ -119,12 +119,9 @@ def test_unsupported_kwargs_raise(rng):
     `kernels/attention.py:283-284` — the bug class this guards against)."""
     q, k, v = make_qkv(rng)
     with pytest.raises(NotImplementedError):
-        sage_attention_fwd(q, k, v, causal=True, window_size=(16, 0))
-    with pytest.raises(NotImplementedError):
         sage_attention_fwd(q, k, v, softcap=30.0)
     with pytest.raises(NotImplementedError):
-        sage_attention_fwd(q, k, v, q_offsets=jnp.array([128], jnp.int32),
-                           kv_offsets=jnp.array([0], jnp.int32))
+        sage_attention_fwd(q, k, v, dropout_p=0.1)
     with pytest.raises(NotImplementedError):
         sage_attention_fwd(
             q, k, v, q_segment_ids=jnp.zeros(q.shape[:2], jnp.int32),
@@ -135,6 +132,128 @@ def test_unsupported_kwargs_raise(rng):
     ref_out, _ = xla_attention(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
                                atol=ATOL_OUT, rtol=0)
+
+
+def test_sliding_window_matches_oracle(rng):
+    """The position-aware sage path honors causal + sliding window (+ sinks):
+    the ring contract's masking features (`ring/ring_flash_attn.py:36`
+    dispatches SAGE_* with the same kwargs as FA)."""
+    q, k, v = make_qkv(rng)
+    out, lse = sage_attention(q, k, v, causal=True, window_size=(64, -1),
+                              block_sizes=BS, return_lse=True)
+    ref_out, ref_lse = xla_attention(q, k, v, causal=True,
+                                     window_size=(64, -1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=ATOL_OUT, rtol=0)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                               atol=ATOL_LSE, rtol=0)
+
+
+def test_position_offsets_match_oracle(rng):
+    """Ring-step shape: local q block at a non-zero global offset attending a
+    kv block at offset 0 — the (q_offsets, kv_offsets) contract the ring
+    passes per step, against the oracle's explicit positions."""
+    q, k, v = make_qkv(rng, s=256)
+    qh = q[:, 128:]  # rows at global positions 128..255
+    out, lse = sage_attention(qh, k, v, causal=True,
+                              q_offsets=jnp.array([128], jnp.int32),
+                              kv_offsets=jnp.array([0], jnp.int32),
+                              block_sizes=BS, return_lse=True)
+    ref_out, ref_lse = xla_attention(
+        qh, k, v, causal=True,
+        q_positions=jnp.arange(128, 256, dtype=jnp.int32),
+        kv_positions=jnp.arange(256, dtype=jnp.int32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=ATOL_OUT, rtol=0)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                               atol=ATOL_LSE, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# sage inside the ring (the reference's ring x SAGE_* dispatch,
+# `ring/ring_flash_attn.py:36`, `kernels/__init__.py:177-242`)
+# ---------------------------------------------------------------------------
+
+
+def _run_ring_sage(q, k, v, layout, ring=4, **kw):
+    import functools
+    from jax.sharding import Mesh, PartitionSpec as P
+    from long_context_attention_tpu.parallel.layouts import (
+        permute_for_layout, unpermute_from_layout)
+    from long_context_attention_tpu.parallel.ring import ring_attention_local
+
+    mesh = Mesh(np.array(jax.devices()[:ring]), axis_names=("ring",))
+    qp = permute_for_layout(q, layout, ring)
+    kp = permute_for_layout(k, layout, ring)
+    vp = permute_for_layout(v, layout, ring)
+    fn = functools.partial(ring_attention_local, axis_name="ring",
+                           layout=layout, impl="sage",
+                           block_sizes=BS, **kw)
+    spec = P(None, "ring", None, None)
+    out = jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=(spec,) * 3,
+                                out_specs=spec, check_vma=False))(qp, kp, vp)
+    return unpermute_from_layout(out, layout, ring)
+
+
+@pytest.mark.parametrize("layout", ["basic", "zigzag", "stripe"])
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_sage_matches_oracle(rng, layout, causal):
+    """zigzag/stripe/basic ring x sage: the int8-MXU kernel sees traced
+    offsets/strides from the position descriptors, per-step K-centering keeps
+    the LSE merge-compatible across blocks."""
+    q, k, v = make_qkv(rng)
+    out = _run_ring_sage(q, k, v, layout, causal=causal)
+    ref_out, _ = xla_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-1, rtol=0)
+
+
+def test_ring_sage_grads_straight_through(rng):
+    """Ring x sage backward = per-step bf16 flash recomputation anchored on
+    the quantized forward's merged (out, lse): grads track the oracle within
+    int8 forward noise."""
+    import functools
+    q, k, v = make_qkv(rng, s=128)
+    dout = jnp.asarray(np.asarray(rng.standard_normal(q.shape)), q.dtype)
+
+    def dist_loss(q, k, v):
+        out = _run_ring_sage(q, k, v, "zigzag", causal=True)
+        return jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32))
+
+    def ref_loss(q, k, v):
+        out, _ = xla_attention(q, k, v, causal=True)
+        return jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32))
+
+    gs = jax.grad(dist_loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gs, gr, ("dq", "dk", "dv")):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 5e-2, name
+
+
+def test_usp_layer_sage_impl(rng):
+    """LongContextAttention(impl='sage'): the full USP layer (a2a + ring)
+    dispatching the quantized kernel — the reference's
+    `LongContextAttention(attn_type=AttnType.SAGE_AUTO)` analog."""
+    from jax.sharding import Mesh
+    from long_context_attention_tpu.parallel.mesh import MeshAxes
+    from long_context_attention_tpu.parallel.usp import LongContextAttention
+    from long_context_attention_tpu.parallel.layouts import (
+        permute_for_layout, unpermute_from_layout)
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, axis_names=("ring", "ulysses"))
+    layer = LongContextAttention(
+        mesh=mesh, axes=MeshAxes(dp=None, ring="ring", ulysses="ulysses"),
+        layout="zigzag", impl="sage", block_sizes=BS)
+    q, k, v = make_qkv(rng, h=8, hkv=4)
+    qp = permute_for_layout(q, "zigzag", 2)
+    kp = permute_for_layout(k, "zigzag", 2)
+    vp = permute_for_layout(v, "zigzag", 2)
+    out = unpermute_from_layout(layer(qp, kp, vp, causal=True), "zigzag", 2)
+    ref_out, _ = xla_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-1, rtol=0)
 
 
 def test_merge_compatibility(rng):
