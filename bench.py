@@ -154,6 +154,102 @@ def bench_splash(seq: int, iters: int = 2, heads: int = 32,
     return tf
 
 
+def bench_decode_gbps(batch: int, ctx: int = 32768, iters: int = 200):
+    """int8 KV-cache decode stream rate (GB/s), deep-chained (CLAUDE.md:
+    short chains amortize the ~31 ms tunnel RTT into phantom per-step cost)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from long_context_attention_tpu.ops.decode import decode_attention
+    from long_context_attention_tpu.ops.kv_cache import quantize_kv
+
+    H, HKV, D = 32, 8, 128
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (batch, H, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (batch, HKV, ctx, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (batch, HKV, ctx, D), jnp.bfloat16)
+    kc, ksc = quantize_kv(k, "int8")
+    vc, vsc = quantize_kv(v, "int8")
+    del k, v
+    lengths = jnp.full((batch,), ctx, jnp.int32)
+
+    @jax.jit
+    def chained(q, kc, vc, ksc, vsc):
+        def body(i, qq):
+            o = decode_attention(qq, kc, vc, lengths, ksc, vsc)
+            return qq * 0 + o.astype(qq.dtype)
+        return jnp.sum(lax.fori_loop(0, iters, body, q).astype(jnp.float32))
+
+    float(chained(q, kc, vc, ksc, vsc))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(q, kc, vc, ksc, vsc))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / iters
+    return 2 * batch * HKV * ctx * D * 1.04 / 1e9 / dt
+
+
+def bench_ttft_128k():
+    """Warm attention-prefill TTFT at 128K (32/8 heads), best-of-3 seconds."""
+    import jax
+    import jax.numpy as jnp
+
+    from long_context_attention_tpu.ops.flash import flash_attention
+
+    S, H, HKV, D = 131072, 32, 8, 128
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (1, S, H, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (1, S, HKV, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (1, S, HKV, D), jnp.bfloat16)
+    f = jax.jit(lambda q, k, v: jnp.sum(
+        flash_attention(q, k, v, causal=True).astype(jnp.float32)))
+    float(f(q, k, v))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(q, k, v))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_serving_toks(batch: int = 8, ctx: int = 32768, new: int = 64):
+    """End-to-end tokens/s/chip: 0.88B model, int8 cache + w8a8 weights —
+    the serving headline (BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from long_context_attention_tpu.models.llama import ModelConfig, init_params
+    from long_context_attention_tpu.serving import Engine
+    from long_context_attention_tpu.serving.engine import SamplingParams
+
+    cfg = ModelConfig(vocab=32000, dim=2048, n_layers=16, n_heads=16,
+                      n_kv_heads=8, head_dim=128, ffn_hidden=int(2048 * 2.7),
+                      layout="basic")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (batch, ctx), 0,
+                                cfg.vocab, jnp.int32)
+    s_max = ((ctx + new + 4095) // 4096) * 4096
+    eng = Engine(cfg=cfg, s_max=s_max, cache_dtype="int8",
+                 weight_dtype="int8")
+    logits, cache = eng.prefill_chunked(params, prompt, 8192)
+    first = jnp.argmax(logits, -1).astype(jnp.int32)
+    dparams = eng.decode_params(params)
+    toks, cache2 = eng._decode_scan(dparams, cache, new, first,
+                                    SamplingParams(), jax.random.PRNGKey(0))
+    float(jnp.sum(toks))  # compile + warm; cache donated -> regenerate
+    del cache, cache2
+    logits2, cache = eng.prefill_chunked(params, prompt, 8192)
+    float(jnp.sum(cache.length))
+    t0 = time.perf_counter()
+    toks, cache3 = eng._decode_scan(dparams, cache, new, first,
+                                    SamplingParams(), jax.random.PRNGKey(0))
+    float(jnp.sum(toks))
+    dt_tok = (time.perf_counter() - t0) / new
+    return batch / dt_tok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq", type=int, default=131072)
@@ -163,6 +259,9 @@ def main():
                     help="print a seq-length sweep table to stderr first")
     ap.add_argument("--no-baseline", action="store_true",
                     help="skip measuring the baseline kernels")
+    ap.add_argument("--quick", action="store_true",
+                    help="headline fwd kernel only (skip the fwd+bwd / "
+                         "decode / TTFT / serving extras)")
     args = ap.parse_args()
 
     if args.sweep:
@@ -213,6 +312,26 @@ def main():
                         round(tflops / chip_peak_tflops(), 4)),
         "sol_fraction": round(tflops / chip_peak_tflops(), 4),
     }
+
+    # Full advertised-number set (VERDICT r3 #4): every BASELINE.md headline
+    # in the same JSON line so the driver regression-checks them each round.
+    if not args.quick and not args.fwd_bwd:
+        def extra(key, fn, fmt="{:.2f}"):
+            try:
+                val = fn()
+                result[key] = round(float(val), 2)
+                print(f"{key}: {fmt.format(val)}", file=sys.stderr)
+            except Exception as e:  # any extra failing must not kill the line
+                print(f"{key} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+
+        extra("fwdbwd_tflops",
+              lambda: bench_attention(args.seq, True, max(args.iters - 1, 3))[0])
+        extra("decode_gbps_b1_32k_int8", lambda: bench_decode_gbps(1, iters=400))
+        extra("decode_gbps_b8_32k_int8", lambda: bench_decode_gbps(8, iters=100))
+        extra("ttft_128k_s", bench_ttft_128k)
+        extra("serving_tok_s_b8_32k_int8", bench_serving_toks, "{:.0f}")
+
     print(json.dumps(result))
 
 

@@ -142,8 +142,39 @@ def _variant_kernel(iq_tab_ref, ik_tab_ref, q_ref, k_ref, v_ref,
                                      ).reshape(lse_ref.shape)
 
 
-def tri_fwd(q, k, v, *, bq=1024, fold=False, bf16=False, qsub=1,
-            smode="online"):
+def _tri_decode(idx):
+    """linear step -> (iq, ik) on the triangular grid, arithmetically:
+    iq = floor((sqrt(8 idx + 1) - 1)/2), exact after a +-1 fix-up. f32 sqrt
+    is exact enough up to ~2M steps (2M tokens at bq=1024) — no SMEM tables,
+    so no ~370K-token cap and flat compile time."""
+    rf = jnp.sqrt(8.0 * idx.astype(jnp.float32) + 1.0)
+    r = ((rf - 1.0) * 0.5).astype(jnp.int32)
+    r = jnp.where(r * (r + 1) // 2 > idx, r - 1, r)
+    r = jnp.where((r + 1) * (r + 2) // 2 <= idx, r + 1, r)
+    ik = idx - r * (r + 1) // 2
+    return r, ik
+
+
+def _variant_kernel_sqrt(q_ref, k_ref, v_ref, out_ref, lse_ref, *scratch,
+                         bq, fold, bf16, qsub, smode):
+    idx = pl.program_id(2)
+    iq, ik = _tri_decode(idx)
+
+    class _Tab:
+        def __getitem__(self, _):
+            return iq
+
+    class _TabK:
+        def __getitem__(self, _):
+            return ik
+
+    _variant_kernel(_Tab(), _TabK(), q_ref, k_ref, v_ref, out_ref, lse_ref,
+                    *scratch, bq=bq, fold=fold, bf16=bf16, qsub=qsub,
+                    smode=smode)
+
+
+def tri_fwd(q, k, v, *, bq=1024, bkv=None, fold=False, bf16=False, qsub=1,
+            smode="online", sqrt_decode=False):
     """q (b,h,s,d) BHSD causal self-attention, variant tri kernel."""
     b, h, s, d = q.shape
     h_kv = k.shape[1]
@@ -153,6 +184,49 @@ def tri_fwd(q, k, v, *, bq=1024, fold=False, bf16=False, qsub=1,
              ).astype(q.dtype)
     nq = s // bq
     tri = nq * (nq + 1) // 2
+    if sqrt_decode:
+        def qi(ib, ih, idx):
+            return (ib, ih, _tri_decode(idx)[0], 0)
+
+        def kvi(ib, ih, idx):
+            return (ib, ih // g, _tri_decode(idx)[1], 0)
+
+        def lsei(ib, ih, idx):
+            return (ib * h + ih, _tri_decode(idx)[0], 0, 0)
+
+        out, lse = pl.pallas_call(
+            functools.partial(_variant_kernel_sqrt, bq=bq, fold=fold,
+                              bf16=bf16, qsub=qsub, smode=smode),
+            grid=(b, h, tri),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, d), qi),
+                pl.BlockSpec((1, 1, bq, d), kvi),
+                pl.BlockSpec((1, 1, bq, d), kvi),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, bq, d), qi),
+                pl.BlockSpec((1, 1, 1, bq), lsei),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+                jax.ShapeDtypeStruct((b * h, s // bq, 1, bq), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * h * s * s * d,
+                bytes_accessed=q.size * 2 + k.size * 4,
+                transcendentals=b * h * s * s // 2,
+            ),
+        )(q, k, v)
+        return out, lse.reshape(b, h, s)
+
     iq_tab = jnp.asarray(np.repeat(np.arange(nq), np.arange(1, nq + 1)), jnp.int32)
     ik_tab = jnp.asarray(np.concatenate([np.arange(i + 1) for i in range(nq)]),
                          jnp.int32)
@@ -205,12 +279,8 @@ def tri_fwd(q, k, v, *, bq=1024, fold=False, bf16=False, qsub=1,
 
 
 VARIANTS = [
-    ("fold+bf16", dict(fold=True, bf16=True)),
-    ("fold+bf16+nomax", dict(fold=True, bf16=True, smode="nomax")),
-    ("fold+bf16+clamp", dict(fold=True, bf16=True, smode="clamp")),
-    ("fold+nomax", dict(fold=True, smode="nomax")),
     ("fold+clamp", dict(fold=True, smode="clamp")),
-    ("fold+bf16+nomax+q2", dict(fold=True, bf16=True, smode="nomax", qsub=2)),
+    ("fold+clamp+sqrt", dict(fold=True, smode="clamp", sqrt_decode=True)),
 ]
 
 

@@ -68,10 +68,11 @@ class ModelConfig:
     softcap: float = 0.0
     # StreamingLLM attention sinks (arXiv:2309.17453): with a sliding
     # window, tokens at absolute positions < sink_tokens stay visible —
-    # honored by training, prefill AND decode kernels so windowed+sink
+    # honored by training, prefill AND decode kernels (including the
+    # sequence-sharded decode: each rank keeps its slice of the sink
+    # prefix via per-rank sink_cols, serving/sharded.py) so windowed+sink
     # models train and serve with identical attention semantics. No effect
-    # without a window; single-chip serving only (the sequence-sharded
-    # decode path computes per-rank window bounds and does not compose).
+    # without a window.
     sink_tokens: int = 0
     # parallelism
     layout: str = "zigzag"
@@ -641,13 +642,11 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
             kc_all, vc_all = res[0], res[1]
             if len(res) > 2:
                 ksc_all, vsc_all = res[2], res[3]
-            assert cfg.sink_tokens == 0, (
-                "sink_tokens does not compose with sequence-sharded decode")
             attn = sharded_decode_attention(
                 q[:, 0], kc_all, vc_all, att_len, ksc_all, vsc_all,
                 axis_name=shard_axes, softmax_scale=scale,
                 interpret=interpret, layer=li, softcap=cfg.softcap,
-                window_left=cfg.window_left,
+                window_left=cfg.window_left, sink_tokens=cfg.sink_tokens,
             )
         else:
             res = cache_append(
@@ -769,13 +768,11 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
             kc_all, vc_all = res[0], res[1]
             if len(res) > 2:
                 ksc_all, vsc_all = res[2], res[3]
-            assert cfg.sink_tokens == 0, (
-                "sink_tokens does not compose with sequence-sharded decode")
             out = sharded_decode_attention(
                 q, kc_all, vc_all, att_len, ksc_all, vsc_all,
                 axis_name=shard_axes, softmax_scale=scale,
                 interpret=interpret, layer=li, softcap=cfg.softcap,
-                window_left=cfg.window_left,
+                window_left=cfg.window_left, sink_tokens=cfg.sink_tokens,
             )  # (b, n, h, d)
         else:
             res = cache_append(kc_all, vc_all, kq, vq, append_pos,

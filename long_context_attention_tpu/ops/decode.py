@@ -296,11 +296,13 @@ def _decode_kernel(
     layered: bool = False, window_left: int = -1, softcap: float = 0.0,
     alibi: bool = False, has_first_cols: bool = False, n_tok: int = 1,
     paged: bool = False, int8_mxu: bool = False, sink_tokens: int = 0,
+    has_sink_cols: bool = False,
 ):
     refs = list(refs)
     if layered:
         del refs[0]  # the layer-index prefetch ref (consumed by index maps)
     fc_ref = refs.pop(0) if has_first_cols else None
+    scol_ref = refs.pop(0) if has_sink_cols else None
     if paged:
         del refs[0]  # page-table prefetch (consumed by the index maps)
     qs_ref = None
@@ -338,15 +340,19 @@ def _decode_kernel(
     # stream (n_tok = 1 is classic decode: the single query sees length-1).
     # Sliding window: only columns >= q_pos - window_left are visible. A
     # sequence-sharded cache passes explicit per-row bounds instead
-    # (fc_ref): this rank's slots cover an arbitrary slice of the window.
-    # ``first_col`` is the scalar DMA/compute gate (min over query rows);
-    # exact per-row masking happens in-tile below.
+    # (fc_ref, UNCLIPPED local first column of the run's token 0 — token it's
+    # bound is fc + it since query positions step by one): this rank's slots
+    # cover an arbitrary slice of the window. ``scol_ref`` (also sharded):
+    # local columns < scol stay visible regardless (this rank's slice of the
+    # StreamingLLM sink prefix). ``first_col`` is the scalar DMA/compute
+    # gate (min over query rows); exact per-row masking happens below.
     if fc_ref is not None:
         first_col = fc_ref[ib]
     elif window_left >= 0:
         first_col = jnp.maximum(length - n_tok - window_left, 0)
     else:
         first_col = jnp.int32(0)
+    sink_local = scol_ref[ib] if scol_ref is not None else None
 
     @pl.when(ik == 0)
     def _init():
@@ -360,6 +366,8 @@ def _decode_kernel(
     live = (gt + 1) * block_kv > first_col
     if sink_tokens > 0:
         live = live | (gt * block_kv < sink_tokens)
+    if sink_local is not None:
+        live = live | (gt * block_kv < sink_local)
 
     @pl.when((gt * block_kv < length) & live)
     def _compute():
@@ -397,7 +405,11 @@ def _decode_kernel(
             s = s - sl * (qpos - cols).astype(jnp.float32)
         invisible = cols > qpos
         if fc_ref is not None:
-            invisible |= cols < first_col
+            # per-row window start: token it's bound is first_col + it
+            win_drop = cols < first_col + rowit
+            if sink_local is not None:
+                win_drop &= cols >= sink_local  # this rank's sink slice
+            invisible |= win_drop
         elif window_left >= 0:
             win_drop = cols < qpos - window_left
             if sink_tokens > 0:
@@ -481,6 +493,7 @@ def decode_attention(
     alibi_slopes=None,
     sink_tokens: int = 0,
     first_cols: Optional[jnp.ndarray] = None,
+    sink_cols: Optional[jnp.ndarray] = None,
     page_table: Optional[jnp.ndarray] = None,
     mxu_int8: bool = True,
 ):
@@ -510,7 +523,13 @@ def decode_attention(
     position length-1 — API parity with the training kernels so ALiBi
     models serve. ``first_cols``: explicit per-row first visible column,
     overriding the window derivation — a sequence-sharded cache computes
-    each rank's slice of the global window (serving/sharded.py).
+    each rank's slice of the global window (serving/sharded.py). It is
+    UNCLIPPED (may be negative / past the shard) and names the bound of the
+    run's FIRST token; token i of a multi-token run is bounded by
+    ``first_cols + i`` (query positions step by one). ``sink_cols``
+    (requires ``first_cols``): per-row exclusive end of this rank's slice
+    of the StreamingLLM sink prefix — local columns < sink_cols stay
+    visible through the window.
 
     Returns out (b, h, d) bf16 (+ lse (b, h) fp32 when return_lse for the
     sequence-sharded merge).
@@ -561,10 +580,6 @@ def decode_attention(
     g = h // h_kv
     assert g * h_kv == h
     G = g * n_tok  # query rows per (b, h_kv) grid cell, ordered (member, tok)
-    assert not (multi and first_cols is not None), (
-        "multi-token decode with explicit per-row first_cols (sharded "
-        "sliding window) is not supported — first_cols is per-batch-row, "
-        "but each token of the run has its own window start")
     quantized = k_scale is not None
     # int8 caches run QK and PV on the s8 MXU (see _decode_kernel): Q is
     # row-quantized here, P per-row in-kernel — the per-tile VPU dequant
@@ -640,13 +655,16 @@ def decode_attention(
 
     w_left = int(window_size[0])
     # StreamingLLM sinks: only meaningful with a left window; the sharded
-    # per-row first_cols path owns its own visibility bounds
+    # per-row first_cols path carries its sink slice as sink_cols instead
     sink = int(sink_tokens) if w_left >= 0 else 0
     if sink > 0 and first_cols is not None:
-        raise NotImplementedError(
-            "sink_tokens does not compose with explicit first_cols (the "
-            "sharded-window path computes per-rank bounds itself)")
+        raise ValueError(
+            "with explicit first_cols pass the rank-local sink slice as "
+            "sink_cols, not the global sink_tokens")
     has_fc = first_cols is not None
+    has_sc = sink_cols is not None
+    if has_sc and not has_fc:
+        raise ValueError("sink_cols requires first_cols (the sharded path)")
 
     def _clamped_gt(ibb, isp, ik, lens, rest):
         # clamp the global kv tile index into the live range: tiles past the
@@ -657,8 +675,14 @@ def decode_attention(
         last = jnp.clip((lens[ibb] - 1) // bkv, 0, nk - 1)
         gt = jnp.minimum(isp * nk_s + ik, last)
         if has_fc:
-            lo = rest[0][ibb] // bkv  # explicit per-row first column
-            gt = jnp.maximum(gt, jnp.minimum(lo, last))
+            # explicit first column (unclipped: may be negative)
+            lo = jnp.maximum(rest[0][ibb], 0) // bkv
+            gt2 = jnp.maximum(gt, jnp.minimum(lo, last))
+            if has_sc:
+                # this rank's sink tiles keep their identity (DMA must run)
+                gt = jnp.where(gt * bkv < rest[1][ibb], gt, gt2)
+            else:
+                gt = gt2
         elif w_left >= 0:
             # the earliest visible column over the run's rows (token 0)
             lo = jnp.maximum(lens[ibb] - n_tok - w_left, 0) // bkv
@@ -760,6 +784,8 @@ def decode_attention(
         prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
     if has_fc:
         prefetch.append(jnp.asarray(first_cols, jnp.int32))
+    if has_sc:
+        prefetch.append(jnp.asarray(sink_cols, jnp.int32))
     if paged:
         prefetch.append(jnp.asarray(page_table, jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -782,7 +808,8 @@ def decode_attention(
                           window_left=w_left, softcap=float(softcap),
                           alibi=alibi_slopes is not None,
                           has_first_cols=has_fc, n_tok=n_tok, paged=paged,
-                          int8_mxu=int8_mxu, sink_tokens=sink),
+                          int8_mxu=int8_mxu, sink_tokens=sink,
+                          has_sink_cols=has_sc),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, h_kv, splits, G, d), jnp.float32),

@@ -112,15 +112,19 @@ class FlashConfig:
     # (no effect without a left window). Evaluated against global positions,
     # so ring/USP shards agree with a single device; 0 = off.
     sink: int = 0
-    # fast softmax: compute p = exp2(s - m) in bfloat16 instead of fp32 on
-    # the self-attention fast paths (tri/static kernels). The kernel is
-    # VPU-bound at 1024-tile shapes and bf16 exp2 runs packed: +3.7%
-    # measured at the 128K headline (131.4 -> 136.2 TFLOP/s). Accuracy: p
-    # carries an 8-bit mantissa, ~2 bf16 output ulps of extra rounding
-    # (max |diff| 0.016 vs the fp32-softmax kernel on N(0,1) bf16 inputs) —
-    # well inside the reference's 1e-1 gate but NOT bit-identical, so it is
-    # opt-in (`flash_attention(fast_softmax=True)`), off by default.
-    exp_bf16: bool = False
+    # Restore the online running-max softmax on the self-attention fast
+    # paths. The default fast softmax there is max-free: p = exp2(min(s,
+    # _CLAMP)) accumulated raw in fp32 (l <= 2^90 * 2^20 and acc stay far
+    # inside fp32 range), normalized once at emit. Removing the per-tile
+    # max-reduce -> subtract -> alpha-rescale dependency chain is worth
+    # ~25% at the 128K headline (132 -> 171 TFLOP/s measured, r4): the
+    # chain — not exp itself — was the VPU serialization PERF.md blamed.
+    # Exact vs the online softmax for raw scores <= _CLAMP/log2(e) ~ 62
+    # (real models run |score| < ~30; beyond 62 the clamp saturates), and
+    # rows whose every score < -87 raw underflow to the dead-row identity
+    # (out = 0, lse = -inf). Set safe_softmax=True for adversarial-logit
+    # inputs; rings/segments/quant paths keep the online softmax anyway.
+    safe_softmax: bool = False
 
     @property
     def use_tri_grid(self) -> bool:
@@ -226,27 +230,44 @@ def _scores(cfg: FlashConfig, q, k, ks_row=None):
     return s, t
 
 
-def _fwd_kernel_tri(
-    iq_tab_ref, ik_tab_ref,  # scalar prefetch: linear step -> (iq, ik) tile
-    q_ref, k_ref, v_ref, out_ref, lse_ref,
-    m_scr, l_scr, acc_scr,
-    *, cfg: FlashConfig,
-):
-    """Self-causal forward over a *triangular* grid: program 2 enumerates only
-    the nq*(nq+1)/2 live (q-tile, kv-tile) pairs — no skipped steps, no wasted
-    DMA. The (iq, ik) decode is a scalar-prefetched table (O(1) SMEM lookup in
-    the index maps, so Mosaic compile time is flat in grid size). Softmax runs
-    in exp2 units like the static fast path. Requires block_q == block_kv,
-    single chunk, stride 1 (the standalone / ulysses-only flagship path; rings
-    use the rectangular kernel)."""
-    idx = pl.program_id(2)
-    iq = iq_tab_ref[idx]
-    ik = ik_tab_ref[idx]
+# Fast-softmax score clamp, in exp2 units (raw score <= _CLAMP / log2(e)
+# ~ 62.4). Bounds l <= 2^90 * s_kv and acc far inside fp32 range; real models
+# run |score| < ~30 (see FlashConfig.safe_softmax).
+_CLAMP = 90.0
+
+# Above this many live tiles the (iq, ik) SMEM tables would crowd the 1 MB
+# scalar-memory budget; the tri grid switches to the table-free sqrt decode
+# (~3.5% slower per tile, flat compile time, no sequence cap).
+_TRI_TABLE_MAX = 65536
+
+
+def _tri_decode(idx):
+    """Linear tri-grid step -> (iq, ik), arithmetically: iq = floor((sqrt(8
+    idx + 1) - 1) / 2) with a +-1 integer fix-up (f32 sqrt is exact enough to
+    +-1 up to ~2M steps = ~2M tokens at bq=1024). Replaces the SMEM (iq, ik)
+    tables past _TRI_TABLE_MAX live tiles — the two-level answer to the
+    ~370K-token table cap: tables at full speed where they fit, this beyond."""
+    rf = jnp.sqrt(8.0 * idx.astype(jnp.float32) + 1.0)
+    r = ((rf - 1.0) * 0.5).astype(jnp.int32)
+    r = jnp.where(r * (r + 1) // 2 > idx, r - 1, r)
+    r = jnp.where((r + 1) * (r + 2) // 2 <= idx, r + 1, r)
+    return r, idx - r * (r + 1) // 2
+
+
+def _tri_body(iq, ik, q_ref, k_ref, v_ref, out_ref, lse_ref, scratch, cfg):
+    """Shared tri-grid kernel body (see _fwd_kernel_tri)."""
     bq = cfg.block_q
+    fast = not cfg.safe_softmax
+
+    if fast:
+        l_scr, acc_scr = scratch
+    else:
+        m_scr, l_scr, acc_scr = scratch
 
     @pl.when(ik == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        if not fast:
+            m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -256,26 +277,28 @@ def _fwd_kernel_tri(
         v = v_ref[0, 0, :, :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = s * (cfg.scale * _LOG2E)
+        if not fast:
+            s = s * (cfg.scale * _LOG2E)
         if masked:  # diagonal tile: triangular in-tile mask
             rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 1)
             mask = cols > rows
             s = jnp.where(mask, NEG_INF, s)
+        if fast:
+            # max-free softmax: no per-tile max -> subtract -> rescale
+            # dependency chain (the scale*log2e factor is pre-folded into q
+            # by the driver). exp2(NEG_INF) == 0 covers the masked entries.
+            p = jnp.exp2(jnp.minimum(s, _CLAMP))
+            l_scr[:, :1] = l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+            acc_scr[...] = acc_scr[...] + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            return
         m_prev = m_scr[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        if cfg.exp_bf16:
-            # fast softmax: packed bf16 exp2 (see FlashConfig.exp_bf16); the
-            # row sum accumulates fp32
-            p = jnp.exp2((s - m_new).astype(jnp.bfloat16))
-            if masked:
-                p = jnp.where(mask, jnp.bfloat16(0.0), p)
-            psum_row = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-        else:
-            p = jnp.exp2(s - m_new)
-            if masked:
-                p = jnp.where(mask, 0.0, p)
-            psum_row = jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp2(s - m_new)
+        if masked:
+            p = jnp.where(mask, 0.0, p)
+        psum_row = jnp.sum(p, axis=1, keepdims=True)
         alpha = jnp.exp2(m_prev - m_new)
         l_new = l_scr[:, :1] * alpha + psum_row
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
@@ -295,8 +318,47 @@ def _fwd_kernel_tri(
     @pl.when(ik == iq)  # diagonal tile is the row's last step
     def _emit():
         l = l_scr[:, :1]
-        out_ref[...] = (acc_scr[...] / l).astype(out_ref.dtype).reshape(out_ref.shape)
-        lse_ref[...] = (m_scr[:, :1] * _LN2 + jnp.log(l)).reshape(lse_ref.shape)
+        if fast:
+            dead = l == 0.0  # every score underflowed (raw < ~-87): identity
+            safe_l = jnp.where(dead, 1.0, l)
+            out_ref[...] = jnp.where(dead, 0.0, acc_scr[...] / safe_l
+                                     ).astype(out_ref.dtype).reshape(out_ref.shape)
+            lse_ref[...] = jnp.where(dead, -jnp.inf, jnp.log(safe_l)
+                                     ).reshape(lse_ref.shape)
+        else:
+            out_ref[...] = (acc_scr[...] / l).astype(out_ref.dtype
+                                                     ).reshape(out_ref.shape)
+            lse_ref[...] = (m_scr[:, :1] * _LN2 + jnp.log(l)
+                            ).reshape(lse_ref.shape)
+
+
+def _fwd_kernel_tri(
+    iq_tab_ref, ik_tab_ref,  # scalar prefetch: linear step -> (iq, ik) tile
+    q_ref, k_ref, v_ref, out_ref, lse_ref,
+    *scratch,
+    cfg: FlashConfig,
+):
+    """Self-causal forward over a *triangular* grid: program 2 enumerates only
+    the nq*(nq+1)/2 live (q-tile, kv-tile) pairs — no skipped steps, no wasted
+    DMA. The (iq, ik) decode is a scalar-prefetched table (O(1) SMEM lookup in
+    the index maps, so Mosaic compile time is flat in grid size). Softmax is
+    the max-free clamped exp2 fast path (see FlashConfig.safe_softmax).
+    Requires block_q == block_kv, single chunk, stride 1 (the standalone /
+    ulysses-only flagship path; rings use the rectangular kernel)."""
+    idx = pl.program_id(2)
+    _tri_body(iq_tab_ref[idx], ik_tab_ref[idx], q_ref, k_ref, v_ref,
+              out_ref, lse_ref, scratch, cfg)
+
+
+def _fwd_kernel_tri_sqrt(
+    q_ref, k_ref, v_ref, out_ref, lse_ref,
+    *scratch,
+    cfg: FlashConfig,
+):
+    """Table-free tri-grid kernel: (iq, ik) from the arithmetic sqrt decode
+    (no SMEM tables — the >_TRI_TABLE_MAX path)."""
+    iq, ik = _tri_decode(pl.program_id(2))
+    _tri_body(iq, ik, q_ref, k_ref, v_ref, out_ref, lse_ref, scratch, cfg)
 
 
 def _flash_fwd_tri_bhsd(q, k, v, cfg: FlashConfig):
@@ -307,6 +369,62 @@ def _flash_fwd_tri_bhsd(q, k, v, cfg: FlashConfig):
     bq = cfg.block_q
     nq = s // bq
     tri = nq * (nq + 1) // 2
+    if not cfg.safe_softmax:
+        # fold scale * log2e into q once (bf16 q: one extra rounding; fp32:
+        # exact) — saves a 1M-element fp32 multiply per tile in-kernel
+        q = (q.astype(jnp.float32) * (cfg.scale * _LOG2E)).astype(q.dtype)
+    scratch = [pltpu.VMEM((bq, 128), jnp.float32),
+               pltpu.VMEM((bq, d), jnp.float32)]
+    if cfg.safe_softmax:
+        scratch.insert(0, pltpu.VMEM((bq, 128), jnp.float32))
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        # LSE rides as (rows, q_blocks, 1, bq): the trailing (1, bq)
+        # satisfies Mosaic's last-two-dims rule for EVERY bq (a flat
+        # (rows, 1, s) layout is illegal whenever bq < 128 and bq != s —
+        # the tiny-shape zigzag failure)
+        jax.ShapeDtypeStruct((b * h, s // bq, 1, bq), jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=2 * b * h * s * s * d,
+        bytes_accessed=q.size * 2 + k.size * 4,
+        transcendentals=b * h * s * s // 2,
+    )
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+
+    if tri > _TRI_TABLE_MAX:
+        # table-free sqrt-decode grid: no SMEM cap, flat compile time
+        def qi(ib, ih, idx):
+            return (ib, ih, _tri_decode(idx)[0], 0)
+
+        def kvi(ib, ih, idx):
+            return (ib, ih // g, _tri_decode(idx)[1], 0)
+
+        def lsei(ib, ih, idx):
+            return (ib * h + ih, _tri_decode(idx)[0], 0, 0)
+
+        out, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel_tri_sqrt, cfg=cfg),
+            grid=(b, h, tri),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, d), qi),
+                pl.BlockSpec((1, 1, bq, d), kvi),
+                pl.BlockSpec((1, 1, bq, d), kvi),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, bq, d), qi),
+                pl.BlockSpec((1, 1, 1, bq), lsei),
+            ],
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=cparams,
+            cost_estimate=cost,
+            interpret=cfg.interpret,
+        )(q, k, v)
+        return out, lse.reshape(b, h, s)
+
     # Row-major live-tile enumeration: row iq holds tiles ik = 0..iq. The q
     # block stays resident within a row while kv streams (one fresh kv DMA
     # per step), which is the pipelining-friendly order.
@@ -334,31 +452,14 @@ def _flash_fwd_tri_bhsd(q, k, v, cfg: FlashConfig):
             pl.BlockSpec((1, 1, bq, d), qi),
             pl.BlockSpec((1, 1, 1, bq), lsei),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, d), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel_tri, cfg=cfg),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
-            # LSE rides as (rows, q_blocks, 1, bq): the trailing (1, bq)
-            # satisfies Mosaic's last-two-dims rule for EVERY bq (a flat
-            # (rows, 1, s) layout is illegal whenever bq < 128 and bq != s —
-            # the tiny-shape zigzag failure)
-            jax.ShapeDtypeStruct((b * h, s // bq, 1, bq), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * s * s * d,
-            bytes_accessed=q.size * 2 + k.size * 4,
-            transcendentals=b * h * s * s // 2,
-        ),
+        out_shape=out_shape,
+        compiler_params=cparams,
+        cost_estimate=cost,
         interpret=cfg.interpret,
     )(iq_tab, ik_tab, q, k, v)
     return out, lse.reshape(b, h, s)
@@ -370,25 +471,32 @@ _LN2 = math.log(2.0)
 
 def _fwd_kernel_static(
     q_ref, k_ref, v_ref, out_ref, lse_ref,
-    m_scr, l_scr, acc_scr,
-    *, cfg: FlashConfig,
+    *scratch,
+    cfg: FlashConfig,
 ):
     """Self-attention fast path: positions derive from the grid ids (no
-    scalar prefetch — the prefetch machinery costs ~8%), softmax runs in
-    exp2 units (the VPU's native base; folds one multiply per element into
-    the scale constant; LSE converts to natural log at emit). Taken when the
-    caller passed no offsets/segments/quantization (the flagship non-ring
-    path); rings use the position-descriptor kernel."""
+    scalar prefetch — the prefetch machinery costs ~8%), softmax is the
+    max-free clamped exp2 fast path (FlashConfig.safe_softmax; the scale is
+    pre-folded into q by the driver). Softcap / safe_softmax keep the online
+    running-max form. Taken when the caller passed no offsets/segments/
+    quantization (the flagship non-ring path); rings use the
+    position-descriptor kernel."""
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
     bq, bkv = cfg.block_q, cfg.block_kv
     use_exp2 = cfg.softcap == 0.0
+    fast = use_exp2 and not cfg.safe_softmax
     ex = jnp.exp2 if use_exp2 else jnp.exp
+    if fast:
+        l_scr, acc_scr = scratch
+    else:
+        m_scr, l_scr, acc_scr = scratch
 
     @pl.when(ik == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        if not fast:
+            m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -407,24 +515,25 @@ def _fwd_kernel_static(
         v = v_ref[0, 0, :, :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = s * (cfg.scale * _LOG2E if use_exp2 else cfg.scale)
+        if not fast:
+            s = s * (cfg.scale * _LOG2E if use_exp2 else cfg.scale)
         if cfg.softcap > 0.0:
             s = jnp.tanh(s / cfg.softcap) * cfg.softcap
         if masked:
             mask = _tile_mask(cfg, q_first, kv_first, bq, bkv)
             s = jnp.where(mask, NEG_INF, s)
+        if fast:
+            p = jnp.exp2(jnp.minimum(s, _CLAMP))  # exp2(NEG_INF) == 0: masked
+            l_scr[:, :1] = l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+            acc_scr[...] = acc_scr[...] + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            return
         m_prev = m_scr[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        if cfg.exp_bf16 and use_exp2:
-            p = ex((s - m_new).astype(jnp.bfloat16))
-            if masked:
-                p = jnp.where(mask, jnp.bfloat16(0.0), p)
-            psum_row = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-        else:
-            p = ex(s - m_new)
-            if masked:
-                p = jnp.where(mask, 0.0, p)
-            psum_row = jnp.sum(p, axis=1, keepdims=True)
+        p = ex(s - m_new)
+        if masked:
+            p = jnp.where(mask, 0.0, p)
+        psum_row = jnp.sum(p, axis=1, keepdims=True)
         alpha = ex(m_prev - m_new)
         l_new = l_scr[:, :1] * alpha + psum_row
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
@@ -446,14 +555,16 @@ def _fwd_kernel_static(
     @pl.when(ik == nk - 1)
     def _emit():
         l = l_scr[:, :1]
-        m = m_scr[:, :1]
         dead = l == 0.0
         safe_l = jnp.where(dead, 1.0, l)
         out_ref[...] = jnp.where(dead, 0.0, acc_scr[...] / safe_l
                                  ).astype(out_ref.dtype).reshape(out_ref.shape)
-        m_nat = m * _LN2 if use_exp2 else m
-        lse_ref[...] = jnp.where(dead, -jnp.inf, m_nat + jnp.log(safe_l)
-                                 ).reshape(lse_ref.shape)
+        if fast:
+            lse = jnp.log(safe_l)
+        else:
+            m_nat = m_scr[:, :1] * _LN2 if use_exp2 else m_scr[:, :1]
+            lse = m_nat + jnp.log(safe_l)
+        lse_ref[...] = jnp.where(dead, -jnp.inf, lse).reshape(lse_ref.shape)
 
 
 def _flash_fwd_static_bhsd(q, k, v, cfg: FlashConfig):
@@ -463,6 +574,9 @@ def _flash_fwd_static_bhsd(q, k, v, cfg: FlashConfig):
     g = h // h_kv
     bq, bkv = cfg.block_q, cfg.block_kv
     nq, nk = s_q // bq, s_kv // bkv
+    fast = cfg.softcap == 0.0 and not cfg.safe_softmax
+    if fast:
+        q = (q.astype(jnp.float32) * (cfg.scale * _LOG2E)).astype(q.dtype)
 
     if cfg.needs_mask:
         def kv_im(ib, ih, iq, ik):
@@ -499,11 +613,11 @@ def _flash_fwd_static_bhsd(q, k, v, cfg: FlashConfig):
             jax.ShapeDtypeStruct((b, h, s_q, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, s_q // bq, 1, bq), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, d), jnp.float32),
-        ],
+        scratch_shapes=(
+            ([] if fast else [pltpu.VMEM((bq, 128), jnp.float32)])
+            + [pltpu.VMEM((bq, 128), jnp.float32),
+               pltpu.VMEM((bq, d), jnp.float32)]
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
@@ -740,13 +854,11 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
     chunk_q = s_q // cfg.n_q_chunks
     chunk_kv = s_kv // cfg.n_kv_chunks
 
-    # enumerate only live tiles: ~2x fewer grid steps for causal. The (iq,
-    # ik) tables are scalar-prefetched into SMEM (1 MB total): two s32
-    # tables of nq(nq+1)/2 entries must stay well under it, so beyond ~64K
-    # live tiles (nq ~ 360, i.e. ~370K tokens at bq=1024) fall back to the
-    # rectangular grid — 512K+ sequences OOMed SMEM otherwise.
-    if (cfg.use_tri_grid and s_q == s_kv and s_q % bq == 0
-            and (s_q // bq) * (s_q // bq + 1) // 2 <= 65536):
+    # enumerate only live tiles: ~2x fewer grid steps for causal. Up to
+    # _TRI_TABLE_MAX live tiles (~370K tokens at bq=1024) the (iq, ik)
+    # decode is an SMEM table; beyond, the table-free sqrt decode (~3.5%
+    # slower per tile) — no sequence cap either way.
+    if cfg.use_tri_grid and s_q == s_kv and s_q % bq == 0:
         tri_cfg = cfg if bq == bkv else dataclasses.replace(cfg, block_kv=bq)
         return _flash_fwd_tri_bhsd(q, k, v, tri_cfg)
 
@@ -1643,16 +1755,18 @@ def flash_attention(
     interpret: Optional[bool] = None,
     return_lse: bool = False,
     tri_grid: Optional[bool] = None,
-    fast_softmax: bool = False,
+    safe_softmax: bool = False,
 ):
     """Flash attention with flash-attn semantics and global-position masking.
 
     ``sink_tokens``: StreamingLLM attention sinks (arXiv:2309.17453) — tokens
     at global positions < sink_tokens stay visible through the left sliding
     window (no effect without one). Composes with every other feature here.
-    ``fast_softmax``: bf16 exp2 on the self-attention fast paths — +3.7% at
-    the 128K headline for ~2 bf16 output ulps of rounding (opt-in; see
-    FlashConfig.exp_bf16). The backward keeps the fp32 recompute either way.
+    ``safe_softmax``: restore the online running-max softmax on the
+    self-attention fast paths (default is the max-free clamped exp2 form —
+    exact for raw scores <= ~62, which covers every sane model; see
+    FlashConfig.safe_softmax). The backward keeps the fp32 recompute either
+    way.
 
     Args:
       q: (b, s_q, h, d); k, v: (b, s_kv, h_kv, d), h % h_kv == 0 (GQA).
@@ -1694,8 +1808,8 @@ def flash_attention(
         dropout_p=dropout_p, alibi=alibi_slopes is not None,
         sink_tokens=sink_tokens,
     )
-    if fast_softmax:
-        cfg = dataclasses.replace(cfg, exp_bf16=True)
+    if safe_softmax:
+        cfg = dataclasses.replace(cfg, safe_softmax=True)
     if q_offsets is None and kv_offsets is None:
         # tri_grid defaults ON for plain causal self-attention (the table-
         # driven triangular grid has flat compile times); pass False to force

@@ -67,6 +67,10 @@ _SMEM_TABLE_BUDGET = 768 * 1024
 _F_FIRST = 1   # this step starts a fresh accumulator (new output row/column)
 _F_LAST = 2    # this step emits the accumulator
 _F_MASKED = 4  # tile straddles the causal diagonal: apply the in-tile mask
+_F_DEAD = 8    # skip compute: FIRST|LAST|DEAD emits an all-masked row/column
+               # (out = 0, lse = -inf — the merge identity); DEAD alone is a
+               # rank-padding no-op (rank-indexed tables are padded to a
+               # common length because shard_map traces one SPMD program)
 
 
 # ---------------------------------------------------------------------------
@@ -171,20 +175,38 @@ def _normalize_mask(block_mask, h: int, n_q: int, n_kv: int, causal: bool,
     return mh, per_head, straddle
 
 
-def _row_tables(mh: np.ndarray, straddle: np.ndarray, per_head: bool):
+def _row_tables(mh: np.ndarray, straddle: np.ndarray, per_head: bool,
+                q_first=None, kv_first=None, bq: int = 0, bkv: int = 0,
+                shift: int = 0):
     """Row-major live-tile enumeration (forward + dq): steps ordered by
-    (head, q-tile), kv inner. Returns (ih, iq, ik, flags) int32 tables and a
-    (H, n_q) row-coverage bool."""
+    (head, q-tile), kv inner. Returns (ih, iq, ik, flags, qf, kf) int32
+    tables — qf/kf are the tile's *global first positions* (they feed the
+    in-tile causal mask; for ring shards they come from the layout's position
+    descriptor rather than ``iq * bq``). Fully-masked q rows get one
+    FIRST|LAST|DEAD entry so the kernel emits the merge identity
+    (out = 0, lse = -inf) instead of leaving the block unwritten."""
     H, n_q, n_kv = mh.shape
     n_heads = H if per_head else 1
-    ih_l, iq_l, ik_l, fl_l = [], [], [], []
-    covered = np.zeros((n_heads, n_q), dtype=bool)
+    if q_first is None:
+        q_first = np.arange(n_q) * bq + shift
+    if kv_first is None:
+        kv_first = np.arange(n_kv) * bkv
+    ih_l, iq_l, ik_l, fl_l, qf_l, kf_l = [], [], [], [], [], []
+
+    def emit(ih, iq, ik, f):
+        ih_l.append(ih)
+        iq_l.append(iq)
+        ik_l.append(int(ik))
+        fl_l.append(f)
+        qf_l.append(int(q_first[iq]))
+        kf_l.append(int(kv_first[ik]))
+
     for ih in range(n_heads):
         for iq in range(n_q):
             live = np.flatnonzero(mh[ih, iq])
             if live.size == 0:
+                emit(ih, iq, 0, _F_FIRST | _F_LAST | _F_DEAD)
                 continue
-            covered[ih, iq] = True
             for pos, ik in enumerate(live):
                 f = 0
                 if pos == 0:
@@ -193,21 +215,35 @@ def _row_tables(mh: np.ndarray, straddle: np.ndarray, per_head: bool):
                     f |= _F_LAST
                 if straddle[iq, ik]:
                     f |= _F_MASKED
-                ih_l.append(ih)
-                iq_l.append(iq)
-                ik_l.append(int(ik))
-                fl_l.append(f)
-    tabs = tuple(np.asarray(t, np.int32) for t in (ih_l, iq_l, ik_l, fl_l))
-    return tabs, covered
+                emit(ih, iq, ik, f)
+    return tuple(np.asarray(t, np.int32)
+                 for t in (ih_l, iq_l, ik_l, fl_l, qf_l, kf_l))
 
 
-def _col_tables(mh: np.ndarray, straddle: np.ndarray, per_head: bool, g: int):
+def _col_tables(mh: np.ndarray, straddle: np.ndarray, per_head: bool, g: int,
+                q_first=None, kv_first=None, bq: int = 0, bkv: int = 0,
+                shift: int = 0):
     """Column-major enumeration (dk/dv): steps ordered by (kv-head, kv-tile),
     with the GQA group x q-tile inner so one (bkv, d) accumulator serves the
-    whole column. Returns (ihk, ig, iq, ik, flags) int32 tables."""
+    whole column. Returns (ihk, ig, iq, ik, flags, qf, kf) int32 tables;
+    fully-masked kv columns get a FIRST|LAST|DEAD zero-emit entry."""
     H, n_q, n_kv = mh.shape
     hk = (H // g) if per_head else 1
-    ihk_l, ig_l, iq_l, ik_l, fl_l = [], [], [], [], []
+    if q_first is None:
+        q_first = np.arange(n_q) * bq + shift
+    if kv_first is None:
+        kv_first = np.arange(n_kv) * bkv
+    ihk_l, ig_l, iq_l, ik_l, fl_l, qf_l, kf_l = [], [], [], [], [], [], []
+
+    def emit(ihk, ig, iq, ik, f):
+        ihk_l.append(ihk)
+        ig_l.append(ig)
+        iq_l.append(iq)
+        ik_l.append(ik)
+        fl_l.append(f)
+        qf_l.append(int(q_first[iq]))
+        kf_l.append(int(kv_first[ik]))
+
     for ihk in range(hk):
         for ik in range(n_kv):
             steps = []
@@ -215,6 +251,9 @@ def _col_tables(mh: np.ndarray, straddle: np.ndarray, per_head: bool, g: int):
                 ih = (ihk * g + ig) if per_head else 0
                 for iq in np.flatnonzero(mh[ih, :, ik]):
                     steps.append((ig, int(iq)))
+            if not steps:
+                emit(ihk, 0, 0, ik, _F_FIRST | _F_LAST | _F_DEAD)
+                continue
             for pos, (ig, iq) in enumerate(steps):
                 f = 0
                 if pos == 0:
@@ -223,12 +262,30 @@ def _col_tables(mh: np.ndarray, straddle: np.ndarray, per_head: bool, g: int):
                     f |= _F_LAST
                 if straddle[iq, ik]:
                     f |= _F_MASKED
-                ihk_l.append(ihk)
-                ig_l.append(ig)
-                iq_l.append(iq)
-                ik_l.append(ik)
-                fl_l.append(f)
-    return tuple(np.asarray(t, np.int32) for t in (ihk_l, ig_l, iq_l, ik_l, fl_l))
+                emit(ihk, ig, iq, ik, f)
+    return tuple(np.asarray(t, np.int32)
+                 for t in (ihk_l, ig_l, iq_l, ik_l, fl_l, qf_l, kf_l))
+
+
+def _pad_rank_tables(per_rank, flag_col):
+    """Stack per-rank table tuples (list over ranks of tuples of 1-D int32
+    arrays) into flattened (R * T,) arrays, padding shorter ranks with DEAD
+    copies of their last entry (same tile indices -> no extra DMA, no
+    spurious output-block flush). ``flag_col`` is the index of the flags
+    column (3 for row tables, 4 for col tables)."""
+    R = len(per_rank)
+    n_cols = len(per_rank[0])
+    T = max(t[0].size for t in per_rank)
+    out = []
+    for c in range(n_cols):
+        col = np.zeros((R, T), np.int32)
+        for r, tabs in enumerate(per_rank):
+            n = tabs[0].size
+            col[r, :n] = tabs[c]
+            if n < T:
+                col[r, n:] = _F_DEAD if c == flag_col else tabs[c][-1]
+        out.append(col.reshape(-1))
+    return tuple(out), T
 
 
 def _check_smem(*tables):
@@ -245,22 +302,27 @@ def _check_smem(*tables):
 # ---------------------------------------------------------------------------
 
 
-def _tile_causal_mask(iq, ik, bq, bkv, shift):
-    rows = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0) + shift
-    cols = ik * bkv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+def _pos_causal_mask(qf, kf, bq, bkv):
+    """In-tile causal mask from the tile's stored *global* first positions
+    (table entries — for ring shards these come from the layout's position
+    descriptor, not iq * bq)."""
+    rows = qf + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+    cols = kf + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
     return cols > rows
 
 
 def _sparse_fwd_kernel(
-    iq_tab, ik_tab, fl_tab,
+    rank_t, iq_tab, ik_tab, fl_tab, qf_tab, kf_tab,
     q_ref, k_ref, v_ref, out_ref, lse_ref,
     m_scr, l_scr, acc_scr,
-    *, scale: float, bq: int, bkv: int, shift: int,
+    *, scale: float, bq: int, bkv: int, T: int,
 ):
-    idx = pl.program_id(2)  # grid (b, H, T): the live-tile step dimension
-    iq = iq_tab[idx]
-    ik = ik_tab[idx]
-    fl = fl_tab[idx]
+    # grid (b, H, T): the live-tile step dimension; rank_t selects this
+    # device's slice of the (n_ranks * T) flattened tables (ring rank or
+    # ulysses head-shard — 0 on the single-device path)
+    j = rank_t[0] * T + pl.program_id(2)
+    fl = fl_tab[j]
+    alive = (fl & _F_DEAD) == 0
 
     @pl.when((fl & _F_FIRST) != 0)
     def _init():
@@ -276,7 +338,7 @@ def _sparse_fwd_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = s * (scale * _LOG2E)
         if masked:
-            mask = _tile_causal_mask(iq, ik, bq, bkv, shift)
+            mask = _pos_causal_mask(qf_tab[j], kf_tab[j], bq, bkv)
             s = jnp.where(mask, NEG_INF, s)
         m_prev = m_scr[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -290,11 +352,11 @@ def _sparse_fwd_kernel(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
 
-    @pl.when((fl & _F_MASKED) == 0)
+    @pl.when(alive & ((fl & _F_MASKED) == 0))
     def _():
         _compute(masked=False)
 
-    @pl.when((fl & _F_MASKED) != 0)
+    @pl.when(alive & ((fl & _F_MASKED) != 0))
     def _():
         _compute(masked=True)
 
@@ -310,44 +372,57 @@ def _sparse_fwd_kernel(
                                  ).reshape(lse_ref.shape)
 
 
-def _sparse_fwd_bhsd(q, k, v, tabs, per_head, *, scale, bq, bkv, interpret):
+def _rank_arr(rank):
+    if rank is None:
+        return jnp.zeros((1,), jnp.int32)
+    return jnp.asarray(rank, jnp.int32).reshape(1)
+
+
+def _sparse_fwd_bhsd(q, k, v, tabs, per_head, *, scale, bq, bkv, interpret,
+                     rank=None, n_ranks=1):
+    """``tabs``: (ih, iq, ik, fl, qf, kf) int32 arrays, flattened
+    (n_ranks * T,); ``rank`` (traced scalar) selects the device's slice —
+    ring rank or ulysses head-shard rank (None -> 0, single-device)."""
     b, h, s_q, d = q.shape
     h_kv = k.shape[1]
-    s_kv = k.shape[2]
     g = h // h_kv
-    shift = s_kv - s_q
-    ih_tab, iq_tab, ik_tab, fl_tab = (jnp.asarray(t) for t in tabs)
-    T = int(iq_tab.shape[0])
+    ih_tab, iq_tab, ik_tab, fl_tab, qf_tab, kf_tab = (jnp.asarray(t) for t in tabs)
+    T = int(iq_tab.shape[0]) // n_ranks
+    rank_t = _rank_arr(rank)
 
     if per_head:
         grid = (b, 1, T)
 
-        def qi(ib, _h, idx, ih_t, iq_t, ik_t, fl_t):
-            return (ib, ih_t[idx], iq_t[idx], 0)
+        def qi(ib, _h, idx, rk, ih_t, iq_t, ik_t, fl_t, qf_t, kf_t):
+            j = rk[0] * T + idx
+            return (ib, ih_t[j], iq_t[j], 0)
 
-        def kvi(ib, _h, idx, ih_t, iq_t, ik_t, fl_t):
-            return (ib, ih_t[idx] // g, ik_t[idx], 0)
+        def kvi(ib, _h, idx, rk, ih_t, iq_t, ik_t, fl_t, qf_t, kf_t):
+            j = rk[0] * T + idx
+            return (ib, ih_t[j] // g, ik_t[j], 0)
 
-        def lsei(ib, _h, idx, ih_t, iq_t, ik_t, fl_t):
-            return (ib * h + ih_t[idx], iq_t[idx], 0, 0)
+        def lsei(ib, _h, idx, rk, ih_t, iq_t, ik_t, fl_t, qf_t, kf_t):
+            j = rk[0] * T + idx
+            return (ib * h + ih_t[j], iq_t[j], 0, 0)
 
-        prefetch = (ih_tab, iq_tab, ik_tab, fl_tab)
+        prefetch = (rank_t, ih_tab, iq_tab, ik_tab, fl_tab, qf_tab, kf_tab)
 
-        def kern(ih_t, iq_t, ik_t, fl_t, *refs, **kw):
-            return _sparse_fwd_kernel(iq_t, ik_t, fl_t, *refs, **kw)
+        def kern(rk, ih_t, iq_t, ik_t, fl_t, qf_t, kf_t, *refs, **kw):
+            return _sparse_fwd_kernel(rk, iq_t, ik_t, fl_t, qf_t, kf_t,
+                                      *refs, **kw)
     else:
         grid = (b, h, T)
 
-        def qi(ib, ih, idx, iq_t, ik_t, fl_t):
-            return (ib, ih, iq_t[idx], 0)
+        def qi(ib, ih, idx, rk, iq_t, ik_t, fl_t, qf_t, kf_t):
+            return (ib, ih, iq_t[rk[0] * T + idx], 0)
 
-        def kvi(ib, ih, idx, iq_t, ik_t, fl_t):
-            return (ib, ih // g, ik_t[idx], 0)
+        def kvi(ib, ih, idx, rk, iq_t, ik_t, fl_t, qf_t, kf_t):
+            return (ib, ih // g, ik_t[rk[0] * T + idx], 0)
 
-        def lsei(ib, ih, idx, iq_t, ik_t, fl_t):
-            return (ib * h + ih, iq_t[idx], 0, 0)
+        def lsei(ib, ih, idx, rk, iq_t, ik_t, fl_t, qf_t, kf_t):
+            return (ib * h + ih, iq_t[rk[0] * T + idx], 0, 0)
 
-        prefetch = (iq_tab, ik_tab, fl_tab)
+        prefetch = (rank_t, iq_tab, ik_tab, fl_tab, qf_tab, kf_tab)
         kern = _sparse_fwd_kernel
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -370,7 +445,7 @@ def _sparse_fwd_bhsd(q, k, v, tabs, per_head, *, scale, bq, bkv, interpret):
     )
     heads_per_step = 1 if per_head else h
     out, lse = pl.pallas_call(
-        functools.partial(kern, scale=scale, bq=bq, bkv=bkv, shift=shift),
+        functools.partial(kern, scale=scale, bq=bq, bkv=bkv, T=T),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, h, s_q, d), q.dtype),
@@ -396,15 +471,14 @@ def _sparse_fwd_bhsd(q, k, v, tabs, per_head, *, scale, bq, bkv, interpret):
 
 
 def _sparse_dq_kernel(
-    iq_tab, ik_tab, fl_tab,
+    rank_t, iq_tab, ik_tab, fl_tab, qf_tab, kf_tab,
     q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref, dq_ref,
     dq_scr,
-    *, scale: float, bq: int, bkv: int, shift: int,
+    *, scale: float, bq: int, bkv: int, T: int,
 ):
-    idx = pl.program_id(2)
-    iq = iq_tab[idx]
-    ik = ik_tab[idx]
-    fl = fl_tab[idx]
+    j = rank_t[0] * T + pl.program_id(2)
+    fl = fl_tab[j]
+    alive = (fl & _F_DEAD) == 0
 
     @pl.when((fl & _F_FIRST) != 0)
     def _init():
@@ -421,7 +495,7 @@ def _sparse_dq_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = s * scale
         if masked:
-            mask = _tile_causal_mask(iq, ik, bq, bkv, shift)
+            mask = _pos_causal_mask(qf_tab[j], kf_tab[j], bq, bkv)
             s = jnp.where(mask, NEG_INF, s)
         p = jnp.exp(s - lse_row)
         dp = jax.lax.dot_general(
@@ -430,11 +504,11 @@ def _sparse_dq_kernel(
         dq_scr[...] += scale * jax.lax.dot(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
 
-    @pl.when((fl & _F_MASKED) == 0)
+    @pl.when(alive & ((fl & _F_MASKED) == 0))
     def _():
         _compute(masked=False)
 
-    @pl.when((fl & _F_MASKED) != 0)
+    @pl.when(alive & ((fl & _F_MASKED) != 0))
     def _():
         _compute(masked=True)
 
@@ -444,15 +518,14 @@ def _sparse_dq_kernel(
 
 
 def _sparse_dkv_kernel(
-    ig_tab, iq_tab, ik_tab, fl_tab,
+    rank_t, ig_tab, iq_tab, ik_tab, fl_tab, qf_tab, kf_tab,
     q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_scr, dv_scr,
-    *, scale: float, bq: int, bkv: int, shift: int,
+    *, scale: float, bq: int, bkv: int, T: int,
 ):
-    idx = pl.program_id(2)
-    iq = iq_tab[idx]
-    ik = ik_tab[idx]
-    fl = fl_tab[idx]
+    j = rank_t[0] * T + pl.program_id(2)
+    fl = fl_tab[j]
+    alive = (fl & _F_DEAD) == 0
 
     @pl.when((fl & _F_FIRST) != 0)
     def _init():
@@ -470,7 +543,7 @@ def _sparse_dkv_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = s * scale
         if masked:
-            mask = _tile_causal_mask(iq, ik, bq, bkv, shift)
+            mask = _pos_causal_mask(qf_tab[j], kf_tab[j], bq, bkv)
             s = jnp.where(mask, NEG_INF, s)
         p = jnp.exp(s - lse_row)
         dv_scr[...] += jax.lax.dot_general(
@@ -483,11 +556,11 @@ def _sparse_dkv_kernel(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    @pl.when((fl & _F_MASKED) == 0)
+    @pl.when(alive & ((fl & _F_MASKED) == 0))
     def _():
         _compute(masked=False)
 
-    @pl.when((fl & _F_MASKED) != 0)
+    @pl.when(alive & ((fl & _F_MASKED) != 0))
     def _():
         _compute(masked=True)
 
@@ -498,12 +571,15 @@ def _sparse_dkv_kernel(
 
 
 def _sparse_bwd_bhsd(q, k, v, out, lse, dout, row_tabs, col_tabs, per_head,
-                     *, scale, bq, bkv, interpret):
+                     *, scale, bq, bkv, interpret, rank=None, n_ranks=1):
+    """Sparse dq (row-major tables) + dk/dv (column-major tables). Tables are
+    rank-flattened like the forward's; DEAD zero-emit entries cover
+    fully-masked rows/columns, so no host-side coverage fix-up is needed."""
     b, h, s_q, d = q.shape
     h_kv, s_kv = k.shape[1], k.shape[2]
     g = h // h_kv
-    shift = s_kv - s_q
     nq = s_q // bq
+    rank_t = _rank_arr(rank)
 
     # fully-masked rows carry lse = -inf: exp(s - (-inf)) would blow up, so
     # shift them to +NEG (p == 0 exactly, grads stay 0)
@@ -513,37 +589,42 @@ def _sparse_bwd_bhsd(q, k, v, out, lse, dout, row_tabs, col_tabs, per_head,
     delta_r = delta.reshape(b * h, nq, 1, bq)
 
     # --- dq over the row-major enumeration ---
-    ih_tab, iq_tab, ik_tab, fl_tab = (jnp.asarray(t) for t in row_tabs)
-    T = int(iq_tab.shape[0])
+    ih_tab, iq_tab, ik_tab, fl_tab, qf_tab, kf_tab = (
+        jnp.asarray(t) for t in row_tabs)
+    T = int(iq_tab.shape[0]) // n_ranks
     if per_head:
         grid = (b, 1, T)
 
-        def qi(ib, _h, idx, ih_t, iq_t, ik_t, fl_t):
-            return (ib, ih_t[idx], iq_t[idx], 0)
+        def qi(ib, _h, idx, rk, ih_t, iq_t, ik_t, fl_t, qf_t, kf_t):
+            j = rk[0] * T + idx
+            return (ib, ih_t[j], iq_t[j], 0)
 
-        def kvi(ib, _h, idx, ih_t, iq_t, ik_t, fl_t):
-            return (ib, ih_t[idx] // g, ik_t[idx], 0)
+        def kvi(ib, _h, idx, rk, ih_t, iq_t, ik_t, fl_t, qf_t, kf_t):
+            j = rk[0] * T + idx
+            return (ib, ih_t[j] // g, ik_t[j], 0)
 
-        def rowi(ib, _h, idx, ih_t, iq_t, ik_t, fl_t):
-            return (ib * h + ih_t[idx], iq_t[idx], 0, 0)
+        def rowi(ib, _h, idx, rk, ih_t, iq_t, ik_t, fl_t, qf_t, kf_t):
+            j = rk[0] * T + idx
+            return (ib * h + ih_t[j], iq_t[j], 0, 0)
 
-        prefetch = (ih_tab, iq_tab, ik_tab, fl_tab)
+        prefetch = (rank_t, ih_tab, iq_tab, ik_tab, fl_tab, qf_tab, kf_tab)
 
-        def dq_kern(ih_t, iq_t, ik_t, fl_t, *refs, **kw):
-            return _sparse_dq_kernel(iq_t, ik_t, fl_t, *refs, **kw)
+        def dq_kern(rk, ih_t, iq_t, ik_t, fl_t, qf_t, kf_t, *refs, **kw):
+            return _sparse_dq_kernel(rk, iq_t, ik_t, fl_t, qf_t, kf_t,
+                                     *refs, **kw)
     else:
         grid = (b, h, T)
 
-        def qi(ib, ih, idx, iq_t, ik_t, fl_t):
-            return (ib, ih, iq_t[idx], 0)
+        def qi(ib, ih, idx, rk, iq_t, ik_t, fl_t, qf_t, kf_t):
+            return (ib, ih, iq_t[rk[0] * T + idx], 0)
 
-        def kvi(ib, ih, idx, iq_t, ik_t, fl_t):
-            return (ib, ih // g, ik_t[idx], 0)
+        def kvi(ib, ih, idx, rk, iq_t, ik_t, fl_t, qf_t, kf_t):
+            return (ib, ih // g, ik_t[rk[0] * T + idx], 0)
 
-        def rowi(ib, ih, idx, iq_t, ik_t, fl_t):
-            return (ib * h + ih, iq_t[idx], 0, 0)
+        def rowi(ib, ih, idx, rk, iq_t, ik_t, fl_t, qf_t, kf_t):
+            return (ib * h + ih, iq_t[rk[0] * T + idx], 0, 0)
 
-        prefetch = (iq_tab, ik_tab, fl_tab)
+        prefetch = (rank_t, iq_tab, ik_tab, fl_tab, qf_tab, kf_tab)
         dq_kern = _sparse_dq_kernel
 
     dq_spec = pltpu.PrefetchScalarGridSpec(
@@ -561,7 +642,7 @@ def _sparse_bwd_bhsd(q, k, v, out, lse, dout, row_tabs, col_tabs, per_head,
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
     )
     (dq,) = pl.pallas_call(
-        functools.partial(dq_kern, scale=scale, bq=bq, bkv=bkv, shift=shift),
+        functools.partial(dq_kern, scale=scale, bq=bq, bkv=bkv, T=T),
         grid_spec=dq_spec,
         out_shape=[jax.ShapeDtypeStruct((b, h, s_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -569,41 +650,48 @@ def _sparse_bwd_bhsd(q, k, v, out, lse, dout, row_tabs, col_tabs, per_head,
         interpret=interpret,
     )(*prefetch, q, k, v, dout, lse_r, delta_r)
 
-    # fully-uncovered q rows never emit: zero them explicitly
-    dq = _zero_uncovered_rows(dq, row_tabs, per_head, b, h, s_q, bq)
-
     # --- dk/dv over the column-major enumeration, GQA group inner ---
-    ihk_tab, ig_tab, iqc_tab, ikc_tab, flc_tab = (jnp.asarray(t) for t in col_tabs)
-    Tc = int(iqc_tab.shape[0])
+    ihk_tab, ig_tab, iqc_tab, ikc_tab, flc_tab, qfc_tab, kfc_tab = (
+        jnp.asarray(t) for t in col_tabs)
+    Tc = int(iqc_tab.shape[0]) // n_ranks
     if per_head:
         cgrid = (b, 1, Tc)
 
-        def qci(ib, _hk, idx, ihk_t, ig_t, iq_t, ik_t, fl_t):
-            return (ib, ihk_t[idx] * g + ig_t[idx], iq_t[idx], 0)
+        def qci(ib, _hk, idx, rk, ihk_t, ig_t, iq_t, ik_t, fl_t, qf_t, kf_t):
+            j = rk[0] * Tc + idx
+            return (ib, ihk_t[j] * g + ig_t[j], iq_t[j], 0)
 
-        def kvci(ib, _hk, idx, ihk_t, ig_t, iq_t, ik_t, fl_t):
-            return (ib, ihk_t[idx], ik_t[idx], 0)
+        def kvci(ib, _hk, idx, rk, ihk_t, ig_t, iq_t, ik_t, fl_t, qf_t, kf_t):
+            j = rk[0] * Tc + idx
+            return (ib, ihk_t[j], ik_t[j], 0)
 
-        def rowci(ib, _hk, idx, ihk_t, ig_t, iq_t, ik_t, fl_t):
-            return (ib * h + ihk_t[idx] * g + ig_t[idx], iq_t[idx], 0, 0)
+        def rowci(ib, _hk, idx, rk, ihk_t, ig_t, iq_t, ik_t, fl_t, qf_t, kf_t):
+            j = rk[0] * Tc + idx
+            return (ib * h + ihk_t[j] * g + ig_t[j], iq_t[j], 0, 0)
 
-        cprefetch = (ihk_tab, ig_tab, iqc_tab, ikc_tab, flc_tab)
+        cprefetch = (rank_t, ihk_tab, ig_tab, iqc_tab, ikc_tab, flc_tab,
+                     qfc_tab, kfc_tab)
 
-        def dkv_kern(ihk_t, ig_t, iq_t, ik_t, fl_t, *refs, **kw):
-            return _sparse_dkv_kernel(ig_t, iq_t, ik_t, fl_t, *refs, **kw)
+        def dkv_kern(rk, ihk_t, ig_t, iq_t, ik_t, fl_t, qf_t, kf_t,
+                     *refs, **kw):
+            return _sparse_dkv_kernel(rk, ig_t, iq_t, ik_t, fl_t, qf_t, kf_t,
+                                      *refs, **kw)
     else:
         cgrid = (b, h_kv, Tc)
 
-        def qci(ib, ihk, idx, ig_t, iq_t, ik_t, fl_t):
-            return (ib, ihk * g + ig_t[idx], iq_t[idx], 0)
+        def qci(ib, ihk, idx, rk, ig_t, iq_t, ik_t, fl_t, qf_t, kf_t):
+            j = rk[0] * Tc + idx
+            return (ib, ihk * g + ig_t[j], iq_t[j], 0)
 
-        def kvci(ib, ihk, idx, ig_t, iq_t, ik_t, fl_t):
-            return (ib, ihk, ik_t[idx], 0)
+        def kvci(ib, ihk, idx, rk, ig_t, iq_t, ik_t, fl_t, qf_t, kf_t):
+            return (ib, ihk, ik_t[rk[0] * Tc + idx], 0)
 
-        def rowci(ib, ihk, idx, ig_t, iq_t, ik_t, fl_t):
-            return (ib * h + ihk * g + ig_t[idx], iq_t[idx], 0, 0)
+        def rowci(ib, ihk, idx, rk, ig_t, iq_t, ik_t, fl_t, qf_t, kf_t):
+            j = rk[0] * Tc + idx
+            return (ib * h + ihk * g + ig_t[j], iq_t[j], 0, 0)
 
-        cprefetch = (ig_tab, iqc_tab, ikc_tab, flc_tab)
+        cprefetch = (rank_t, ig_tab, iqc_tab, ikc_tab, flc_tab, qfc_tab,
+                     kfc_tab)
         dkv_kern = _sparse_dkv_kernel
 
     dkv_spec = pltpu.PrefetchScalarGridSpec(
@@ -627,7 +715,7 @@ def _sparse_bwd_bhsd(q, k, v, out, lse, dout, row_tabs, col_tabs, per_head,
         ],
     )
     dk, dv = pl.pallas_call(
-        functools.partial(dkv_kern, scale=scale, bq=bq, bkv=bkv, shift=shift),
+        functools.partial(dkv_kern, scale=scale, bq=bq, bkv=bkv, T=Tc),
         grid_spec=dkv_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, h_kv, s_kv, d), jnp.float32),
@@ -637,32 +725,7 @@ def _sparse_bwd_bhsd(q, k, v, out, lse, dout, row_tabs, col_tabs, per_head,
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(*cprefetch, q, k, v, dout, lse_r, delta_r)
-
-    dk = _zero_uncovered_cols(dk, col_tabs, per_head, b, h_kv, s_kv, bkv)
-    dv = _zero_uncovered_cols(dv, col_tabs, per_head, b, h_kv, s_kv, bkv)
     return dq, dk, dv
-
-
-def _zero_uncovered_rows(dq, row_tabs, per_head, b, h, s_q, bq):
-    ih_tab, iq_tab = row_tabs[0], row_tabs[1]
-    nq = s_q // bq
-    cov = np.zeros((h, nq), dtype=bool) if per_head else np.zeros((1, nq), bool)
-    cov[ih_tab if per_head else 0, iq_tab] = True
-    if cov.all():
-        return dq
-    covv = np.repeat(cov, bq, axis=1)[None, :, :, None]  # (1, H|1, s, 1)
-    return jnp.where(jnp.asarray(covv), dq, jnp.zeros((), dq.dtype))
-
-
-def _zero_uncovered_cols(dkv, col_tabs, per_head, b, h_kv, s_kv, bkv):
-    ihk_tab, ikc_tab = col_tabs[0], col_tabs[3]
-    nk = s_kv // bkv
-    cov = np.zeros((h_kv, nk), dtype=bool) if per_head else np.zeros((1, nk), bool)
-    cov[ihk_tab if per_head else 0, ikc_tab] = True
-    if cov.all():
-        return dkv
-    covv = np.repeat(cov, bkv, axis=1)[None, :, :, None]
-    return jnp.where(jnp.asarray(covv), dkv, jnp.zeros((), dkv.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -676,49 +739,66 @@ def _to_bhsd(x):
 
 @functools.lru_cache(maxsize=None)
 def _make_sparse_op(mask_key, mask_shape, h, n_q, n_kv, causal, scale, bq, bkv,
-                    g, interpret):
+                    g, interpret, n_ranks=1):
+    """``n_ranks > 1``: the mask's head axis covers ``h * n_ranks`` global
+    heads split into contiguous per-rank blocks (the ulysses a2a hands rank r
+    heads [r*h, (r+1)*h)); each rank's per-head tables are built separately,
+    padded to a common length with DEAD entries, and selected in-kernel by
+    the traced rank — what lets per-head masks compose with ulysses > 1."""
     mask = np.frombuffer(mask_key, dtype=np.bool_).reshape(mask_shape)
-    mh, per_head, straddle = _normalize_mask(mask, h, n_q, n_kv, causal, bq, bkv)
-    row_tabs, covered = _row_tables(mh, straddle, per_head)
-    col_tabs = _col_tables(mh, straddle, per_head, g)
+    shift = n_kv * bkv - n_q * bq
+    if n_ranks > 1:
+        per_head = True
+        rows, cols = [], []
+        for r in range(n_ranks):
+            mh_r, _, straddle = _normalize_mask(
+                mask[r * h:(r + 1) * h], h, n_q, n_kv, causal, bq, bkv)
+            rows.append(_row_tables(mh_r, straddle, True, bq=bq, bkv=bkv,
+                                    shift=shift))
+            cols.append(_col_tables(mh_r, straddle, True, g, bq=bq, bkv=bkv,
+                                    shift=shift))
+        row_tabs, _ = _pad_rank_tables(rows, flag_col=3)
+        col_tabs, _ = _pad_rank_tables(cols, flag_col=4)
+        any_live = mask.any()
+    else:
+        mh, per_head, straddle = _normalize_mask(mask, h, n_q, n_kv, causal,
+                                                 bq, bkv)
+        row_tabs = _row_tables(mh, straddle, per_head, bq=bq, bkv=bkv,
+                               shift=shift)
+        col_tabs = _col_tables(mh, straddle, per_head, g, bq=bq, bkv=bkv,
+                               shift=shift)
+        any_live = mh.any()
     _check_smem(*row_tabs, *col_tabs)
-    if row_tabs[0].size == 0:
+    if not any_live:
         raise ValueError("block_mask has no live tiles")
 
-    # per-token coverage fix-up for fully-masked q rows (out = 0, lse = -inf)
-    if covered.all():
-        cov_tok = None
-    else:
-        cov_tok = np.repeat(covered, bq, axis=1)  # (H|1, s_q)
-
-    def fwd(q, k, v):  # BHSD
-        out, lse = _sparse_fwd_bhsd(
+    def fwd(q, k, v, rank):  # BHSD
+        # fully-masked q rows get DEAD zero-emit table entries, so the kernel
+        # itself writes the merge identity (out = 0, lse = -inf) — no
+        # host-side coverage fix-up
+        return _sparse_fwd_bhsd(
             q, k, v, row_tabs, per_head,
-            scale=scale, bq=bq, bkv=bkv, interpret=interpret)
-        if cov_tok is not None:
-            # where, not multiply: never-emitted output blocks hold garbage
-            # (NaN in interpret mode) and NaN * 0 == NaN
-            cv = jnp.asarray(cov_tok)[None]  # (1, H|1, s)
-            out = jnp.where(cv[..., None], out, jnp.zeros((), out.dtype))
-            lse = jnp.where(cv, lse, -jnp.inf)
-        return out, lse
+            scale=scale, bq=bq, bkv=bkv, interpret=interpret,
+            rank=rank, n_ranks=n_ranks)
 
     @jax.custom_vjp
-    def op(q, k, v):
-        return fwd(q, k, v)
+    def op(q, k, v, rank):
+        return fwd(q, k, v, rank)
 
-    def op_fwd(q, k, v):
-        out, lse = fwd(q, k, v)
-        return (out, lse), (q, k, v, out, lse)
+    def op_fwd(q, k, v, rank):
+        out, lse = fwd(q, k, v, rank)
+        return (out, lse), (q, k, v, rank, out, lse)
 
     def op_bwd(res, cts):
-        q, k, v, out, lse = res
+        q, k, v, rank, out, lse = res
         dout, _ = cts  # no gradient path through the LSE output
         dq, dk, dv = _sparse_bwd_bhsd(
             q, k, v, out, dout=dout.astype(q.dtype), lse=lse,
             row_tabs=row_tabs, col_tabs=col_tabs, per_head=per_head,
-            scale=scale, bq=bq, bkv=bkv, interpret=interpret)
-        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+            scale=scale, bq=bq, bkv=bkv, interpret=interpret,
+            rank=rank, n_ranks=n_ranks)
+        return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+                None)
 
     op.defvjp(op_fwd, op_bwd)
     return op
@@ -742,6 +822,7 @@ def block_sparse_attention(
     block_kv: int = 512,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
+    head_shard=None,
 ):
     """Block-sparse flash attention over a static tile mask (True = attend).
 
@@ -751,6 +832,13 @@ def block_sparse_attention(
     the causal triangle and applies exact in-tile masking on diagonal tiles
     (positions bottom-aligned when s_q != s_kv, matching ops/reference.py).
     A 3-D mask gives every query head its own pattern.
+
+    ``head_shard=(rank, n_ranks)`` — heads are ulysses-sharded: the 3-D
+    mask's head axis covers ``h * n_ranks`` GLOBAL heads and this call's h
+    local heads are global block ``rank`` (traced ``lax.axis_index``); each
+    rank's tables are rank-selected in-kernel, so per-head masks compose
+    with ulysses > 1 (the reference's per-rank SpargeAttn tuning state,
+    `test/test_hybrid_attn.py:269-277`).
 
     Differentiable: the backward runs sparse dq / dk+dv kernels over the same
     live-tile set. The mask must be a concrete host array — it keys the
@@ -773,9 +861,21 @@ def block_sparse_attention(
     interpret = default_interpret() if interpret is None else interpret
 
     mask = np.ascontiguousarray(np.asarray(block_mask, dtype=np.bool_))
+    rank = None
+    n_ranks = 1
+    if head_shard is not None:
+        rank, n_ranks = head_shard
+        if n_ranks > 1 and (mask.ndim != 3 or mask.shape[0] != h * n_ranks):
+            raise ValueError(
+                f"head_shard needs a per-head mask of {h * n_ranks} global "
+                f"heads; got shape {mask.shape} for {h} local heads x "
+                f"{n_ranks} ranks")
+        if n_ranks == 1:
+            rank = None
     op = _make_sparse_op(
         mask.tobytes(), mask.shape, h, n_q, n_kv, bool(causal), float(scale),
-        block_q, block_kv, h // h_kv, bool(interpret))
-    out, lse = op(_to_bhsd(q), _to_bhsd(k), _to_bhsd(v))
+        block_q, block_kv, h // h_kv, bool(interpret), int(n_ranks))
+    rank_arr = _rank_arr(rank)
+    out, lse = op(_to_bhsd(q), _to_bhsd(k), _to_bhsd(v), rank_arr)
     out = _to_bhsd(out)
     return (out, lse) if return_lse else out

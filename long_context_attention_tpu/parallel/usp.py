@@ -36,6 +36,7 @@ from long_context_attention_tpu.utils.config import BlockSizes
 
 __all__ = ["usp_attention_local", "async_usp_attention_local",
            "ulysses_sparse_attention_local",
+           "usp_ring_sparse_attention_local",
            "LongContextAttention", "UlyssesAttention",
            "AsyncLongContextAttention"]
 
@@ -128,24 +129,60 @@ def ulysses_sparse_attention_local(
     static live-tile mask (ops/sparse.py) applies unchanged — the sparse
     analog of `UlyssesAttention.forward` (`ulysses/attn_layer.py:50-120`).
 
-    Only shared (2-D) masks compose with ulysses > 1: a per-head (3-D) mask
-    would need a different static tile table per rank, but ``shard_map``
-    traces one SPMD program (per-head masks work on the single-device /
-    ulysses=1 path). Ring composition is likewise out of scope: ring ranks
-    see traced KV offsets, while the sparse tables are static by design.
+    Per-head (3-D) masks compose with ulysses > 1 through rank-indexed
+    tables: the a2a hands rank r the r-th contiguous global head block, so
+    each rank's per-head tile tables are built at trace time and selected
+    in-kernel by ``lax.axis_index`` (``head_shard`` in
+    ops/sparse.block_sparse_attention) — the analog of the reference's
+    per-rank SpargeAttn tuning state (`test/test_hybrid_attn.py:269-277`).
     """
     from long_context_attention_tpu.ops.sparse import block_sparse_attention
 
     import numpy as _np
-    if _np.asarray(block_mask).ndim != 2 and lax.axis_size(ulysses_axis) > 1:
-        raise ValueError(
-            "per-head (3-D) block masks do not compose with ulysses > 1 — "
-            "every rank runs the same static tile table; use a shared mask")
+    uly = lax.axis_size(ulysses_axis)
     q = scatter_heads(q, ulysses_axis)
     k = scatter_heads(k, ulysses_axis)
     v = scatter_heads(v, ulysses_axis)
+    head_shard = None
+    if _np.asarray(block_mask).ndim == 3 and uly > 1:
+        head_shard = (lax.axis_index(ulysses_axis), uly)
     out = block_sparse_attention(
         q, k, v, block_mask, causal=causal, softmax_scale=softmax_scale,
+        block_q=block_q, block_kv=block_kv, interpret=interpret,
+        head_shard=head_shard)
+    return gather_heads(out, ulysses_axis)
+
+
+def usp_ring_sparse_attention_local(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_mask,
+    *,
+    ulysses_axis: str,
+    ring_axis: str,
+    layout: str = "zigzag",
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Block-sparse USP: head-scatter a2a over ulysses, then the ring-sparse
+    schedule (parallel/ring_sparse.py) over the ring axis — the full
+    ``a2a ∘ ring ∘ a2a⁻¹`` composition with a static global tile mask, the
+    reference's SPARSE_SAGE-through-USP dispatch (`ring/ring_flash_attn.py:36`,
+    `kernels/__init__.py:244-268`). Shared (2-D) global masks; layouts
+    basic/zigzag. Differentiable (sparse ring backward)."""
+    from long_context_attention_tpu.parallel.ring_sparse import (
+        ring_sparse_attention_local)
+
+    q = scatter_heads(q, ulysses_axis)
+    k = scatter_heads(k, ulysses_axis)
+    v = scatter_heads(v, ulysses_axis)
+    out = ring_sparse_attention_local(
+        q, k, v, block_mask, axis_name=ring_axis, layout=layout,
+        causal=causal, softmax_scale=softmax_scale,
         block_q=block_q, block_kv=block_kv, interpret=interpret)
     return gather_heads(out, ulysses_axis)
 
@@ -255,12 +292,33 @@ class LongContextAttention(_LayerBase):
                  dropout_p: float = 0.0,
                  dropout_key=None,
                  alibi_slopes=None,
-                 sink_tokens: int = 0) -> jnp.ndarray:
+                 sink_tokens: int = 0,
+                 block_mask=None,
+                 sparse_block_q: int = 512,
+                 sparse_block_kv: int = 512) -> jnp.ndarray:
         """``dropout_p``/``dropout_key`` and ``alibi_slopes`` ((h,) global
         slopes) match the reference layer's training knobs
         (`hybrid/attn_layer.py:62-67`); both are replicated operands — the
         local shards slice/seed by rank inside ``usp_attention_local``.
-        ``sink_tokens``: StreamingLLM sinks through the left window."""
+        ``sink_tokens``: StreamingLLM sinks through the left window.
+        ``block_mask``: a static (S/sparse_block_q, S/sparse_block_kv) GLOBAL
+        tile mask routes the call through the block-sparse USP composition
+        (a2a ∘ ring-sparse ∘ a2a⁻¹; basic/zigzag layouts, differentiable)."""
+        if block_mask is not None:
+            if (window_size != (-1, -1) or softcap != 0.0
+                    or segment_ids is not None or dropout_p > 0.0
+                    or alibi_slopes is not None or sink_tokens > 0):
+                raise NotImplementedError(
+                    "block_mask composes with causal/softmax_scale only — "
+                    "encode windows/sinks in the mask itself")
+            fn = functools.partial(
+                usp_ring_sparse_attention_local, block_mask=block_mask,
+                ulysses_axis=self.axes.ulysses, ring_axis=self.axes.ring,
+                layout=self.layout, causal=causal,
+                softmax_scale=softmax_scale, block_q=sparse_block_q,
+                block_kv=sparse_block_kv, interpret=self.interpret,
+            )
+            return self._shard_map(lambda q, k, v: fn(q, k, v), 3)(q, k, v)
         fn = functools.partial(
             usp_attention_local,
             ulysses_axis=self.axes.ulysses, ring_axis=self.axes.ring,
@@ -353,7 +411,7 @@ class UlyssesAttention(_LayerBase):
                  sparse_block_kv: int = 512) -> jnp.ndarray:
         if block_mask is not None:
             # block-sparse local attention (ops/sparse.py) after the a2a;
-            # shared (2-D) static tile masks only — see
+            # 2-D shared or 3-D per-head (rank-indexed tables) masks — see
             # ulysses_sparse_attention_local
             if window_size != (-1, -1) or softcap != 0.0:
                 raise NotImplementedError(

@@ -47,6 +47,7 @@ def sharded_decode_attention(
     layer: Optional[jnp.ndarray] = None,
     softcap: float = 0.0,
     window_left: int = -1,
+    sink_tokens: int = 0,
 ) -> jnp.ndarray:
     """Decode attention over a ring-sharded cache. Returns (b, h, d) bf16
     ((b, n_tok, h, d) for multi-token runs — the speculative verify).
@@ -54,40 +55,46 @@ def sharded_decode_attention(
     Rank r's filled prefix is ``clip(L - r*slots, 0, slots)``; empty shards
     contribute lse=-inf partials that merge to a no-op. ``softcap`` is
     position-free; for ``window_left`` each rank receives its slice of the
-    GLOBAL window [L-1-w, L) as explicit per-row first columns — a rank
-    wholly left of the window goes dead and merges away.
+    GLOBAL window as explicit per-row first columns (UNCLIPPED, token-0
+    bound; the kernel adds the token index for multi-token runs, so the
+    speculative verify composes with sliding windows) — a rank wholly left
+    of the window goes dead and merges away. ``sink_tokens`` (StreamingLLM):
+    each rank keeps its slice of the global sink prefix visible via
+    ``sink_cols`` — rank r's slice is ``clip(sink - r*slots, 0, slots)``.
 
     Multi-token runs pass UNCLIPPED local lengths (L - r*slots): the
     kernel's per-row causal limit ``length - n + it`` then lands at the
     right LOCAL column on the boundary rank, stays past every column on
     interior ranks, and goes dead on ranks beyond the data (the kernel
-    clamps its own DMA indices). Sliding windows are not supported for
-    multi-token runs over a sharded cache (per-(row, token) first columns).
+    clamps its own DMA indices).
     """
     multi = q.ndim == 4
+    n_tok = q.shape[1] if multi else 1
     axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
     r = lax.axis_index(axes)
     n = 1
     for a in axes:
         n *= lax.axis_size(a)
     slots = k_shard.shape[3 if layer is not None else 2]
-    first_cols = None
+    first_cols = sink_cols = None
     if multi:
-        if window_left >= 0:
-            raise NotImplementedError(
-                "sliding window + multi-token sharded decode needs "
-                "per-(row, token) first columns")
         local_len = global_lengths - r * slots  # unclipped, see docstring
     else:
         local_len = jnp.clip(global_lengths - r * slots, 0, slots)
-        if window_left >= 0:
-            fc_global = jnp.maximum(global_lengths - 1 - window_left, 0)
-            first_cols = jnp.clip(fc_global - r * slots, 0, slots)
+    if window_left >= 0:
+        # token 0 sits at global position L - n_tok; its first visible
+        # column is L - n_tok - window_left (unclipped — the kernel
+        # handles negatives and adds the per-token shift)
+        first_cols = global_lengths - n_tok - window_left - r * slots
+        if sink_tokens > 0:
+            sink_cols = jnp.clip(
+                jnp.full_like(global_lengths, sink_tokens) - r * slots,
+                0, slots)
     out, lse = decode_attention(
         q, k_shard, v_shard, local_len, k_scale, v_scale,
         softmax_scale=softmax_scale, block_kv=block_kv, interpret=interpret,
         return_lse=True, layer=layer, softcap=softcap,
-        first_cols=first_cols,
+        first_cols=first_cols, sink_cols=sink_cols,
     )  # (b, h, d), (b, h) — multi: (b, n_tok, h, d), (b, h, n_tok)
 
     outs = lax.all_gather(out.astype(jnp.float32), axes)

@@ -351,3 +351,46 @@ def test_logprobs_off_by_default_and_spec_guard(params):
     with pytest.raises(ValueError, match="logprobs"):
         SpeculativeContinuousEngine(CFG, s_max=S_MAX, max_batch=1,
                                     draft_cfg=CFG, return_logprobs=True)
+
+
+def test_streaming_llm_sharded_speculative(params):
+    """StreamingLLM (sliding window + sinks) x speculative decoding x
+    ShardedContinuousEngine on the CPU mesh — the three round-3 features
+    that previously did not compose (VERDICT r3 #5): the sharded verify
+    takes per-(row, token) window bounds and each rank keeps its slice of
+    the sink prefix visible. Greedy outputs must equal the plain (non-
+    speculative) ShardedContinuousEngine's — speculative rounds invisible
+    to the math within the sharded kernel family (sharded-vs-single-device
+    windowed logits differ in the fp32 LSE merge order and are gated
+    separately at 80% trajectory agreement, test_serving.py)."""
+    import dataclasses as dc
+
+    from long_context_attention_tpu.models.llama import init_params as ip
+    from long_context_attention_tpu.parallel.mesh import make_usp_mesh
+    from long_context_attention_tpu.serving import (
+        ShardedContinuousEngine,
+        ShardedSpeculativeContinuousEngine,
+    )
+
+    wcfg = dc.replace(CFG, window_left=24, sink_tokens=8)
+    draft8 = ModelConfig(vocab=96, dim=32, n_layers=1, n_heads=4,
+                         n_kv_heads=2, head_dim=16, ffn_hidden=64,
+                         layout="basic", window_left=24, sink_tokens=8)
+    dparams8 = ip(jax.random.PRNGKey(9), draft8)
+    mesh = make_usp_mesh(1, 2, 4)
+    # prompts exceed window + sink so both masks bite, and lengths cross
+    # shard-slot multiples during decode (slots = s_max / 8). Seed base 70
+    # hits a genuine one-bf16-ulp top-2 logit tie (gap 0.0156 at |logit| 2 —
+    # the CLAUDE.md shape-rounding near-tie) that flips one greedy token
+    # between the 1-row and 4-row matmul shapes; 80+ are tie-free.
+    reqs = [Request(id=i, tokens=_prompt(80 + i, n), max_new=m)
+            for i, (n, m) in enumerate([(40, 8), (64, 6), (50, 7)])]
+    spec = ShardedSpeculativeContinuousEngine(
+        wcfg, s_max=S_MAX, max_batch=2, mesh=mesh,
+        draft_cfg=draft8, gamma=3,
+    ).serve(params, dparams8, reqs)
+    plain = ShardedContinuousEngine(wcfg, s_max=S_MAX, max_batch=2,
+                                    mesh=mesh).serve(params, reqs)
+    for i in plain:
+        assert spec[i].tokens == plain[i].tokens, (
+            i, spec[i].tokens, plain[i].tokens)

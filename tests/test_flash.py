@@ -199,10 +199,11 @@ def test_fused_bwd_matches_two_kernel_tpu(rng, causal, win):
                                       err_msg=name)
 
 
-def test_fast_softmax_inside_reference_gate(rng):
-    """fast_softmax=True (bf16 exp2 on the fast paths) stays well inside the
-    reference's bf16 gate on both causal (tri grid) and non-causal (static)
-    paths, and the backward is unchanged (fp32 recompute)."""
+def test_fast_vs_safe_softmax(rng):
+    """The default max-free clamped-exp2 softmax agrees with the online
+    running-max form (safe_softmax=True) on both causal (tri grid) and
+    non-causal (static) fast paths, and the backward (fp32 recompute from the
+    final lse) is softmax-form-independent."""
     import jax
 
     q = jnp.asarray(rng.normal(size=(1, 256, 4, 64)), jnp.bfloat16)
@@ -210,19 +211,28 @@ def test_fast_softmax_inside_reference_gate(rng):
     v = jnp.asarray(rng.normal(size=(1, 256, 2, 64)), jnp.bfloat16)
     bs = BlockSizes(64, 64)
     for causal in (True, False):
-        fast = flash_attention(q, k, v, causal=causal, block_sizes=bs,
-                               fast_softmax=True)
-        base = flash_attention(q, k, v, causal=causal, block_sizes=bs)
+        fast = flash_attention(q, k, v, causal=causal, block_sizes=bs)
+        safe = flash_attention(q, k, v, causal=causal, block_sizes=bs,
+                               safe_softmax=True)
         d = float(jnp.max(jnp.abs(fast.astype(jnp.float32)
-                                  - base.astype(jnp.float32))))
-        assert d < 3e-2, (causal, d)  # ~2 bf16 output ulps
+                                  - safe.astype(jnp.float32))))
+        # only the scale-fold's one extra bf16 rounding of q separates them
+        assert d < 3e-2, (causal, d)
 
-    def loss(q, k, v, fs):
+    # lse parity (merge contract): both forms must produce the same lse
+    _, lse_f = flash_attention(q, k, v, causal=True, block_sizes=bs,
+                               return_lse=True)
+    _, lse_s = flash_attention(q, k, v, causal=True, block_sizes=bs,
+                               safe_softmax=True, return_lse=True)
+    assert float(jnp.max(jnp.abs(lse_f - lse_s))) < 3e-2
+
+    def loss(q, k, v, safe):
         return jnp.sum(flash_attention(q, k, v, causal=True, block_sizes=bs,
-                                       fast_softmax=fs).astype(jnp.float32) ** 2)
+                                       safe_softmax=safe
+                                       ).astype(jnp.float32) ** 2)
 
-    gf = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, True)
-    gb = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, False)
+    gf = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, False)
+    gb = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, True)
     for a, b in zip(gf, gb):
         # backward recomputes in fp32 from (out, lse): only the slightly
         # different forward residuals separate the two

@@ -143,3 +143,56 @@ def test_windowed_sink_model_serves():
     l2, _ = eng.prefill_chunked(params, prompt, chunk_size=16)
     np.testing.assert_allclose(np.asarray(l2), np.asarray(logits),
                                atol=2e-2, rtol=0)
+
+
+def test_sharded_decode_sink_window_matches_unsharded(rng):
+    """Sink + sliding window over a sequence-sharded cache (per-rank
+    first_cols + sink_cols), single-token AND multi-token runs, vs the
+    unsharded kernel — the round-3 composition holes (VERDICT r3 #5):
+    sharded.py's multi-token window and decode.py's sinks + first_cols."""
+    import functools
+    from jax.sharding import Mesh, PartitionSpec as P
+    from long_context_attention_tpu.ops.decode import decode_attention
+    from long_context_attention_tpu.serving.sharded import (
+        sharded_decode_attention)
+
+    B2, H, HKV, D, SMAX, R, N = 2, 4, 2, 64, 256, 4, 5
+    W, SINK = 40, 16  # window spans a shard boundary; sinks live on rank 0
+    k = jnp.asarray(rng.normal(size=(B2, HKV, SMAX, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B2, HKV, SMAX, D)), jnp.bfloat16)
+    lengths = jnp.asarray([100, 190], jnp.int32)
+    mesh = Mesh(np.array(jax.devices()[:R]), axis_names=("ring",))
+    spec_kv = P(None, None, "ring", None)
+
+    def run(q):
+        fn = functools.partial(sharded_decode_attention, axis_name="ring",
+                               window_left=W, sink_tokens=SINK)
+        return jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=(P(), spec_kv, spec_kv, P()),
+            out_specs=P(), check_vma=False))(q, k, v, lengths)
+
+    # single-token
+    q1 = jnp.asarray(rng.normal(size=(B2, H, D)), jnp.bfloat16)
+    got = run(q1)
+    want = decode_attention(q1, k, v, lengths, window_size=(W, -1),
+                            sink_tokens=SINK)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=5e-2, rtol=0)
+    # the sinks must matter: without them the result differs
+    got_ns = jax.jit(jax.shard_map(
+        functools.partial(sharded_decode_attention, axis_name="ring",
+                          window_left=W),
+        mesh=mesh, in_specs=(P(), spec_kv, spec_kv, P()),
+        out_specs=P(), check_vma=False))(q1, k, v, lengths)
+    assert float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                 - got_ns.astype(jnp.float32)))) > 1e-3
+
+    # multi-token (speculative verify): per-(row, token) window bounds
+    qn = jnp.asarray(rng.normal(size=(B2, N, H, D)), jnp.bfloat16)
+    gotn = run(qn)
+    wantn = decode_attention(qn, k, v, lengths, window_size=(W, -1),
+                             sink_tokens=SINK)
+    np.testing.assert_allclose(np.asarray(gotn, np.float32),
+                               np.asarray(wantn, np.float32),
+                               atol=5e-2, rtol=0)
