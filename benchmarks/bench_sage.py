@@ -58,14 +58,76 @@ def bench(seq, iters, *, heads=32, kv_heads=8, head_dim=128, causal=True,
     return flops / dt / 1e12, dt
 
 
+def bench_ring_step(seq_local, iters, *, heads=32, kv_heads=8, head_dim=128,
+                    impl="sage", diagonal=False, best_of=3):
+    """One ring STEP at position-descriptor shapes: local q block at global
+    offset q0 attending a rotated KV block at offset kv0 (both traced, like
+    the ring passes them). ``diagonal`` = the self step (in-tile causal
+    masking); otherwise an interior step (q strictly after kv: all tiles
+    fully visible). Measures the ring x sage dispatch the reference gets
+    from `ring/ring_flash_attn.py:36`."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from long_context_attention_tpu.ops.flash import flash_attention_fwd
+    from long_context_attention_tpu.ops.sage import sage_attention_fwd
+
+    b = 1
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (b, seq_local, heads, head_dim), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, seq_local, kv_heads, head_dim), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, seq_local, kv_heads, head_dim), jnp.bfloat16)
+    q0 = jnp.asarray([seq_local if not diagonal else 0], jnp.int32)
+    kv0 = jnp.asarray([0], jnp.int32)
+    fn = sage_attention_fwd if impl == "sage" else flash_attention_fwd
+
+    @jax.jit
+    def chained(q, k, v, q0, kv0):
+        def body(_, qq):
+            out, _ = fn(qq, k, v, causal=True, q_offsets=q0, kv_offsets=kv0)
+            return out.astype(q.dtype)
+        return jnp.sum(lax.fori_loop(0, iters, body, q).astype(jnp.float32))
+
+    float(chained(q, k, v, q0, kv0))
+    best = float("inf")
+    for _ in range(best_of):
+        t0 = time.perf_counter()
+        float(chained(q, k, v, q0, kv0))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / iters
+    frac = 0.5 if diagonal else 1.0
+    flops = 2 * 2 * b * heads * seq_local * seq_local * head_dim * frac
+    return flops / dt / 1e12, dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq", type=int, default=131072)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--no-bf16", action="store_true")
     ap.add_argument("--non-causal", action="store_true")
+    ap.add_argument("--ring-step", action="store_true",
+                    help="benchmark one ring step (position-descriptor "
+                         "shapes) sage vs bf16 at --seq local tokens")
     args = ap.parse_args()
     causal = not args.non_causal
+
+    if args.ring_step:
+        for diag in (False, True):
+            kind = "diagonal" if diag else "interior"
+            tf_s, dt_s = bench_ring_step(args.seq, args.iters, impl="sage",
+                                         diagonal=diag)
+            tf_f, dt_f = bench_ring_step(args.seq, args.iters, impl="pallas",
+                                         diagonal=diag)
+            print(f"ring step {kind:9s} ({args.seq} local): "
+                  f"sage {tf_s:6.1f} eff-TFLOP/s ({dt_s*1e3:.1f} ms)  "
+                  f"bf16 {tf_f:6.1f} ({dt_f*1e3:.1f} ms)  "
+                  f"speedup {dt_f/dt_s:.2f}x", file=sys.stderr)
+        print(json.dumps({"metric": f"sage_ring_step_{args.seq//1024}k",
+                          "value": round(tf_s, 2), "unit": "TFLOP/s",
+                          "vs_baseline": round(dt_f / dt_s, 3)}))
+        return
 
     rows = []
     for impl, pv in (("sage", True), ("sage", False)):

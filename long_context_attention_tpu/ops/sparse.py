@@ -314,19 +314,23 @@ def _pos_causal_mask(qf, kf, bq, bkv):
 def _sparse_fwd_kernel(
     rank_t, iq_tab, ik_tab, fl_tab, qf_tab, kf_tab,
     q_ref, k_ref, v_ref, out_ref, lse_ref,
-    m_scr, l_scr, acc_scr,
-    *, scale: float, bq: int, bkv: int, T: int,
+    l_scr, acc_scr,
+    *, bq: int, bkv: int, T: int,
 ):
     # grid (b, H, T): the live-tile step dimension; rank_t selects this
     # device's slice of the (n_ranks * T) flattened tables (ring rank or
-    # ulysses head-shard — 0 on the single-device path)
+    # ulysses head-shard — 0 on the single-device path). Softmax is the
+    # max-free clamped exp2 fast form (ops/flash.py _CLAMP): the driver
+    # pre-folds scale * log2e into q, p accumulates raw in fp32, one
+    # normalize at emit — no per-tile max/subtract/rescale chain.
+    from long_context_attention_tpu.ops.flash import _CLAMP
+
     j = rank_t[0] * T + pl.program_id(2)
     fl = fl_tab[j]
     alive = (fl & _F_DEAD) == 0
 
     @pl.when((fl & _F_FIRST) != 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -336,21 +340,13 @@ def _sparse_fwd_kernel(
         v = v_ref[0, 0, :, :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = s * (scale * _LOG2E)
         if masked:
             mask = _pos_causal_mask(qf_tab[j], kf_tab[j], bq, bkv)
             s = jnp.where(mask, NEG_INF, s)
-        m_prev = m_scr[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp2(s - m_new)
-        if masked:
-            p = jnp.where(mask, 0.0, p)
-        alpha = jnp.exp2(m_prev - m_new)
-        l_scr[...] = jnp.broadcast_to(
-            l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True), l_scr.shape)
-        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+        p = jnp.exp2(jnp.minimum(s, _CLAMP))  # exp2(NEG_INF) == 0: masked
+        l_scr[:, :1] = l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[...] = acc_scr[...] + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
 
     @pl.when(alive & ((fl & _F_MASKED) == 0))
     def _():
@@ -363,12 +359,11 @@ def _sparse_fwd_kernel(
     @pl.when((fl & _F_LAST) != 0)
     def _emit():
         l = l_scr[:, :1]
-        m = m_scr[:, :1]
         dead = l == 0.0
         safe_l = jnp.where(dead, 1.0, l)
         out_ref[...] = jnp.where(dead, 0.0, acc_scr[...] / safe_l
                                  ).astype(out_ref.dtype).reshape(out_ref.shape)
-        lse_ref[...] = jnp.where(dead, -jnp.inf, m * _LN2 + jnp.log(safe_l)
+        lse_ref[...] = jnp.where(dead, -jnp.inf, jnp.log(safe_l)
                                  ).reshape(lse_ref.shape)
 
 
@@ -386,6 +381,8 @@ def _sparse_fwd_bhsd(q, k, v, tabs, per_head, *, scale, bq, bkv, interpret,
     b, h, s_q, d = q.shape
     h_kv = k.shape[1]
     g = h // h_kv
+    # fold scale * log2e into q once (the kernel's max-free exp2 softmax)
+    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     ih_tab, iq_tab, ik_tab, fl_tab, qf_tab, kf_tab = (jnp.asarray(t) for t in tabs)
     T = int(iq_tab.shape[0]) // n_ranks
     rank_t = _rank_arr(rank)
@@ -439,13 +436,12 @@ def _sparse_fwd_bhsd(q, k, v, tabs, per_head, *, scale, bq, bkv, interpret,
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
         ],
     )
     heads_per_step = 1 if per_head else h
     out, lse = pl.pallas_call(
-        functools.partial(kern, scale=scale, bq=bq, bkv=bkv, T=T),
+        functools.partial(kern, bq=bq, bkv=bkv, T=T),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, h, s_q, d), q.dtype),
@@ -768,7 +764,10 @@ def _make_sparse_op(mask_key, mask_shape, h, n_q, n_kv, causal, scale, bq, bkv,
         col_tabs = _col_tables(mh, straddle, per_head, g, bq=bq, bkv=bkv,
                                shift=shift)
         any_live = mh.any()
-    _check_smem(*row_tabs, *col_tabs)
+    # fwd/dq (row tables) and dk/dv (col tables) are SEPARATE pallas calls;
+    # each prefetches only its own tables, so the budget applies per set
+    _check_smem(*row_tabs)
+    _check_smem(*col_tabs)
     if not any_live:
         raise ValueError("block_mask has no live tiles")
 

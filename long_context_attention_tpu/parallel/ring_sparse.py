@@ -138,7 +138,9 @@ def _ring_step_tables(mask_key, mask_shape, causal, W, layout,
 
         row_tabs, _ = _pad_rank_tables(row_ranks, flag_col=3)
         col_tabs, _ = _pad_rank_tables(col_ranks, flag_col=4)
-        _check_smem(*row_tabs, *col_tabs)
+        # row (fwd/dq) and col (dk/dv) tables ride separate pallas calls
+        _check_smem(*row_tabs)
+        _check_smem(*col_tabs)
         steps.append((row_tabs, col_tabs))
     return tuple(steps)
 

@@ -357,22 +357,50 @@ class LongContextAttention(_LayerBase):
     def packed(self, qkv, *, causal: bool = False,
                softmax_scale: Optional[float] = None,
                window_size: Tuple[int, int] = (-1, -1),
-               softcap: float = 0.0) -> jnp.ndarray:
-        def fn(qkv_local):
+               softcap: float = 0.0,
+               segment_ids: Optional[jnp.ndarray] = None,
+               dropout_p: float = 0.0,
+               dropout_key=None,
+               alibi_slopes=None,
+               sink_tokens: int = 0) -> jnp.ndarray:
+        """Full kwargs parity with ``__call__`` — the reference threads the
+        complete training-knob set through its packed layer too
+        (`hybrid/attn_layer.py:164-259`); kv_quant/bidirectional/impl come
+        from the layer's constructor like the unpacked path."""
+        fn = functools.partial(
+            usp_attention_local,
+            ulysses_axis=self.axes.ulysses, ring_axis=self.axes.ring,
+            layout=self.layout, causal=causal, softmax_scale=softmax_scale,
+            window_size=window_size, softcap=softcap, impl=self.impl,
+            kv_quant=self.kv_quant, bidirectional=self.bidirectional,
+            dropout_p=dropout_p, sink_tokens=sink_tokens,
+            block_sizes=self.block_sizes, interpret=self.interpret,
+        )
+        extras, specs, names = [], [], []
+        if segment_ids is not None:
+            extras.append(segment_ids)
+            specs.append(P(self.axes.dp, self.axes.seq))
+            names.append("segment_ids")
+        if alibi_slopes is not None:
+            extras.append(jnp.asarray(alibi_slopes, jnp.float32))
+            specs.append(P())
+            names.append("alibi_slopes")
+        if dropout_p > 0.0:
+            if dropout_key is None:
+                raise ValueError("dropout_p > 0 requires dropout_key")
+            extras.append(dropout_key)
+            specs.append(P())
+            names.append("dropout_key")
+
+        def run(qkv_local, *ex):
             q, k, v = qkv_local[:, :, 0], qkv_local[:, :, 1], qkv_local[:, :, 2]
-            return usp_attention_local(
-                q, k, v,
-                ulysses_axis=self.axes.ulysses, ring_axis=self.axes.ring,
-                layout=self.layout, causal=causal, softmax_scale=softmax_scale,
-                window_size=window_size, softcap=softcap, impl=self.impl,
-                block_sizes=self.block_sizes, interpret=self.interpret,
-            )
+            return fn(q, k, v, **dict(zip(names, ex)))
 
         spec5 = P(self.axes.dp, self.axes.seq, None, None, None)
         return jax.jit(jax.shard_map(
-            fn, mesh=self.mesh, in_specs=(spec5,), out_specs=self._spec(),
-            check_vma=False,
-        ))(qkv)
+            run, mesh=self.mesh, in_specs=(spec5,) + tuple(specs),
+            out_specs=self._spec(), check_vma=False,
+        ))(qkv, *extras)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -47,7 +47,11 @@ def test_remat_trajectory_matches_baseline(policy):
 
     p0, l0 = results["none"]
     p1, l1 = results[policy]
-    assert abs(l0 - l1) < 1e-5, (l0, l1)
+    # the fast softmax's q scale-fold (fp32 multiply -> bf16 cast) lands in
+    # different XLA fusion contexts under remat vs none, flipping isolated
+    # bf16 ulps in the forward (r4; was 1e-5 when both programs fused
+    # identically) — remat bugs show up as O(1e-2)+ loss drift
+    assert abs(l0 - l1) < 2e-4, (l0, l1)
     # params are stored bf16: recompute-order rounding (~1e-7 on the grads)
     # can flip isolated values by one bf16 ulp — gate at one-ulp tolerance
     for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):

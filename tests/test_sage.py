@@ -274,3 +274,36 @@ def test_merge_compatibility(rng):
                                atol=ATOL_OUT, rtol=0)
     np.testing.assert_allclose(np.asarray(lm), np.asarray(ref_lse),
                                atol=ATOL_LSE, rtol=0)
+
+
+def test_straight_through_anchor_bias(rng):
+    """Quantifies the straight-through anchor choice (ops/registry.py
+    _sage_bwd): grads from the bf16 recompute anchored on the QUANTIZED
+    forward's (out, lse) differ from the same recompute anchored on the
+    bf16 forward's own (out, lse) by LESS than the int8 forward error — the
+    anchor mismatch is subdominant to the quantization noise it rides on,
+    which is what licenses not reconstructing sage's per-tile quantization
+    state in the backward (cf. the ring kv_quant path's dequant-anchored
+    residuals, parallel/ring.py:301-319, where the clean anchor IS
+    available)."""
+    from long_context_attention_tpu.ops.flash import (
+        flash_attention, flash_attention_bwd)
+
+    q, k, v = make_qkv(rng, b=1, s=128)
+    dout = jnp.asarray(rng.standard_normal(q.shape), jnp.float32)
+
+    s_out, s_lse = sage_attention(q, k, v, causal=True, block_sizes=BS,
+                                  return_lse=True)
+    f_out, f_lse = flash_attention(q, k, v, causal=True, block_sizes=BS,
+                                   return_lse=True)
+    # forward quantization error (the noise floor the anchor bias rides on)
+    fwd_err = float(jnp.max(jnp.abs(s_out - f_out)))
+
+    g_quant = flash_attention_bwd(q, k, v, s_out, s_lse, dout, causal=True,
+                                  block_sizes=BS)
+    g_clean = flash_attention_bwd(q, k, v, f_out, f_lse, dout, causal=True,
+                                  block_sizes=BS)
+    for a, b, name in zip(g_quant, g_clean, ("dq", "dk", "dv")):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        gap = float(jnp.max(jnp.abs(a - b))) / scale
+        assert gap < max(2.0 * fwd_err, 5e-2), (name, gap, fwd_err)

@@ -30,9 +30,12 @@ def setup():
 @pytest.mark.parametrize("cache_dtype", ["bfloat16", "int8"])
 def test_decode_logits_match_teacher_forced(setup, cache_dtype):
     """Along the decode-generated sequence, per-step decode logits must match
-    the cache-free full forward on the same tokens (bit-exact for bf16 cache;
-    a random model has exact argmax ties, so token-level equality is not a
-    valid gate — logit equality is the stronger check anyway)."""
+    the cache-free full forward on the same tokens (a random model has exact
+    argmax ties, so token-level equality is not a valid gate — logit equality
+    is the stronger check anyway). bf16 gate: the training forward runs the
+    max-free clamped-exp2 fast softmax while decode keeps the online form —
+    ~2 bf16 ulps apart at the attention level (r4; was bit-exact when both
+    used the online form). Masking/position bugs produce O(1) differences."""
     from long_context_attention_tpu.models.llama import decode_step
 
     params, prompt = setup
@@ -41,7 +44,7 @@ def test_decode_logits_match_teacher_forced(setup, cache_dtype):
     fwd = make_forward(CFG, make_usp_mesh(1, 1, 1))
     tok = jnp.argmax(logits, -1).astype(jnp.int32)
     seq = prompt
-    atol = 0.0 if cache_dtype == "bfloat16" else 0.5
+    atol = 5e-2 if cache_dtype == "bfloat16" else 0.5
     for _ in range(4):
         dl, cache = decode_step(params, cache, tok, CFG)
         seq = jnp.concatenate([seq, tok[:, None]], axis=1)

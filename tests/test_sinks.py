@@ -135,8 +135,14 @@ def test_windowed_sink_model_serves():
         dl, cache = decode_step(params, cache, tok, cfg)
         seq = jnp.concatenate([seq, tok[:, None]], axis=1)
         fl = fwd(params, seq)[:, -1]
+        # the training forward runs the max-free clamped-exp2 fast softmax
+        # while decode keeps the online form — ~2 bf16 ulps apart at the
+        # attention level (measured 0.016 vs the fp32 oracle), compounding
+        # to ~0.03 through the 2-layer model; no longer bit-identical (r4;
+        # the softcap model test keeps atol=0: softcap forces the online
+        # form on both sides). Masking bugs produce O(1) differences.
         np.testing.assert_allclose(np.asarray(dl), np.asarray(fl),
-                                   atol=0.0, rtol=0)
+                                   atol=5e-2, rtol=0)
         tok = jnp.argmax(dl, -1).astype(jnp.int32)
 
     # chunked prefill agrees under window+sink (chunks cross the sink line)

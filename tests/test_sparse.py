@@ -257,14 +257,21 @@ def test_ulysses_sparse_matches_single_device(rng):
                                atol=2e-5, rtol=0)
 
 
-def test_ulysses_sparse_rejects_per_head_mask(rng):
+def test_ulysses_sparse_per_head_mask(rng):
+    """Per-head (3-D) masks at ulysses degree 4 through the UlyssesAttention
+    layer: each rank's contiguous head block uses its own rank-selected tile
+    tables (was a rejected case before r4; the oracle-level check lives in
+    test_ring_sparse.py::test_per_head_mask_under_ulysses)."""
     from long_context_attention_tpu.parallel import UlyssesAttention, make_usp_mesh
 
     q, k, v = make_qkv(rng, b=1, s=256, h=8, hkv=4)
     n = 256 // BQ
     mask = random_block_mask(n, n, 0.5, seed=5, heads=8)
+    mask |= np.eye(n, dtype=bool)[None]
     mesh = make_usp_mesh(dp=1, ulysses=4, ring=1)
     layer = UlyssesAttention(mesh=mesh)
-    with pytest.raises(ValueError, match="per-head"):
-        layer(q, k, v, causal=True, block_mask=mask,
-              sparse_block_q=BQ, sparse_block_kv=BKV)
+    out = layer(q, k, v, causal=True, block_mask=mask,
+                sparse_block_q=BQ, sparse_block_kv=BKV)
+    ref_out, _ = oracle(q, k, v, mask, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-5, rtol=0)

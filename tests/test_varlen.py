@@ -171,3 +171,44 @@ def test_segment_ids_from_cu_seqlens(rng):
                           kv_segment_ids=explicit, block_sizes=bs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-6, rtol=0)
+
+
+def test_packed_full_kwargs_parity(rng):
+    """``LongContextAttention.packed`` threads the FULL kwargs set —
+    segment_ids, dropout, ALiBi, window+sinks, kv_quant — exactly like
+    ``__call__`` (the reference's packed layer does too,
+    `hybrid/attn_layer.py:164-259`): identical inputs through the two
+    entries must produce identical outputs (same kernels, same seeds)."""
+    ring, layout = 4, "zigzag"
+    mesh = make_usp_mesh(dp=1, ulysses=2, ring=ring)
+    # MHA shapes: the packed (b, s, 3, h, d) stack requires h == h_kv
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
+    seg = np.zeros((B, S), np.int32)
+    for i, (lo, hi) in enumerate([(0, 96), (96, 160), (160, S)]):
+        seg[:, lo:hi] = i
+    qp, kp, vp = (permute_for_layout(x, layout, ring) for x in (q, k, v))
+    segp = permute_for_layout(jnp.asarray(seg), layout, ring, axis=1)
+    qkv = jnp.stack([qp, kp, vp], axis=2)
+    slopes = np.geomspace(0.5, 1 / 16, H).astype(np.float32)
+    key = jax.random.PRNGKey(13)
+
+    layer = LongContextAttention(mesh=mesh, layout=layout, impl="pallas")
+    kw = dict(causal=True, segment_ids=segp, dropout_p=0.25,
+              dropout_key=key, alibi_slopes=slopes)
+    np.testing.assert_array_equal(
+        np.asarray(layer.packed(qkv, **kw), np.float32),
+        np.asarray(layer(qp, kp, vp, **kw), np.float32))
+
+    kw2 = dict(causal=True, window_size=(64, -1), sink_tokens=16)
+    np.testing.assert_array_equal(
+        np.asarray(layer.packed(qkv, **kw2), np.float32),
+        np.asarray(layer(qp, kp, vp, **kw2), np.float32))
+
+    # constructor knobs (kv_quant int8 transport) ride both entries too
+    qlayer = LongContextAttention(mesh=mesh, layout=layout, impl="pallas",
+                                  kv_quant="int8")
+    np.testing.assert_array_equal(
+        np.asarray(qlayer.packed(qkv, causal=True), np.float32),
+        np.asarray(qlayer(qp, kp, vp, causal=True), np.float32))
