@@ -33,17 +33,20 @@ def bench(seq, iters, *, heads=32, kv_heads=8, head_dim=128, causal=True,
     k = jax.random.normal(kk, (b, seq, kv_heads, head_dim), jnp.bfloat16)
     v = jax.random.normal(kv, (b, seq, kv_heads, head_dim), jnp.bfloat16)
 
+    # NOTE: the inner fn must use chained's ARGUMENTS, not close over the
+    # outer arrays — closures become HLO constants shipped through the
+    # remote-compile tunnel (HTTP 413 at 128K; CLAUDE.md gotcha)
     if impl == "sage":
-        def one(qq):
-            return sage_attention(qq, k, v, causal=causal, pv_int8=pv_int8)
+        def one(qq, kk_, vv):
+            return sage_attention(qq, kk_, vv, causal=causal, pv_int8=pv_int8)
     else:
-        def one(qq):
-            return flash_attention(qq, k, v, causal=causal)
+        def one(qq, kk_, vv):
+            return flash_attention(qq, kk_, vv, causal=causal)
 
     @jax.jit
     def chained(q, k, v):
         def body(_, qq):
-            return one(qq).astype(q.dtype)
+            return one(qq, k, v).astype(q.dtype)
         return jnp.sum(lax.fori_loop(0, iters, body, q).astype(jnp.float32))
 
     float(chained(q, k, v))  # compile + warm

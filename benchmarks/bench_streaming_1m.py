@@ -3,22 +3,27 @@
 Full flagship attention shapes — 32 q-heads / 8 kv-heads, head_dim 128 — at
 ONE MILLION tokens of context on a single v5e, which dense attention cannot
 do at this head count (q + out alone are 16 GB). The StreamingLLM attention
-shape (sink + sliding window, arXiv:2309.17453) makes it feasible:
+shape (sink + sliding window, arXiv:2309.17453) makes it feasible, and the
+right structure on TPU is to make the sparsity STRUCTURAL, not masked: a
+grid over the full 1M kv iterates ~1000 dead tiles per q tile even with
+DMA-eliding clamps (~8 us/dead step = seconds of pure grid overhead —
+measured 11.8 s TTFT with the masked form). Instead each q chunk attends
 
-* prefill runs in q-chunks against the resident 1M-token KV (4 GB bf16);
-  each chunk's window masking rides the position-descriptor kernel, whose
-  clamped KV index maps FETCH only the window+sink tiles — per-chunk cost is
-  O(chunk x (window + sink)), linear in sequence, and the 8 GB full `out`
-  is never materialized at once (each chunk's out feeds the next layer in a
-  real model; here it reduces to keep the demo single-buffer).
-* decode streams only the window+sink slice of the cache (~34 MB/step at
-  window 8K) — ms/token is context-length-independent.
+  * its window BAND — a dynamic (chunk + window)-token kv slice, exact
+    causal+window masking via the position descriptors, and
+  * the SINK block — a (sink)-token kv slice, visibility gated per row so
+    it contributes nothing once the band already covers the sinks,
+
+merged with the fp32 LSE merge (`ops/merge.py`) — the same (out, lse)
+contract every ring step uses. Decode uses `decode_attention`'s banded
+grid (r4: the grid covers only sink tiles + the window band, so windowed
+decode cost is independent of context length). All public API.
 
 Prints TTFT (chunked windowed prefill over all 1M tokens) and decode
 ms/token at 1M context.
 
 Usage: python benchmarks/bench_streaming_1m.py [--seq 1048576]
-       [--window 8192] [--sink 64] [--chunk 65536]
+       [--window 8192] [--sink 128] [--chunk 65536]
 """
 
 import argparse
@@ -33,7 +38,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq", type=int, default=1048576)
     ap.add_argument("--window", type=int, default=8192)
-    ap.add_argument("--sink", type=int, default=64)
+    ap.add_argument("--sink", type=int, default=128)
     ap.add_argument("--chunk", type=int, default=65536)
     ap.add_argument("--heads", type=int, default=32)
     ap.add_argument("--kv-heads", type=int, default=8)
@@ -47,12 +52,14 @@ def main():
 
     from long_context_attention_tpu.ops.decode import decode_attention
     from long_context_attention_tpu.ops.flash import flash_attention_fwd
+    from long_context_attention_tpu.ops.merge import merge_attn_blocks
 
     S, W, SINK, C = args.seq, args.window, args.sink, args.chunk
     H, HKV, D = args.heads, args.kv_heads, args.head_dim
     n_chunks = S // C
+    band = C + W  # kv slice covering every row's window within one chunk
     print(f"# StreamingLLM @ {S} tokens, {H}/{HKV} heads d={D}, "
-          f"window {W} + sink {SINK}, chunk {C} "
+          f"window {W} + sink {SINK}, chunk {C}, band {band} "
           f"({jax.devices()[0].device_kind})", file=sys.stderr)
 
     kk, kv = jax.random.split(jax.random.PRNGKey(0))
@@ -68,10 +75,31 @@ def main():
             # chunked prefill produces q chunk-by-chunk the same way)
             qc = jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(1), i),
                                    (1, C, H, D), jnp.bfloat16)
-            out, _ = flash_attention_fwd(
-                qc, k, v, causal=True, window_size=(W, -1), sink_tokens=SINK,
-                q_offsets=(i * C)[None].astype(jnp.int32))
-            return acc + jnp.sum(out.astype(jnp.float32))
+            q0 = i * C
+            # window band: kv slice [band_start, q0 + C) (clamped start;
+            # early chunks read a little history twice — masked exactly by
+            # the position descriptors either way)
+            band_start = jnp.maximum(q0 + C - band, 0)
+            kb = lax.dynamic_slice(k, (0, band_start, 0, 0), (1, band, HKV, D))
+            vb = lax.dynamic_slice(v, (0, band_start, 0, 0), (1, band, HKV, D))
+            ob, lb = flash_attention_fwd(
+                qc, kb, vb, causal=True, window_size=(W, -1),
+                q_offsets=q0[None].astype(jnp.int32),
+                kv_offsets=band_start[None].astype(jnp.int32))
+            # sink block: visible only where the band hasn't covered it
+            # (kv_lengths masks columns >= min(SINK, band_start); when
+            # band_start == 0 every sink column is already in the band and
+            # this call's rows go dead -> merge identity)
+            ks = k[:, :SINK]
+            vs = v[:, :SINK]
+            os_, ls = flash_attention_fwd(
+                qc, ks, vs, causal=False,
+                q_segment_ids=jnp.ones((1, C), jnp.int32),
+                kv_segment_ids=(jnp.arange(SINK, dtype=jnp.int32)[None]
+                                < jnp.minimum(SINK, band_start)
+                                ).astype(jnp.int32))
+            out, _ = merge_attn_blocks(ob.astype(jnp.float32), lb, os_, ls)
+            return acc + jnp.sum(out)
         return lax.fori_loop(0, n_chunks, body, 0.0)
 
     t0 = time.perf_counter()
@@ -82,23 +110,24 @@ def main():
         t0 = time.perf_counter()
         float(prefill(k, v))
         best = min(best, time.perf_counter() - t0)
-    # useful attention FLOPs: per row ~ (window + sink) visible columns
-    vis = min(W + SINK, S)
+    vis = min(W + SINK, S)  # useful visible columns per row
     flops = 2 * 2 * H * S * vis * D
     print(f"TTFT (attn prefill, warm): {best:.2f} s  "
-          f"({flops / best / 1e12:.1f} TFLOP/s on ~{vis}-wide rows; "
+          f"({flops / best / 1e12:.1f} useful-TFLOP/s on ~{vis}-wide rows; "
           f"cold incl. compile {cold:.1f} s)", flush=True)
 
-    # decode at full 1M context: BHSD cache view, window-masked stream
+    # decode at full 1M context: decode_attention's BANDED grid (r4)
+    # iterates only the sink tiles + the window band — one kernel call on
+    # the full cache, cost independent of s_max
     kc = jnp.transpose(k, (0, 2, 1, 3))
     vc = jnp.transpose(v, (0, 2, 1, 3))
     q1 = jax.random.normal(jax.random.PRNGKey(2), (1, H, D), jnp.bfloat16)
-    lengths = jnp.full((1,), S, jnp.int32)
+    lens = jnp.full((1,), S, jnp.int32)
 
     @jax.jit
     def dec(q, kc, vc):
         def body(i, qq):
-            o = decode_attention(qq, kc, vc, lengths, window_size=(W, -1),
+            o = decode_attention(qq, kc, vc, lens, window_size=(W, -1),
                                  sink_tokens=SINK)
             return qq * 0 + o.astype(qq.dtype)
         return jnp.sum(lax.fori_loop(0, args.decode_iters, body, q
@@ -111,10 +140,10 @@ def main():
         float(dec(q1, kc, vc))
         best = min(best, time.perf_counter() - t0)
     ms = best / args.decode_iters * 1e3
-    stream_gb = 2 * HKV * vis * D * 2 / 1e9
+    stream_gb = 2 * HKV * (W + SINK) * D * 2 / 1e9
     print(f"decode @ {S} ctx: {ms:.3f} ms/token "
-          f"({stream_gb / (ms / 1e3):.0f} GB/s over the {vis}-token window)",
-          flush=True)
+          f"({stream_gb / (ms / 1e3):.0f} GB/s over the {W + SINK}-token "
+          f"window+sink band — the banded kernel grid)", flush=True)
 
 
 if __name__ == "__main__":

@@ -296,7 +296,8 @@ def _decode_kernel(
     layered: bool = False, window_left: int = -1, softcap: float = 0.0,
     alibi: bool = False, has_first_cols: bool = False, n_tok: int = 1,
     paged: bool = False, int8_mxu: bool = False, sink_tokens: int = 0,
-    has_sink_cols: bool = False,
+    has_sink_cols: bool = False, banded: bool = False, band_ns: int = 0,
+    nk_logical: int = 0,
 ):
     refs = list(refs)
     if layered:
@@ -331,8 +332,24 @@ def _decode_kernel(
     isp = pl.program_id(2)   # kv split (flash-decoding): independent stream
     ik = pl.program_id(3)    # tile within this split
     nk = pl.num_programs(3)
-    gt = isp * nk + ik       # global kv tile index
     length = len_ref[ib]
+    if banded:
+        # windowed decode over a long cache: the grid covers only the sink
+        # tiles ([0, band_ns)) plus the window BAND ([start_tile, last]) —
+        # cost independent of s_max (no dead-step iteration over the middle
+        # of the cache). Guards below keep clamped band steps and band-
+        # covered sink tiles from double-counting.
+        last_t = jnp.clip((length - 1) // block_kv, 0, nk_logical - 1)
+        start_t = jnp.maximum(length - n_tok - window_left, 0) // block_kv
+        is_sink_step = ik < band_ns
+        gt = jnp.where(is_sink_step, ik,
+                       jnp.minimum(start_t + (ik - band_ns), last_t))
+        step_ok = jnp.where(is_sink_step,
+                            ik < start_t,                       # not in band
+                            start_t + (ik - band_ns) <= last_t)  # unclamped
+    else:
+        gt = isp * nk + ik   # global kv tile index
+        step_ok = jnp.bool_(True)
     # ``length`` counts every visible slot INCLUDING the n_tok newest tokens
     # (already appended to the cache). Query row r = (head-member, token it)
     # with it = r % n_tok sits at position length - n_tok + it and sees cols
@@ -369,7 +386,7 @@ def _decode_kernel(
     if sink_local is not None:
         live = live | (gt * block_kv < sink_local)
 
-    @pl.when((gt * block_kv < length) & live)
+    @pl.when((gt * block_kv < length) & live & step_ok)
     def _compute():
         if int8_mxu:
             # SageAttention-style s8 MXU QK: the query was row-quantized to
@@ -666,6 +683,20 @@ def decode_attention(
     if has_sc and not has_fc:
         raise ValueError("sink_cols requires first_cols (the sharded path)")
 
+    # Banded grid for windowed decode (StreamingLLM / Mistral serving): the
+    # grid iterates only sink tiles + the window band instead of the whole
+    # cache — without it a 1M-token cache pays ~250 dead (skipped-compute)
+    # grid steps per call, ~6x the live work (measured; the clamped index
+    # maps elide the DMA but not the steps).
+    banded = not paged and not has_fc and w_left >= 0 and splits == 1
+    band_ns = -(-sink // bkv) if sink > 0 else 0
+    if banded:
+        nk_band = band_ns + (w_left + n_tok) // bkv + 2
+        if nk_band < nk:
+            nk_s = nk_band
+        else:
+            banded = False
+
     def _clamped_gt(ibb, isp, ik, lens, rest):
         # clamp the global kv tile index into the live range: tiles past the
         # length — or left of the visible window — re-map to the nearest
@@ -673,6 +704,13 @@ def decode_attention(
         # s_max (a sharded cache passes UNCLIPPED local lengths so per-row
         # causal limits stay correct on interior ranks) — hence the nk cap.
         last = jnp.clip((lens[ibb] - 1) // bkv, 0, nk - 1)
+        if banded:
+            # sink tiles map to themselves; band steps offset from the
+            # window's start tile (mirrors the kernel's banded gt)
+            start = jnp.maximum(lens[ibb] - n_tok - w_left, 0) // bkv
+            gt = jnp.where(ik < band_ns, ik,
+                           jnp.minimum(start + (ik - band_ns), last))
+            return jnp.clip(gt, 0, nk - 1)
         gt = jnp.minimum(isp * nk_s + ik, last)
         if has_fc:
             # explicit first column (unclipped: may be negative)
@@ -809,7 +847,8 @@ def decode_attention(
                           alibi=alibi_slopes is not None,
                           has_first_cols=has_fc, n_tok=n_tok, paged=paged,
                           int8_mxu=int8_mxu, sink_tokens=sink,
-                          has_sink_cols=has_sc),
+                          has_sink_cols=has_sc, banded=banded,
+                          band_ns=band_ns, nk_logical=nk),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, h_kv, splits, G, d), jnp.float32),

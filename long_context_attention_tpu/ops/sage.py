@@ -15,11 +15,13 @@ v5e MXU where s8 x s8 -> s32 runs at 2x the bf16 rate:
 * **Per-token scales, folded post-matmul.** Q is quantized per (b, h, token)
   and K per (b, h_kv, token); both scale vectors fold into the fp32 score
   tile as rank-1 row/column multiplies after the s32 matmul — exact.
-* **int8 PV (SageAttention2-style).** V is quantized per token; its scale
-  folds into P after the row-sum (so the softmax denominator is exact), then
-  P is dynamically re-quantized per row to int8 for a second s8 MXU matmul.
-  ``pv_int8=False`` keeps PV in bf16 (SageAttention-v1 behaviour) at ~half
-  the PV matmul rate.
+* **bf16 PV by default (SageAttention-v1 shape).** ``pv_int8=True`` adds
+  the SageAttention2-style second s8 MXU matmul (V quantized per token, its
+  scale folded into P after the row-sum, P dynamically re-quantized per
+  row) — measured SLOWER on v5e (128K causal GQA: 138.7 vs 181.6
+  eff-TFLOP/s): the per-tile P requantization is pure VPU work and the VPU,
+  not the MXU, is this kernel's critical path once the softmax is max-free.
+  With bf16 PV the int8-QK kernel beats the bf16 flash kernel (1.06x).
 * **HBM wins too.** K and V stream int8 (half the bf16 bytes); the fp32
   per-token scales ride in the kernels' native lane-oriented layout
   ((rows, n_blocks, 1, block), the same trick as the LSE).
@@ -511,7 +513,7 @@ def sage_attention(
     *,
     causal: bool = False,
     softmax_scale: Optional[float] = None,
-    pv_int8: bool = True,
+    pv_int8: bool = False,
     window_size: Tuple[int, int] = (-1, -1),
     sink_tokens: int = 0,
     q_offsets=None,
@@ -529,8 +531,9 @@ def sage_attention(
       causal: causal masking — plain self-attention takes the triangular
         live-tile grid; everything else (ring position descriptors,
         cross-attention, windows) runs the position-aware rectangular grid.
-      pv_int8: also run PV on the s8 MXU (SageAttention2-style). False keeps
-        PV in bf16 (v1-style) — slightly tighter numerics, ~half the PV rate.
+      pv_int8: also run PV on the s8 MXU (SageAttention2-style) — measured
+        slower on v5e (P requantization is VPU work on the critical path);
+        default False keeps PV in bf16 (v1-style, tighter numerics too).
       q_offsets / kv_offsets / q_stride / kv_stride: the global-position
         descriptor of parallel/layouts.py (offsets may be traced ring ranks) —
         the same contract as ops/flash.py, which is what lets every ring
@@ -619,7 +622,7 @@ def sage_attention_fwd(q, k, v, **kw):
         q, k, v,
         causal=kw.get("causal", False),
         softmax_scale=kw.get("softmax_scale"),
-        pv_int8=kw.get("pv_int8", True),
+        pv_int8=kw.get("pv_int8", False),
         window_size=kw.get("window_size", (-1, -1)),
         sink_tokens=kw.get("sink_tokens", 0),
         q_offsets=kw.get("q_offsets"),
@@ -668,7 +671,7 @@ def sage_attention_full(q, k, v, **kw):
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     return _sage_full(q, k, v, bool(causal), float(scale),
-                      bool(kw.get("pv_int8", True)))
+                      bool(kw.get("pv_int8", False)))
 
 
 def _vet_kwargs(kw):

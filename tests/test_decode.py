@@ -318,3 +318,44 @@ def test_decode_multi_token_layered(rng):
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(ref, np.float32),
                                    atol=1e-6, rtol=0)
+
+
+def test_decode_banded_window_grid(rng):
+    """Windowed decode over a LONG cache takes the banded grid (sink tiles +
+    window band only — cost independent of s_max, r4): vs the positional
+    oracle across lengths straddling tile boundaries, single- and
+    multi-token, with and without sinks."""
+    SM, BKV, W, SINK = 2048, 128, 200, 37
+    k = jnp.asarray(rng.normal(size=(B, SM, HKV, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, SM, HKV, D)), jnp.bfloat16)
+    kc = jnp.transpose(k, (0, 2, 1, 3))
+    vc = jnp.transpose(v, (0, 2, 1, 3))
+    lengths = jnp.asarray([1900, 301], jnp.int32)
+
+    for sink in (0, SINK):
+        q = jnp.asarray(rng.normal(size=(B, H, D)), jnp.bfloat16)
+        out = decode_attention(q, kc, vc, lengths, block_kv=BKV,
+                               window_size=(W, -1), sink_tokens=sink)
+        for i in range(B):
+            L = int(lengths[i])
+            ref, _ = xla_attention(
+                q[i:i + 1, None], k[i:i + 1, :L], v[i:i + 1, :L],
+                window_size=(W, -1), sink_tokens=sink,
+                q_positions=jnp.asarray([L - 1]),
+                kv_positions=jnp.arange(L))
+            np.testing.assert_allclose(np.asarray(out[i], np.float32),
+                                       np.asarray(ref[0, 0], np.float32),
+                                       atol=5e-2, rtol=0, err_msg=f"sink={sink}")
+
+    # multi-token (speculative verify) on the banded grid
+    n = 3
+    qs = jnp.asarray(rng.normal(size=(B, n, H, D)), jnp.bfloat16)
+    outm = decode_attention(qs, kc, vc, lengths, block_kv=BKV,
+                            window_size=(W, -1), sink_tokens=SINK)
+    for it in range(n):
+        oi = decode_attention(qs[:, it], kc, vc, lengths - (n - 1 - it),
+                              block_kv=BKV, window_size=(W, -1),
+                              sink_tokens=SINK)
+        np.testing.assert_allclose(np.asarray(outm[:, it], np.float32),
+                                   np.asarray(oi, np.float32),
+                                   atol=2e-2, rtol=0, err_msg=f"tok={it}")
