@@ -71,7 +71,7 @@ __all__ = [
 ]
 
 _LOG2E = math.log2(math.e)
-_LN2 = math.log(2.0)
+
 
 
 # ---------------------------------------------------------------------------

@@ -57,7 +57,7 @@ __all__ = [
 ]
 
 _LOG2E = math.log2(math.e)
-_LN2 = math.log(2.0)
+
 
 # Scalar-prefetch tables live in SMEM (~1 MB/core). Gate with a clear error
 # instead of a Mosaic OOM (the same discipline as flash.py's tri_grid gate).
