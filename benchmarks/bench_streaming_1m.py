@@ -3,21 +3,15 @@
 Full flagship attention shapes — 32 q-heads / 8 kv-heads, head_dim 128 — at
 ONE MILLION tokens of context on a single v5e, which dense attention cannot
 do at this head count (q + out alone are 16 GB). The StreamingLLM attention
-shape (sink + sliding window, arXiv:2309.17453) makes it feasible, and the
-right structure on TPU is to make the sparsity STRUCTURAL, not masked: a
-grid over the full 1M kv iterates ~1000 dead tiles per q tile even with
-DMA-eliding clamps (~8 us/dead step = seconds of pure grid overhead —
-measured 11.8 s TTFT with the masked form). Instead each q chunk attends
-
-  * its window BAND — a dynamic (chunk + window)-token kv slice, exact
-    causal+window masking via the position descriptors, and
-  * the SINK block — a (sink)-token kv slice, visibility gated per row so
-    it contributes nothing once the band already covers the sinks,
-
-merged with the fp32 LSE merge (`ops/merge.py`) — the same (out, lse)
-contract every ring step uses. Decode uses `decode_attention`'s banded
-grid (r4: the grid covers only sink tiles + the window band, so windowed
-decode cost is independent of context length). All public API.
+shape (sink + sliding window, arXiv:2309.17453) makes it feasible via the
+r4 BANDED kv grids: both the prefill kernel (`ops/flash.py _banded_gt`)
+and `decode_attention` iterate only the sink tiles + each query's window
+band, so windowed-attention cost is proportional to the window, not the
+context (a masked grid over the full 1M kv paid ~1000 dead steps per q
+tile — 11.8 s TTFT before banding). Prefill runs q chunk-by-chunk against
+the resident 1M-token KV (4 GB bf16) with ONE kernel call per chunk; the
+8 GB full `out` is never materialized (each chunk's out feeds the next
+layer in a real model; here it reduces).
 
 Prints TTFT (chunked windowed prefill over all 1M tokens) and decode
 ms/token at 1M context.
@@ -52,7 +46,6 @@ def main():
 
     from long_context_attention_tpu.ops.decode import decode_attention
     from long_context_attention_tpu.ops.flash import flash_attention_fwd
-    from long_context_attention_tpu.ops.merge import merge_attn_blocks
 
     S, W, SINK, C = args.seq, args.window, args.sink, args.chunk
     H, HKV, D = args.heads, args.kv_heads, args.head_dim
@@ -76,30 +69,15 @@ def main():
             qc = jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(1), i),
                                    (1, C, H, D), jnp.bfloat16)
             q0 = i * C
-            # window band: kv slice [band_start, q0 + C) (clamped start;
-            # early chunks read a little history twice — masked exactly by
-            # the position descriptors either way)
-            band_start = jnp.maximum(q0 + C - band, 0)
-            kb = lax.dynamic_slice(k, (0, band_start, 0, 0), (1, band, HKV, D))
-            vb = lax.dynamic_slice(v, (0, band_start, 0, 0), (1, band, HKV, D))
-            ob, lb = flash_attention_fwd(
-                qc, kb, vb, causal=True, window_size=(W, -1),
+            # ONE call against the full resident kv: the kernel's banded kv
+            # grid (r4, ops/flash.py _banded_gt) iterates only the sink
+            # tiles + each q tile's window band — no slicing, no dead steps
+            out, _ = flash_attention_fwd(
+                qc, k, v, causal=True, window_size=(W, -1),
+                sink_tokens=SINK,
                 q_offsets=q0[None].astype(jnp.int32),
-                kv_offsets=band_start[None].astype(jnp.int32))
-            # sink block: visible only where the band hasn't covered it
-            # (kv_lengths masks columns >= min(SINK, band_start); when
-            # band_start == 0 every sink column is already in the band and
-            # this call's rows go dead -> merge identity)
-            ks = k[:, :SINK]
-            vs = v[:, :SINK]
-            os_, ls = flash_attention_fwd(
-                qc, ks, vs, causal=False,
-                q_segment_ids=jnp.ones((1, C), jnp.int32),
-                kv_segment_ids=(jnp.arange(SINK, dtype=jnp.int32)[None]
-                                < jnp.minimum(SINK, band_start)
-                                ).astype(jnp.int32))
-            out, _ = merge_attn_blocks(ob.astype(jnp.float32), lb, os_, ls)
-            return acc + jnp.sum(out)
+                kv_offsets=jnp.zeros((1,), jnp.int32))
+            return acc + jnp.sum(out.astype(jnp.float32))
         return lax.fori_loop(0, n_chunks, body, 0.0)
 
     t0 = time.perf_counter()

@@ -688,7 +688,9 @@ def decode_attention(
     # cache — without it a 1M-token cache pays ~250 dead (skipped-compute)
     # grid steps per call, ~6x the live work (measured; the clamped index
     # maps elide the DMA but not the steps).
-    banded = not paged and not has_fc and w_left >= 0 and splits == 1
+    # (paged mode bands too: the banded gt is the LOGICAL kv block, which
+    # the index maps then route through the page table as usual)
+    banded = not has_fc and w_left >= 0 and splits == 1
     band_ns = -(-sink // bkv) if sink > 0 else 0
     if banded:
         nk_band = band_ns + (w_left + n_tok) // bkv + 2

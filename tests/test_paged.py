@@ -360,3 +360,38 @@ def test_paged_speculative_capacity_guard():
     with pytest.raises(ValueError, match="pages"):
         eng.serve(params, init_params(jax.random.PRNGKey(7), dcfg),
                   [Request(id=0, tokens=_prompt(1, 100), max_new=200)])
+
+
+def test_paged_windowed_banded_matches_dense():
+    """Sliding window + sinks over a PAGED cache rides the banded grid too
+    (the banded gt is the logical block, routed through the page table):
+    bit-parity with the dense windowed (banded) kernel across lengths."""
+    rng = np.random.default_rng(3)
+    B, H, HKV, D, L, POOL = 2, 8, 4, 32, 2, 18
+    SM2, W, SINK = 2048, 200, 37
+    NP = SM2 // PAGE  # 16 logical pages; band ~ 1 + 2 + 2 << 16 -> banded
+    k_d = jnp.asarray(rng.normal(size=(L, B, HKV, SM2, D)), jnp.bfloat16)
+    v_d = jnp.asarray(rng.normal(size=(L, B, HKV, SM2, D)), jnp.bfloat16)
+    lengths = jnp.asarray([1900, 301], jnp.int32)
+    pt = np.full((B, NP), -1, np.int32)
+    pt[0, :15] = np.arange(1, 16)
+    pt[1, :3] = [16, 17, 0]
+
+    def scatter(x):
+        pool = np.zeros((L, POOL, HKV, PAGE, D), np.float32)
+        for bb in range(B):
+            for i in range(NP):
+                p = int(pt[bb, i])
+                if p >= 0:
+                    pool[:, p] = np.asarray(
+                        x[:, bb, :, i * PAGE:(i + 1) * PAGE], np.float32)
+        return jnp.asarray(pool, x.dtype)
+
+    k_p, v_p = scatter(k_d), scatter(v_d)
+    q = jnp.asarray(rng.normal(size=(B, H, D)), jnp.bfloat16)
+    kw = dict(layer=jnp.int32(1), window_size=(W, -1), sink_tokens=SINK)
+    o_d = decode_attention(q, k_d, v_d, lengths, block_kv=PAGE, **kw)
+    o_p = decode_attention(q, k_p, v_p, lengths,
+                           page_table=jnp.asarray(pt), **kw)
+    np.testing.assert_array_equal(np.asarray(o_d, np.float32),
+                                  np.asarray(o_p, np.float32))

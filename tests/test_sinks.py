@@ -202,3 +202,59 @@ def test_sharded_decode_sink_window_matches_unsharded(rng):
     np.testing.assert_allclose(np.asarray(gotn, np.float32),
                                np.asarray(wantn, np.float32),
                                atol=5e-2, rtol=0)
+
+
+def test_banded_windowed_prefill_matches_full_grid(rng):
+    """Long-kv windowed attention takes the banded kv grid (sink tiles +
+    per-q-tile band, r4): must equal the full-grid form (banded off via a
+    kv block size that makes the band as wide as the grid) and the oracle —
+    self-attention AND the chunk-vs-long-cache shape, with segments."""
+    from long_context_attention_tpu.ops.flash import flash_attention_fwd
+
+    s_kv, s_q, W, SINK = 1024, 128, 80, 37
+    q = jnp.asarray(rng.normal(size=(1, s_q, 4, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(1, s_kv, 2, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(1, s_kv, 2, 64)), jnp.bfloat16)
+    q0 = 700  # chunk rows at positions [700, 828): band sits mid-cache
+    kw = dict(causal=True, window_size=(W, -1), sink_tokens=SINK,
+              q_offsets=jnp.asarray([q0], jnp.int32),
+              kv_offsets=jnp.asarray([0], jnp.int32))
+    # banded: bkv 64 -> nk=16, band ~1+1+2+... < 16
+    ob, lb = flash_attention_fwd(q, k, v, block_sizes=BS, **kw)
+    # full grid: bkv = s_kv -> nk = 1, banding can't engage
+    of, lf = flash_attention_fwd(
+        q, k, v, block_sizes=BlockSizes(block_q=64, block_kv=1024), **kw)
+    np.testing.assert_allclose(np.asarray(ob, np.float32),
+                               np.asarray(of, np.float32), atol=2e-2, rtol=0)
+    ref, rl = xla_attention(
+        q, k, v, causal=True, window_size=(W, -1), sink_tokens=SINK,
+        q_positions=jnp.arange(q0, q0 + s_q, dtype=jnp.int32),
+        kv_positions=jnp.arange(s_kv, dtype=jnp.int32))
+    np.testing.assert_allclose(np.asarray(ob, np.float32),
+                               np.asarray(ref, np.float32), atol=5e-2, rtol=0)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(rl),
+                               atol=5e-2, rtol=0)
+
+    # self-attention long-seq windowed (the 1M StreamingLLM prefill shape)
+    qs = jnp.asarray(rng.normal(size=(1, s_kv, 4, 64)), jnp.bfloat16)
+    osf, _ = flash_attention_fwd(qs, k, v, causal=True, window_size=(W, -1),
+                                 sink_tokens=SINK, block_sizes=BS)
+    refs, _ = xla_attention(qs, k, v, causal=True, window_size=(W, -1),
+                            sink_tokens=SINK)
+    np.testing.assert_allclose(np.asarray(osf, np.float32),
+                               np.asarray(refs, np.float32),
+                               atol=5e-2, rtol=0)
+
+    # segments ride the banded kv map too (kv tiles re-indexed)
+    seg = jnp.zeros((1, s_kv), jnp.int32).at[:, 900:].set(1)
+    qseg = jnp.ones((1, s_q), jnp.int32) * 0
+    obs, _ = flash_attention_fwd(q, k, v, block_sizes=BS,
+                                 q_segment_ids=qseg, kv_segment_ids=seg, **kw)
+    refseg, _ = xla_attention(
+        q, k, v, causal=True, window_size=(W, -1), sink_tokens=SINK,
+        q_positions=jnp.arange(q0, q0 + s_q, dtype=jnp.int32),
+        kv_positions=jnp.arange(s_kv, dtype=jnp.int32),
+        q_segment_ids=qseg, kv_segment_ids=seg)
+    np.testing.assert_allclose(np.asarray(obs, np.float32),
+                               np.asarray(refseg, np.float32),
+                               atol=5e-2, rtol=0)
