@@ -122,8 +122,11 @@ class FlashConfig:
     # Exact vs the online softmax for raw scores <= _CLAMP/log2(e) ~ 62
     # (real models run |score| < ~30; beyond 62 the clamp saturates), and
     # rows whose every score < -87 raw underflow to the dead-row identity
-    # (out = 0, lse = -inf). Set safe_softmax=True for adversarial-logit
-    # inputs; rings/segments/quant paths keep the online softmax anyway.
+    # (out = 0, lse = -inf). Applies to EVERY forward family — tri/static
+    # self-attention AND the position-descriptor kernel (ring/USP steps,
+    # segments, kv-quant, dropout, ALiBi). Set safe_softmax=True for
+    # adversarial-logit inputs; softcap paths always keep the online form
+    # (tanh needs raw scores).
     safe_softmax: bool = False
 
     @property

@@ -174,6 +174,7 @@ def _ring_sparse_fwd(q, k, v, rank, steps, *, axis_name, W, scale, bq, bkv,
     return acc_out.astype(q.dtype), acc_lse
 
 
+@functools.lru_cache(maxsize=None)
 def _make_ring_sparse_op(mask_key, mask_shape, causal, W, layout,
                          s_local_q, s_local_kv, h, h_kv, bq, bkv,
                          scale, interpret, axis_name):

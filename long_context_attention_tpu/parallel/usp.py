@@ -262,6 +262,27 @@ class _LayerBase:
             check_vma=False,
         ))
 
+    def _extras(self, segment_ids, alibi_slopes, dropout_p, dropout_key):
+        """Optional operands as extra shard_map inputs with their specs —
+        shared by ``__call__`` and ``packed`` so the two entries cannot
+        drift."""
+        extras, specs, names = [], [], []
+        if segment_ids is not None:
+            extras.append(segment_ids)
+            specs.append(P(self.axes.dp, self.axes.seq))
+            names.append("segment_ids")
+        if alibi_slopes is not None:
+            extras.append(jnp.asarray(alibi_slopes, jnp.float32))
+            specs.append(P())  # replicated: global per-head slopes
+            names.append("alibi_slopes")
+        if dropout_p > 0.0:
+            if dropout_key is None:
+                raise ValueError("dropout_p > 0 requires dropout_key")
+            extras.append(dropout_key)
+            specs.append(P())  # replicated key; rank-seeded locally
+            names.append("dropout_key")
+        return extras, specs, names
+
 
 @dataclasses.dataclass(frozen=True)
 class LongContextAttention(_LayerBase):
@@ -318,7 +339,7 @@ class LongContextAttention(_LayerBase):
                 softmax_scale=softmax_scale, block_q=sparse_block_q,
                 block_kv=sparse_block_kv, interpret=self.interpret,
             )
-            return self._shard_map(lambda q, k, v: fn(q, k, v), 3)(q, k, v)
+            return self._shard_map(fn, 3)(q, k, v)
         fn = functools.partial(
             usp_attention_local,
             ulysses_axis=self.axes.ulysses, ring_axis=self.axes.ring,
@@ -328,22 +349,8 @@ class LongContextAttention(_LayerBase):
             dropout_p=dropout_p, sink_tokens=sink_tokens,
             block_sizes=self.block_sizes, interpret=self.interpret,
         )
-        # optional operands ride as extra shard_map inputs with their specs
-        extras, specs, names = [], [], []
-        if segment_ids is not None:
-            extras.append(segment_ids)
-            specs.append(P(self.axes.dp, self.axes.seq))
-            names.append("segment_ids")
-        if alibi_slopes is not None:
-            extras.append(jnp.asarray(alibi_slopes, jnp.float32))
-            specs.append(P())  # replicated: global per-head slopes
-            names.append("alibi_slopes")
-        if dropout_p > 0.0:
-            if dropout_key is None:
-                raise ValueError("dropout_p > 0 requires dropout_key")
-            extras.append(dropout_key)
-            specs.append(P())  # replicated key; rank-seeded locally
-            names.append("dropout_key")
+        extras, specs, names = self._extras(segment_ids, alibi_slopes,
+                                            dropout_p, dropout_key)
         if not extras:
             return self._shard_map(fn, 3)(q, k, v)
         mapped = jax.shard_map(
@@ -376,21 +383,8 @@ class LongContextAttention(_LayerBase):
             dropout_p=dropout_p, sink_tokens=sink_tokens,
             block_sizes=self.block_sizes, interpret=self.interpret,
         )
-        extras, specs, names = [], [], []
-        if segment_ids is not None:
-            extras.append(segment_ids)
-            specs.append(P(self.axes.dp, self.axes.seq))
-            names.append("segment_ids")
-        if alibi_slopes is not None:
-            extras.append(jnp.asarray(alibi_slopes, jnp.float32))
-            specs.append(P())
-            names.append("alibi_slopes")
-        if dropout_p > 0.0:
-            if dropout_key is None:
-                raise ValueError("dropout_p > 0 requires dropout_key")
-            extras.append(dropout_key)
-            specs.append(P())
-            names.append("dropout_key")
+        extras, specs, names = self._extras(segment_ids, alibi_slopes,
+                                            dropout_p, dropout_key)
 
         def run(qkv_local, *ex):
             q, k, v = qkv_local[:, :, 0], qkv_local[:, :, 1], qkv_local[:, :, 2]
@@ -451,8 +445,7 @@ class UlyssesAttention(_LayerBase):
                 softmax_scale=softmax_scale, block_q=sparse_block_q,
                 block_kv=sparse_block_kv, interpret=self.interpret,
             )
-            return self._shard_map(
-                lambda q, k, v: fn(q, k, v), 3)(q, k, v)
+            return self._shard_map(fn, 3)(q, k, v)
         fn = functools.partial(
             usp_attention_local,
             ulysses_axis=self.axes.ulysses, ring_axis=self.axes.ring,

@@ -240,3 +240,36 @@ def test_fast_vs_safe_softmax(rng):
                                   - b.astype(jnp.float32))))
         assert d < 2.0, d
         assert np.isfinite(d)
+
+
+def test_sqrt_tri_decode_matches_table_path(rng, monkeypatch):
+    """The table-free sqrt tri-grid (engaged past _TRI_TABLE_MAX live tiles,
+    ~370K tokens in production — unreachable at test shapes) must bit-match
+    the SMEM-table tri grid: lower the threshold so the sqrt decode runs at
+    test size. Also checks _tri_decode's +-1 fix-up exactly over a large
+    index range."""
+    import numpy as np_
+    from long_context_attention_tpu.ops import flash as F
+
+    # arithmetic decode exactness over a wide range (covers many rows)
+    idx = jnp.arange(600_000, dtype=jnp.int32)
+    iq, ik = F._tri_decode(idx)
+    iq, ik = np_.asarray(iq), np_.asarray(ik)
+    r = np_.floor((np_.sqrt(8.0 * np_.arange(600_000, dtype=np_.float64) + 1)
+                   - 1) / 2).astype(np_.int64)
+    start = r * (r + 1) // 2
+    np_.testing.assert_array_equal(iq, r)
+    np_.testing.assert_array_equal(ik, np_.arange(600_000) - start)
+
+    q = jnp.asarray(rng.normal(size=(1, 512, 4, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(1, 512, 2, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(1, 512, 2, 64)), jnp.bfloat16)
+    bs = BlockSizes(64, 64)  # nq=8 -> tri=36 live tiles
+    table = flash_attention(q, k, v, causal=True, block_sizes=bs,
+                            return_lse=True)
+    monkeypatch.setattr(F, "_TRI_TABLE_MAX", 4)  # force the sqrt path
+    sqrtp = flash_attention(q, k, v, causal=True, block_sizes=bs,
+                            return_lse=True)
+    for a, b, name in zip(sqrtp, table, ("out", "lse")):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32), err_msg=name)
