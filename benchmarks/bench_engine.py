@@ -28,6 +28,10 @@ def main():
                     help="decode weight dtype: bfloat16 | int8 (w8a8)")
     ap.add_argument("--layers", type=int, default=16)
     ap.add_argument("--dim", type=int, default=2048)
+    ap.add_argument("--window", type=int, default=-1,
+                    help="Mistral-style sliding window (banded decode/prefill)")
+    ap.add_argument("--sink", type=int, default=0,
+                    help="StreamingLLM sink tokens (needs --window)")
     args = ap.parse_args()
 
     import jax
@@ -40,7 +44,7 @@ def main():
     cfg = ModelConfig(
         vocab=32000, dim=args.dim, n_layers=args.layers, n_heads=16,
         n_kv_heads=8, head_dim=args.dim // 16, ffn_hidden=int(args.dim * 2.7),
-        layout="basic",
+        layout="basic", window_left=args.window, sink_tokens=args.sink,
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
     n_params = sum(x.size for x in jax.tree.leaves(params))

@@ -563,10 +563,18 @@ def sage_attention(
 
     trivial = (q_offsets is None and kv_offsets is None
                and q_stride == 1 and kv_stride == 1)
-    if trivial and causal and s_q == s_kv and window == (-1, -1):
-        bq = _fit(min(bs.block_q, bs.block_kv), s_q)
+    # the tri grid's (iq, ik) SMEM tables cap out like flash.py's
+    # (_TRI_TABLE_MAX live tiles ~ 370K tokens at bq=1024); past it, the
+    # position-aware rectangular path (whole-tile causal skipping + clamped
+    # DMA) takes over instead of OOMing scalar memory
+    from long_context_attention_tpu.ops.flash import _TRI_TABLE_MAX
+
+    bq_tri = _fit(min(bs.block_q, bs.block_kv), s_q)
+    tri_fits = (s_q // bq_tri) * (s_q // bq_tri + 1) // 2 <= _TRI_TABLE_MAX
+    if (trivial and causal and s_q == s_kv and window == (-1, -1)
+            and tri_fits):
         out, lse = _sage_fwd_tri_bhsd(
-            q8, qs, k8, ks, v8, vs, pv_int8=pv_int8, bq=bq,
+            q8, qs, k8, ks, v8, vs, pv_int8=pv_int8, bq=bq_tri,
             out_dtype=q.dtype, interpret=interpret)
     elif trivial and not causal and window == (-1, -1):
         bq = _fit(bs.block_q, s_q)

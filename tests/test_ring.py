@@ -270,3 +270,16 @@ def test_ring_bidirectional_grads(rng, layout):
         np.testing.assert_allclose(np.asarray(gi, np.float32),
                                    np.asarray(ri, np.float32),
                                    err_msg=name, **TOL)
+
+
+def test_ring_pallas_window_sink_kv_quant(rng):
+    """Sliding window + sinks + int8 transport quantization through the
+    pallas ring (the per-step kernels band their kv grids when the window
+    is narrow enough): vs the positional oracle at the bf16+int8 gate."""
+    q, k, v = make_qkv(rng)
+    out = run_ring(q, k, v, "zigzag", "pallas", causal=True,
+                   window_size=(64, -1), sink_tokens=24, kv_quant="int8")
+    ref, _ = xla_attention(q, k, v, causal=True, window_size=(64, -1),
+                           sink_tokens=24)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), **TOL)

@@ -307,3 +307,22 @@ def test_straight_through_anchor_bias(rng):
         scale = float(jnp.max(jnp.abs(b))) + 1e-6
         gap = float(jnp.max(jnp.abs(a - b))) / scale
         assert gap < max(2.0 * fwd_err, 5e-2), (name, gap, fwd_err)
+
+
+def test_tri_table_cap_falls_back_to_pos_path(rng, monkeypatch):
+    """Past the tri grid's SMEM table cap, causal sage self-attention takes
+    the position-aware rectangular path instead of OOMing scalar memory —
+    same result (lower the cap to force the fallback at test size)."""
+    from long_context_attention_tpu.ops import flash as F
+
+    q, k, v = make_qkv(rng)
+    want, want_lse = sage_attention(q, k, v, causal=True, block_sizes=BS,
+                                    return_lse=True)
+    monkeypatch.setattr(F, "_TRI_TABLE_MAX", 2)
+    got, got_lse = sage_attention(q, k, v, causal=True, block_sizes=BS,
+                                  return_lse=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=1e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(got_lse), np.asarray(want_lse),
+                               atol=1e-5, rtol=0)
