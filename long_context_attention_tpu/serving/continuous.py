@@ -386,7 +386,19 @@ class ContinuousEngine:
                     cur[bi] = int(nxt[bi, j])
                     self._maybe_finish(bi, slot, emitted, results, eos_id,
                                        lps)
+            # sliding-window page bookkeeping (PagedContinuousEngine
+            # override; no-op for dense engines): assign fresh pages the
+            # next block will write, free pages that slid behind the window
+            cache = self._post_block(cache, slot, emitted)
         return results
+
+    def _post_block(self, cache, slot, emitted):
+        """Hook after each decode block (host-side lengths current): the
+        paged engine reclaims / assigns sliding-window pages here; dense
+        engines do nothing. Not called on the host_overlap path (its host
+        lengths lag the device by a block; windowed paging requires the
+        plain or interleaved scheduler)."""
+        return cache
 
     def _serve_overlapped(self, params, requests: Sequence[Request], *,
                           sampling: SamplingParams = SamplingParams(),
@@ -940,7 +952,10 @@ class _PageAllocator:
     """Host-side free-list over the physical page pool. Page 0 is the
     reserved scratch page (see `ops/kv_cache.py:PagedKVCache`). Pages are
     reclaimed lazily: a row's pages free when a NEW request is admitted
-    into that row (that is exactly when they become garbage)."""
+    into that row (that is exactly when they become garbage) — plus
+    eagerly for sliding-window rows (``release_pages``: pages behind the
+    window free while the row is still running, and ``take_extra`` assigns
+    fresh pages on demand as decode crosses page boundaries)."""
 
     def __init__(self, pool_pages: int):
         self.free: List[int] = list(range(1, pool_pages))
@@ -955,6 +970,25 @@ class _PageAllocator:
         pages = [self.free.pop() for _ in range(need)]
         self.rows[bi] = pages
         return pages
+
+    def take_extra(self, bi: int, need: int) -> List[int]:
+        """Grow a RUNNING row by ``need`` fresh pages (windowed decode
+        crossing page boundaries)."""
+        assert len(self.free) >= need, (need, len(self.free))
+        pages = [self.free.pop() for _ in range(need)]
+        self.rows.setdefault(bi, []).extend(pages)
+        return pages
+
+    def release_pages(self, bi: int, pages: List[int]) -> None:
+        """Free specific pages of a RUNNING row (they slid behind the
+        window); freed in the given order to keep LIFO parity with the
+        native core."""
+        row = self.rows.get(bi)
+        if not row:
+            return
+        for p in pages:
+            row.remove(p)
+            self.free.append(p)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -1024,6 +1058,94 @@ class PagedContinuousEngine(ContinuousEngine):
         ``admitted_tokens``, ``evictions``."""
         return getattr(self, "_stats", {})
 
+    @property
+    def _windowed_paging(self) -> bool:
+        """Sliding-window dynamic paging: rows hold only the sink + window
+        pages at steady state — pages behind the window free WHILE the row
+        runs, fresh pages are assigned on demand as decode crosses page
+        boundaries (vLLM-style growth), so ``max_new`` no longer inflates
+        the reservation and long windowed streams stop hoarding the pool.
+        The attention kernels never read behind-window pages (banded grid /
+        window masking), so freeing them — and reusing the physical page
+        for another row — cannot change results. Plain and interleaved
+        schedulers only (host_overlap's host lengths lag the device);
+        prefix_cache keeps whole-span reservations (shared-page refcounts
+        interact with eager frees — future work)."""
+        return (self.cfg.window_left >= 0 and not self.prefix_cache
+                and not self.host_overlap)
+
+    def _rolling_pages(self) -> int:
+        """Steady-state pages a windowed row occupies: the sink prefix +
+        the (window + self) band + one block of growth margin, with page
+        rounding slack."""
+        psz = self.page_size
+        sink_pages = -(-self.cfg.sink_tokens // psz) if self.cfg.sink_tokens else 0
+        band = self.cfg.window_left + 1 + self.step_block + 1
+        return sink_pages + -(-band // psz) + 1
+
+    def _note_windowed_row(self, bi: int, row_pt, assigned: int, n: int):
+        """Record a freshly admitted row's host-side page state for the
+        sliding-window bookkeeping (no-op for non-windowed configs)."""
+        if not self._windowed_paging:
+            return
+        psz = self.page_size
+        sink_pages = (-(-self.cfg.sink_tokens // psz)
+                      if self.cfg.sink_tokens else 0)
+        self._rowwin[bi] = {"pt": row_pt, "assigned": int(assigned),
+                            "next_free": sink_pages, "prompt": int(n)}
+
+    def _post_block(self, cache, slot, emitted):
+        """Sliding-window page bookkeeping after each decode block:
+
+        * growth — assign fresh physical pages for the logical pages the
+          NEXT block will write (the device table gets one scatter update);
+        * reclamation — free pages wholly behind the global window (the
+          kernels' window masking / banded grid never read them, so the
+          physical page can be reused by any other row immediately; the
+          row's stale table entries are never dereferenced and need no
+          device write).
+        """
+        if not self._windowed_paging or not self._rowwin:
+            return cache
+        psz = self.page_size
+        w = self.cfg.window_left
+        sink_pages = (-(-self.cfg.sink_tokens // psz)
+                      if self.cfg.sink_tokens else 0)
+        upd_b, upd_j, upd_p = [], [], []
+        for bi, req in enumerate(slot):
+            st = self._rowwin.get(bi)
+            if req is None or st is None:
+                continue
+            # emitted includes the admission's first token, whose KV is
+            # appended on the FIRST decode step: length = prompt + k - 1
+            L = st["prompt"] + len(emitted[bi]) - 1
+            # (a) growth: the next block appends up to step_block tokens
+            need_upto = min(-(-(L + self.step_block + 1) // psz),
+                            self.n_pages)
+            if need_upto > st["assigned"]:
+                extra = need_upto - st["assigned"]
+                pages = self._alloc.take_extra(bi, extra)
+                for j, pg in zip(range(st["assigned"], need_upto), pages):
+                    st["pt"][j] = pg
+                    upd_b.append(bi)
+                    upd_j.append(j)
+                    upd_p.append(pg)
+                st["assigned"] = need_upto
+            # (b) reclaim: pages wholly behind the window (keep sinks)
+            first_needed = max(L - 1 - w, 0) // psz
+            lo = max(st["next_free"], sink_pages)
+            if first_needed > lo:
+                phys = [int(st["pt"][j]) for j in range(lo, first_needed)]
+                self._alloc.release_pages(bi, phys)
+                st["next_free"] = first_needed
+        if upd_b:
+            table = cache.page_table.at[
+                (jnp.asarray(upd_b, jnp.int32),
+                 jnp.asarray(upd_j, jnp.int32))].set(
+                jnp.asarray(upd_p, jnp.int32))
+            cache = dataclasses.replace(cache, page_table=table)
+        return cache
+
     def _pages_needed(self, req: Request) -> int:
         pad = _bucket(len(req.tokens))
         span = max(pad, len(req.tokens) + req.max_new)
@@ -1034,6 +1156,16 @@ class PagedContinuousEngine(ContinuousEngine):
             # prompt through the same path)
             span = max(span, len(req.tokens)
                        + min(self.prefill_chunk, pad))
+        if self._windowed_paging:
+            # reservation covers the prefill transient + the first decode
+            # block; steady state is the rolling working set (max_new does
+            # NOT appear: growth pages are assigned on demand and pages
+            # behind the window free as the row advances)
+            span = max(pad, len(req.tokens) + self.step_block + 1)
+            if self.interleave_admission:
+                span = max(span, len(req.tokens)
+                           + min(self.prefill_chunk, pad))
+            return max(-(-span // self.page_size), self._rolling_pages())
         return -(-span // self.page_size)
 
     def init_cache(self) -> KVCache:
@@ -1053,6 +1185,7 @@ class PagedContinuousEngine(ContinuousEngine):
                     f"pool has {self.pool_pages - 1} allocatable")
         alloc = self._make_alloc()
         object.__setattr__(self, "_alloc", alloc)
+        object.__setattr__(self, "_rowwin", {})
         object.__setattr__(self, "_stats",
                            {"prefix_hit_tokens": 0, "admitted_tokens": 0,
                             "evictions": 0})
@@ -1212,6 +1345,7 @@ class PagedContinuousEngine(ContinuousEngine):
             pages = self._alloc.take(bi, need)
             row_pt = np.full((self.n_pages,), -1, np.int32)
             row_pt[:need] = pages
+            self._note_windowed_row(bi, row_pt, need, n)
             cache, logits = self._bucket_prefill(params, cache, req, bi,
                                                  row_pt)
             first, lp = self._sample_first(logits, sampling, key)
@@ -1278,6 +1412,11 @@ class PagedContinuousEngine(ContinuousEngine):
             cs = min(self.prefill_chunk, _bucket(n))
             span = max(n + req.max_new, (-(-n // cs)) * cs)
             span_pages = -(-span // self.page_size)
+            if self._windowed_paging:
+                # growth pages come on demand; reserve prefill + 1 block
+                span = max(n + self.step_block + 1, (-(-n // cs)) * cs)
+                span_pages = max(-(-span // self.page_size),
+                                 self._rolling_pages())
             pages = self._alloc.take(bi, span_pages)
         cached = hits * self.page_size
         suffix = np.asarray(req.tokens[cached:], np.int32)
@@ -1323,6 +1462,8 @@ class PagedContinuousEngine(ContinuousEngine):
             page_table=cache.page_table.at[st.bi].set(
                 jnp.asarray(st.row_pt)),
             length=cache.length.at[st.bi].set(jnp.int32(n)))
+        self._note_windowed_row(st.bi, st.row_pt,
+                                int((st.row_pt >= 0).sum()), n)
         if self.prefix_cache:
             self._alloc.register(st.all_hashes,
                                  st.pages[:len(st.all_hashes)])
@@ -1417,6 +1558,10 @@ class PagedContinuousEngine(ContinuousEngine):
                     cur[bi] = int(nxt[bi, j])
                     self._maybe_finish(bi, slot, emitted, results, eos_id,
                                        lps)
+            # sliding-window page bookkeeping (PagedContinuousEngine
+            # override; no-op for dense engines): assign fresh pages the
+            # next block will write, free pages that slid behind the window
+            cache = self._post_block(cache, slot, emitted)
         return results
 
 
@@ -1470,6 +1615,7 @@ class PagedSpeculativeContinuousEngine(SpeculativeContinuousEngine,
                     f"pool has {self.pool_pages - 1} allocatable")
         alloc = self._make_alloc()
         object.__setattr__(self, "_alloc", alloc)
+        object.__setattr__(self, "_rowwin", {})
         object.__setattr__(self, "_stats",
                            {"prefix_hit_tokens": 0, "admitted_tokens": 0,
                             "evictions": 0})

@@ -75,6 +75,13 @@ def load() -> Optional[ctypes.CDLL]:
         lib.lca_take_basic.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32)]
+        lib.lca_take_extra.restype = ctypes.c_int32
+        lib.lca_take_extra.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.lca_release_pages.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
         lib.lca_lookup.restype = ctypes.c_int64
         lib.lca_lookup.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32]
@@ -141,6 +148,18 @@ class NativePageAllocator(_Handle):
         rc = self._lib.lca_take_basic(self._h, bi, need, out)
         assert rc == 0, (need, "pool exhausted")
         return list(out[:need])
+
+    def take_extra(self, bi: int, need: int) -> List[int]:
+        out = (ctypes.c_int32 * max(need, 1))()
+        rc = self._lib.lca_take_extra(self._h, bi, need, out)
+        assert rc == 0, (need, "pool exhausted")
+        return list(out[:need])
+
+    def release_pages(self, bi: int, pages: List[int]) -> None:
+        if not pages:
+            return
+        arr = (ctypes.c_int32 * len(pages))(*pages)
+        self._lib.lca_release_pages(self._h, bi, arr, len(pages))
 
 
 class NativePrefixPageAllocator(_Handle):

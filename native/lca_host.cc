@@ -86,6 +86,40 @@ struct Allocator {
     return 0;
   }
 
+  // windowed-decode growth: extend a RUNNING row by `need` fresh pages.
+  // returns 0 on success, -1 if the free list cannot satisfy it.
+  int take_extra(int32_t bi, int32_t need, int32_t* out) {
+    if (static_cast<int32_t>(free_list.size()) < need) return -1;
+    auto& row = rows[bi];
+    for (int32_t i = 0; i < need; ++i) {
+      int32_t p = free_list.back();
+      free_list.pop_back();
+      row.push_back(p);
+      out[i] = p;
+    }
+    return 0;
+  }
+
+  // windowed-decode reclamation: free specific pages of a RUNNING row
+  // (they slid behind the window). Mirrors the Python structure exactly:
+  // remove the first occurrence from the row list, push onto the free
+  // list in the given order (LIFO parity).
+  void release_pages(int32_t bi, const int32_t* pages, int32_t n) {
+    auto it = rows.find(bi);
+    if (it == rows.end()) return;
+    auto& row = it->second;
+    for (int32_t i = 0; i < n; ++i) {
+      int32_t p = pages[i];
+      for (auto rit = row.begin(); rit != row.end(); ++rit) {
+        if (*rit == p) {
+          row.erase(rit);
+          free_list.push_back(p);
+          break;
+        }
+      }
+    }
+  }
+
   // ---- prefix mode ---------------------------------------------------------
 
   int64_t lookup(const Key* keys, int32_t n) const {
@@ -210,6 +244,14 @@ void lca_alloc_free(void* h) { delete static_cast<Allocator*>(h); }
 
 int64_t lca_available(void* h, int32_t bi) {
   return static_cast<Allocator*>(h)->available(bi);
+}
+
+int32_t lca_take_extra(void* h, int32_t bi, int32_t need, int32_t* out) {
+  return static_cast<Allocator*>(h)->take_extra(bi, need, out);
+}
+
+void lca_release_pages(void* h, int32_t bi, const int32_t* pages, int32_t n) {
+  static_cast<Allocator*>(h)->release_pages(bi, pages, n);
 }
 
 int32_t lca_take_basic(void* h, int32_t bi, int32_t need, int32_t* out) {

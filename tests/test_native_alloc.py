@@ -43,6 +43,47 @@ def test_basic_allocator_parity():
             assert py.take(bi, need) == cc.take(bi, need), step
 
 
+def test_windowed_ops_parity():
+    """take_extra / release_pages (sliding-window dynamic paging): the
+    native core must grow and free RUNNING rows with identical page ids
+    and free-list (LIFO) state to the Python allocator."""
+    rng = np.random.default_rng(2)
+    py = _PageAllocator(48)
+    cc = NativePageAllocator(48)
+    rows = {}
+    for step in range(1500):
+        op = rng.integers(0, 4)
+        bi = int(rng.integers(0, 6))
+        assert py.available(bi) == cc.available(bi), step
+        if op == 0 and len(py.free) >= 6:  # fresh admission
+            need = int(rng.integers(1, 5))
+            a = py.take(bi, need)
+            b = cc.take(bi, need)
+            assert a == b, step
+            rows[bi] = list(a)
+        elif op == 1 and rows.get(bi) and len(py.free) >= 3:  # growth
+            extra = int(rng.integers(1, 3))
+            a = py.take_extra(bi, extra)
+            b = cc.take_extra(bi, extra)
+            assert a == b, step
+            rows[bi].extend(a)
+        elif op == 2 and rows.get(bi):  # behind-window frees
+            k = int(rng.integers(1, len(rows[bi]) + 1))
+            drop = rows[bi][:k]
+            py.release_pages(bi, drop)
+            cc.release_pages(bi, drop)
+            rows[bi] = rows[bi][k:]
+        assert sorted(py.free) == sorted(
+            range(1, 48)) if not any(rows.values()) and not py.rows else True
+    # final drain parity
+    for bi in list(rows):
+        if rows[bi]:
+            py.release_pages(bi, rows[bi])
+            cc.release_pages(bi, rows[bi])
+    for bi in range(6):
+        assert py.available(bi) == cc.available(bi)
+
+
 def test_prefix_allocator_parity_randomized():
     rng = np.random.default_rng(1)
     pool = 48

@@ -395,3 +395,110 @@ def test_paged_windowed_banded_matches_dense():
                            page_table=jnp.asarray(pt), **kw)
     np.testing.assert_array_equal(np.asarray(o_d, np.float32),
                                   np.asarray(o_p, np.float32))
+
+
+def test_windowed_paging_reclaims_and_grows():
+    """Sliding-window dynamic paging (r4): rows hold only O(window) pages —
+    growth pages assigned on demand as decode crosses page boundaries,
+    behind-window pages freed WHILE the row runs — so max_new no longer
+    inflates the reservation and two long-decode rows fit a pool the
+    whole-span scheme could not share. Tokens must equal the dense
+    ContinuousEngine's."""
+    import dataclasses as dc
+
+    from long_context_attention_tpu.serving import continuous as C
+
+    wcfg = dc.replace(CFG, window_left=96)
+    params = init_params(jax.random.PRNGKey(0), wcfg)
+    rng = np.random.default_rng(5)
+    reqs = [Request(id=i,
+                    tokens=list(rng.integers(0, wcfg.vocab, size=100)),
+                    max_new=300) for i in range(2)]
+
+    # instrument the python allocator to observe peak pool usage
+    peak = {"v": 0}
+    orig_take, orig_extra = C._PageAllocator.take, C._PageAllocator.take_extra
+
+    def note(alloc):
+        peak["v"] = max(peak["v"], (alloc and 0) or 0)
+
+    def take(self, bi, need):
+        r = orig_take(self, bi, need)
+        peak["v"] = max(peak["v"], 47 - len(self.free))
+        return r
+
+    def take_extra(self, bi, need):
+        r = orig_extra(self, bi, need)
+        peak["v"] = max(peak["v"], 47 - len(self.free))
+        return r
+
+    C._PageAllocator.take, C._PageAllocator.take_extra = take, take_extra
+    try:
+        eng = PagedContinuousEngine(
+            wcfg, s_max=512, max_batch=2, page_size=PAGE, pool_pages=48,
+            native_runtime=False)
+        assert eng._windowed_paging
+        # whole-span need would be ceil(400/128) = 4 pages/row; windowed
+        # reservation is the rolling working set
+        assert eng._pages_needed(reqs[0]) < 4
+        results = eng.serve(params, reqs)
+    finally:
+        C._PageAllocator.take, C._PageAllocator.take_extra = \
+            orig_take, orig_extra
+
+    # exact reference: the SAME paged engine with dynamic paging forced
+    # off (whole-span reservations, no reclamation) — identical kernels,
+    # so reclamation must be invisible to the math. (Dense-vs-paged can
+    # flip one-bf16-ulp logit ties: different kv tile sizes.)
+    class _NoWin(PagedContinuousEngine):
+        @property
+        def _windowed_paging(self):
+            return False
+
+    ref = _NoWin(wcfg, s_max=512, max_batch=2, page_size=PAGE,
+                 pool_pages=48, native_runtime=False).serve(params, reqs)
+    for r in reqs:
+        assert results[r.id].tokens == ref[r.id].tokens, r.id
+    # steady-state usage stayed at the rolling working set, far below the
+    # whole-span 2 rows x 4 pages
+    assert peak["v"] <= 2 * eng._rolling_pages(), peak["v"]
+    # reclamation + growth actually happened
+    st = eng._rowwin[0]
+    assert st["next_free"] > 0 and st["assigned"] > eng._pages_needed(reqs[0])
+
+    # a pool the whole-span scheme could not even START with still serves
+    small = PagedContinuousEngine(
+        wcfg, s_max=512, max_batch=2, page_size=PAGE, pool_pages=7,
+        native_runtime=False)
+    res2 = small.serve(params, reqs)
+    for r in reqs:
+        assert res2[r.id].tokens == ref[r.id].tokens, r.id
+
+
+def test_windowed_paging_with_sinks_matches_dense():
+    """window + StreamingLLM sinks under dynamic paging: sink pages stay
+    pinned while the window rolls; greedy tokens equal the dense engine."""
+    import dataclasses as dc
+
+    wcfg = dc.replace(CFG, window_left=96, sink_tokens=8)
+    params = init_params(jax.random.PRNGKey(0), wcfg)
+    rng = np.random.default_rng(9)
+    reqs = [Request(id=i,
+                    tokens=list(rng.integers(0, wcfg.vocab, size=130)),
+                    max_new=250) for i in range(2)]
+    eng = PagedContinuousEngine(
+        wcfg, s_max=512, max_batch=2, page_size=PAGE, pool_pages=10,
+        native_runtime=False)
+    results = eng.serve(params, reqs)
+
+    class _NoWin(PagedContinuousEngine):
+        @property
+        def _windowed_paging(self):
+            return False
+
+    ref = _NoWin(wcfg, s_max=512, max_batch=2, page_size=PAGE,
+                 pool_pages=48, native_runtime=False).serve(params, reqs)
+    for r in reqs:
+        assert results[r.id].tokens == ref[r.id].tokens, r.id
+    # the sink page was never freed
+    assert all(st["next_free"] >= 1 for st in eng._rowwin.values())
