@@ -488,7 +488,7 @@ def test_windowed_paging_with_sinks_matches_dense():
                     max_new=250) for i in range(2)]
     eng = PagedContinuousEngine(
         wcfg, s_max=512, max_batch=2, page_size=PAGE, pool_pages=10,
-        native_runtime=False)
+        native_runtime=False, step_block=3)  # growth spans whole blocks
     results = eng.serve(params, reqs)
 
     class _NoWin(PagedContinuousEngine):
@@ -497,7 +497,8 @@ def test_windowed_paging_with_sinks_matches_dense():
             return False
 
     ref = _NoWin(wcfg, s_max=512, max_batch=2, page_size=PAGE,
-                 pool_pages=48, native_runtime=False).serve(params, reqs)
+                 pool_pages=48, native_runtime=False,
+                 step_block=3).serve(params, reqs)
     for r in reqs:
         assert results[r.id].tokens == ref[r.id].tokens, r.id
     # the sink page was never freed
