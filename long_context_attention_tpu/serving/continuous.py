@@ -969,12 +969,18 @@ class _PageAllocator:
         assert len(self.free) >= need, (need, len(self.free))
         pages = [self.free.pop() for _ in range(need)]
         self.rows[bi] = pages
-        return pages
+        # a COPY: release_pages mutates rows[bi], and the caller's view
+        # must not shrink under it (the native core memcpy's its output)
+        return list(pages)
 
     def take_extra(self, bi: int, need: int) -> List[int]:
         """Grow a RUNNING row by ``need`` fresh pages (windowed decode
-        crossing page boundaries)."""
-        assert len(self.free) >= need, (need, len(self.free))
+        crossing page boundaries). Raises (before mutating anything) when
+        the free list cannot satisfy the growth — a pool-sizing error."""
+        if len(self.free) < need:
+            raise RuntimeError(
+                f"page pool exhausted: row {bi} needs {need} growth pages, "
+                f"{len(self.free)} free")
         pages = [self.free.pop() for _ in range(need)]
         self.rows.setdefault(bi, []).extend(pages)
         return pages
@@ -982,12 +988,16 @@ class _PageAllocator:
     def release_pages(self, bi: int, pages: List[int]) -> None:
         """Free specific pages of a RUNNING row (they slid behind the
         window); freed in the given order to keep LIFO parity with the
-        native core."""
+        native core. Raises ValueError on a page the row does not own
+        (double release) — both runtimes fail loudly rather than leak."""
+        if not pages:
+            return
         row = self.rows.get(bi)
         if not row:
-            return
+            raise ValueError(
+                f"release_pages: row {bi} owns no pages (double release?)")
         for p in pages:
-            row.remove(p)
+            row.remove(p)  # ValueError on a page the row does not own
             self.free.append(p)
 
 
@@ -1119,11 +1129,26 @@ class PagedContinuousEngine(ContinuousEngine):
             # emitted includes the admission's first token, whose KV is
             # appended on the FIRST decode step: length = prompt + k - 1
             L = st["prompt"] + len(emitted[bi]) - 1
-            # (a) growth: the next block appends up to step_block tokens
+            # (a) reclaim FIRST: pages wholly behind the window (sinks
+            # pinned). Reclaim-before-growth is load-bearing: the row's
+            # transient usage must never exceed its admission reservation,
+            # or a pool _can_admit accepted can fail mid-serve (a swept
+            # growth-first ordering overflowed by one page in hundreds of
+            # (window, step_block, page_size) combinations).
+            first_needed = max(L - 1 - w, 0) // psz
+            lo = max(st["next_free"], sink_pages)
+            if first_needed > lo:
+                phys = [int(st["pt"][j]) for j in range(lo, first_needed)]
+                self._alloc.release_pages(bi, phys)
+                st["next_free"] = first_needed
+            # (b) growth: the next block appends up to step_block tokens
             need_upto = min(-(-(L + self.step_block + 1) // psz),
                             self.n_pages)
             if need_upto > st["assigned"]:
                 extra = need_upto - st["assigned"]
+                # take_extra raises (pool-sizing guidance) on a dry free
+                # list — unreachable when pool_pages >= max_batch *
+                # _rolling_pages() + 1, which the admission gate enforces
                 pages = self._alloc.take_extra(bi, extra)
                 for j, pg in zip(range(st["assigned"], need_upto), pages):
                     st["pt"][j] = pg
@@ -1131,13 +1156,6 @@ class PagedContinuousEngine(ContinuousEngine):
                     upd_j.append(j)
                     upd_p.append(pg)
                 st["assigned"] = need_upto
-            # (b) reclaim: pages wholly behind the window (keep sinks)
-            first_needed = max(L - 1 - w, 0) // psz
-            lo = max(st["next_free"], sink_pages)
-            if first_needed > lo:
-                phys = [int(st["pt"][j]) for j in range(lo, first_needed)]
-                self._alloc.release_pages(bi, phys)
-                st["next_free"] = first_needed
         if upd_b:
             table = cache.page_table.at[
                 (jnp.asarray(upd_b, jnp.int32),
@@ -1157,16 +1175,23 @@ class PagedContinuousEngine(ContinuousEngine):
             span = max(span, len(req.tokens)
                        + min(self.prefill_chunk, pad))
         if self._windowed_paging:
-            # reservation covers the prefill transient + the first decode
-            # block; steady state is the rolling working set (max_new does
-            # NOT appear: growth pages are assigned on demand and pages
-            # behind the window free as the row advances)
-            span = max(pad, len(req.tokens) + self.step_block + 1)
-            if self.interleave_admission:
-                span = max(span, len(req.tokens)
-                           + min(self.prefill_chunk, pad))
-            return max(-(-span // self.page_size), self._rolling_pages())
+            return self._windowed_admit_pages(len(req.tokens))
         return -(-span // self.page_size)
+
+    def _windowed_admit_pages(self, n: int, cs: Optional[int] = None) -> int:
+        """Windowed-row admission reservation: the prefill transient (the
+        bucket-padded — or chunk-rounded, interleaved — prompt) + the first
+        decode block; steady state is the rolling working set (max_new does
+        NOT appear: growth pages come on demand and pages behind the window
+        free as the row advances). One formula for _pages_needed AND the
+        interleaved _admission_start so the capacity gate and the actual
+        take can never diverge."""
+        pad = _bucket(n)
+        span = max(pad, n + self.step_block + 1)
+        if self.interleave_admission:
+            c = cs if cs is not None else min(self.prefill_chunk, pad)
+            span = max(span, (-(-n // c)) * c)
+        return max(-(-span // self.page_size), self._rolling_pages())
 
     def init_cache(self) -> KVCache:
         from long_context_attention_tpu.ops.kv_cache import PagedKVCache
@@ -1414,9 +1439,7 @@ class PagedContinuousEngine(ContinuousEngine):
             span_pages = -(-span // self.page_size)
             if self._windowed_paging:
                 # growth pages come on demand; reserve prefill + 1 block
-                span = max(n + self.step_block + 1, (-(-n // cs)) * cs)
-                span_pages = max(-(-span // self.page_size),
-                                 self._rolling_pages())
+                span_pages = self._windowed_admit_pages(n, cs)
             pages = self._alloc.take(bi, span_pages)
         cached = hits * self.page_size
         suffix = np.asarray(req.tokens[cached:], np.int32)
@@ -1594,6 +1617,14 @@ class PagedSpeculativeContinuousEngine(SpeculativeContinuousEngine,
             raise ValueError(
                 "speculative rounds already amortize the host sync; "
                 "interleave_admission/host_overlap do not compose here")
+
+    @property
+    def _windowed_paging(self) -> bool:
+        # the speculative round loop has no _post_block growth/reclaim
+        # hook; windowed rows here keep whole-span reservations (see the
+        # _pages_needed override, which also budgets the gamma+1 verify
+        # overhang)
+        return False
 
     def _pages_needed(self, req: Request) -> int:
         # a verify round may append up to gamma + 1 tokens beyond the

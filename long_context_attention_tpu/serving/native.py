@@ -79,6 +79,7 @@ def load() -> Optional[ctypes.CDLL]:
         lib.lca_take_extra.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32)]
+        lib.lca_release_pages.restype = ctypes.c_int32
         lib.lca_release_pages.argtypes = [
             ctypes.c_void_p, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
@@ -152,14 +153,20 @@ class NativePageAllocator(_Handle):
     def take_extra(self, bi: int, need: int) -> List[int]:
         out = (ctypes.c_int32 * max(need, 1))()
         rc = self._lib.lca_take_extra(self._h, bi, need, out)
-        assert rc == 0, (need, "pool exhausted")
+        if rc != 0:
+            raise RuntimeError(
+                f"page pool exhausted: row {bi} needs {need} growth pages")
         return list(out[:need])
 
     def release_pages(self, bi: int, pages: List[int]) -> None:
         if not pages:
             return
         arr = (ctypes.c_int32 * len(pages))(*pages)
-        self._lib.lca_release_pages(self._h, bi, arr, len(pages))
+        rc = self._lib.lca_release_pages(self._h, bi, arr, len(pages))
+        if rc != 0:
+            raise ValueError(
+                f"release_pages: page not owned by row {bi} (double "
+                f"release?)")
 
 
 class NativePrefixPageAllocator(_Handle):

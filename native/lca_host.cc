@@ -103,21 +103,27 @@ struct Allocator {
   // windowed-decode reclamation: free specific pages of a RUNNING row
   // (they slid behind the window). Mirrors the Python structure exactly:
   // remove the first occurrence from the row list, push onto the free
-  // list in the given order (LIFO parity).
-  void release_pages(int32_t bi, const int32_t* pages, int32_t n) {
+  // list in the given order (LIFO parity). Returns -1 if any page is not
+  // owned by the row (the Python twin raises from row.remove — both
+  // runtimes must fail loudly on a double release, not leak silently).
+  int32_t release_pages(int32_t bi, const int32_t* pages, int32_t n) {
     auto it = rows.find(bi);
-    if (it == rows.end()) return;
+    if (it == rows.end()) return n > 0 ? -1 : 0;
     auto& row = it->second;
     for (int32_t i = 0; i < n; ++i) {
       int32_t p = pages[i];
+      bool found = false;
       for (auto rit = row.begin(); rit != row.end(); ++rit) {
         if (*rit == p) {
           row.erase(rit);
           free_list.push_back(p);
+          found = true;
           break;
         }
       }
+      if (!found) return -1;
     }
+    return 0;
   }
 
   // ---- prefix mode ---------------------------------------------------------
@@ -250,8 +256,9 @@ int32_t lca_take_extra(void* h, int32_t bi, int32_t need, int32_t* out) {
   return static_cast<Allocator*>(h)->take_extra(bi, need, out);
 }
 
-void lca_release_pages(void* h, int32_t bi, const int32_t* pages, int32_t n) {
-  static_cast<Allocator*>(h)->release_pages(bi, pages, n);
+int32_t lca_release_pages(void* h, int32_t bi, const int32_t* pages,
+                          int32_t n) {
+  return static_cast<Allocator*>(h)->release_pages(bi, pages, n);
 }
 
 int32_t lca_take_basic(void* h, int32_t bi, int32_t need, int32_t* out) {

@@ -73,8 +73,6 @@ def test_windowed_ops_parity():
             py.release_pages(bi, drop)
             cc.release_pages(bi, drop)
             rows[bi] = rows[bi][k:]
-        assert sorted(py.free) == sorted(
-            range(1, 48)) if not any(rows.values()) and not py.rows else True
     # final drain parity
     for bi in list(rows):
         if rows[bi]:
@@ -82,6 +80,19 @@ def test_windowed_ops_parity():
             cc.release_pages(bi, rows[bi])
     for bi in range(6):
         assert py.available(bi) == cc.available(bi)
+    # full-pool restoration: every page is back on both free lists
+    assert sorted(py.free) == list(range(1, 48))
+    assert cc.available(0) == 47
+    # double release fails loudly on BOTH runtimes (no silent leak)
+    a = py.take(0, 2)
+    assert cc.take(0, 2) == a
+    py.release_pages(0, [a[0]])
+    cc.release_pages(0, [a[0]])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        py.release_pages(0, [a[0]])
+    with _pytest.raises(ValueError):
+        cc.release_pages(0, [a[0]])
 
 
 def test_prefix_allocator_parity_randomized():

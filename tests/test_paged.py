@@ -503,3 +503,24 @@ def test_windowed_paging_with_sinks_matches_dense():
         assert results[r.id].tokens == ref[r.id].tokens, r.id
     # the sink page was never freed
     assert all(st["next_free"] >= 1 for st in eng._rowwin.values())
+
+
+def test_windowed_paging_tight_pool_no_midserve_crash():
+    """Regression (r4 review): growth ran BEFORE reclamation, so a row's
+    transient usage exceeded its admission reservation by one page and
+    take_extra blew up mid-serve on a pool _can_admit accepted. The
+    reviewer's repro config: window 124, step_block 2, page 128, pool 5."""
+    import dataclasses as dc
+
+    wcfg = dc.replace(CFG, window_left=124)
+    params = init_params(jax.random.PRNGKey(0), wcfg)
+    rng = np.random.default_rng(11)
+    reqs = [Request(id=i,
+                    tokens=list(rng.integers(0, wcfg.vocab, size=100)),
+                    max_new=300) for i in range(2)]
+    eng = PagedContinuousEngine(
+        wcfg, s_max=512, max_batch=2, page_size=PAGE, pool_pages=5,
+        native_runtime=False, step_block=2)
+    results = eng.serve(params, reqs)  # must not raise
+    for r in reqs:
+        assert len(results[r.id].tokens) == r.max_new
