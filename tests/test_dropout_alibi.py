@@ -291,3 +291,32 @@ def test_ring_dropout_grads_run_and_deterministic(rng):
     for a, b in zip(g1, g2):
         assert np.all(np.isfinite(np.asarray(a, np.float32)))
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flash_dropout_with_window(rng):
+    """Dropout x sliding window through the positions kernel (which BANDS
+    its kv grid for windows, r4): the dropout mask is keyed by global
+    positions, so banding cannot change which bits each (q, kv) pair draws.
+    vs the explicit-mask oracle with the window folded into visibility."""
+    q, k, v = make_qkv(rng)
+    p, w = 0.3, 96
+    seed = (4242, 0)
+    out = flash_attention(q, k, v, causal=True, window_size=(w, -1),
+                          dropout_p=p, dropout_seed=jnp.asarray(seed, jnp.int32))
+
+    keep = keep_mask_oracle(seed, p, S, S, H)
+    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    g = q.shape[2] // k.shape[2]
+    kf = jnp.repeat(kf, g, axis=2)
+    vf = jnp.repeat(vf, g, axis=2)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    s = jnp.einsum("bthd,bshd->bhts", qf * scale, kf)
+    rows = np.arange(S)[:, None]
+    cols = np.arange(S)[None, :]
+    vis = (cols <= rows) & (cols >= rows - w)
+    s = jnp.where(jnp.asarray(vis)[None, None], s, -jnp.inf)
+    pm = jax.nn.softmax(s, axis=-1)
+    pm = jnp.where(keep, pm, 0.0) / (1.0 - p)
+    ref = jnp.einsum("bhts,bshd->bthd", pm, vf)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), **TOL)

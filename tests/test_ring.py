@@ -283,3 +283,26 @@ def test_ring_pallas_window_sink_kv_quant(rng):
                            sink_tokens=24)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), **TOL)
+
+
+def test_ring_pallas_window_grads_match_oracle(rng):
+    """Windowed gradients through the pallas ring (the per-step banded
+    kernels + the two-ring fp32 backward) vs the oracle."""
+    q, k, v = make_qkv(rng)
+    dout = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
+    kw = dict(causal=True, window_size=(64, -1), sink_tokens=24)
+
+    def dist_loss(q, k, v):
+        out = run_ring(q, k, v, "zigzag", "pallas", **kw)
+        return jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32))
+
+    def ref_loss(q, k, v):
+        out, _ = xla_attention(q, k, v, **kw)
+        return jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32))
+
+    g = jax.grad(dist_loss, argnums=(0, 1, 2))(q, k, v)
+    r = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for gi, ri, name in zip(g, r, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(gi, np.float32),
+                                   np.asarray(ri, np.float32),
+                                   err_msg=name, **TOL)
