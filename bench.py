@@ -156,7 +156,10 @@ def bench_splash(seq: int, iters: int = 2, heads: int = 32,
 
 def bench_decode_gbps(batch: int, ctx: int = 32768, iters: int = 200):
     """int8 KV-cache decode stream rate (GB/s), deep-chained (CLAUDE.md:
-    short chains amortize the ~31 ms tunnel RTT into phantom per-step cost)."""
+    short chains amortize the ~31 ms tunnel RTT into phantom per-step cost).
+    r5 calibration (benchmarks/exp_r5_decode.py): the SAME kernel measures
+    578 GB/s at 100 iters, 722 at 400, 767 at 1600 (b=8) — the chain must be
+    deep enough that the RTT share is <5%, hence the 1600/4000 defaults."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -221,8 +224,7 @@ def bench_serving_toks(batch: int = 8, ctx: int = 32768, new: int = 64):
     import jax.numpy as jnp
 
     from long_context_attention_tpu.models.llama import ModelConfig, init_params
-    from long_context_attention_tpu.serving import Engine
-    from long_context_attention_tpu.serving.engine import SamplingParams
+    from long_context_attention_tpu.serving import Engine, SamplingParams
 
     cfg = ModelConfig(vocab=32000, dim=2048, n_layers=16, n_heads=16,
                       n_kv_heads=8, head_dim=128, ffn_hidden=int(2048 * 2.7),
@@ -236,15 +238,15 @@ def bench_serving_toks(batch: int = 8, ctx: int = 32768, new: int = 64):
     logits, cache = eng.prefill_chunked(params, prompt, 8192)
     first = jnp.argmax(logits, -1).astype(jnp.int32)
     dparams = eng.decode_params(params)
-    toks, cache2 = eng._decode_scan(dparams, cache, new, first,
-                                    SamplingParams(), jax.random.PRNGKey(0))
+    toks, cache2 = eng.decode_scan(dparams, cache, new, first,
+                                   SamplingParams(), jax.random.PRNGKey(0))
     float(jnp.sum(toks))  # compile + warm; cache donated -> regenerate
     del cache, cache2
     logits2, cache = eng.prefill_chunked(params, prompt, 8192)
     float(jnp.sum(cache.length))
     t0 = time.perf_counter()
-    toks, cache3 = eng._decode_scan(dparams, cache, new, first,
-                                    SamplingParams(), jax.random.PRNGKey(0))
+    toks, cache3 = eng.decode_scan(dparams, cache, new, first,
+                                   SamplingParams(), jax.random.PRNGKey(0))
     float(jnp.sum(toks))
     dt_tok = (time.perf_counter() - t0) / new
     return batch / dt_tok
@@ -321,14 +323,20 @@ def main():
                 val = fn()
                 result[key] = round(float(val), 2)
                 print(f"{key}: {fmt.format(val)}", file=sys.stderr)
-            except Exception as e:  # any extra failing must not kill the line
-                print(f"{key} failed: {type(e).__name__}: {e}",
+            except Exception as e:  # a failed extra must not kill the line,
+                # but it must be LOUD: the key ships as null (a dropped key
+                # would read as "not measured" instead of "broken")
+                import traceback
+                traceback.print_exc()
+                print(f"{key} FAILED: {type(e).__name__}: {e}",
                       file=sys.stderr)
+                result[key] = None
+                result.setdefault("failed_extras", []).append(key)
 
         extra("fwdbwd_tflops",
               lambda: bench_attention(args.seq, True, max(args.iters - 1, 3))[0])
-        extra("decode_gbps_b1_32k_int8", lambda: bench_decode_gbps(1, iters=400))
-        extra("decode_gbps_b8_32k_int8", lambda: bench_decode_gbps(8, iters=100))
+        extra("decode_gbps_b1_32k_int8", lambda: bench_decode_gbps(1, iters=4000))
+        extra("decode_gbps_b8_32k_int8", lambda: bench_decode_gbps(8, iters=1600))
         extra("ttft_128k_s", bench_ttft_128k)
         extra("serving_tok_s_b8_32k_int8", bench_serving_toks, "{:.0f}")
 

@@ -17,6 +17,7 @@ blockwise attention of (b, h, d) queries against a BHSD cache
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -24,8 +25,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from long_context_attention_tpu.ops.flash import _CLAMP
 from long_context_attention_tpu.ops.merge import merge_partials
 from long_context_attention_tpu.utils.config import NEG_INF, default_interpret
+
+_LOG2E = math.log2(math.e)
 
 __all__ = ["decode_attention", "cache_append"]
 
@@ -297,7 +301,7 @@ def _decode_kernel(
     alibi: bool = False, has_first_cols: bool = False, n_tok: int = 1,
     paged: bool = False, int8_mxu: bool = False, sink_tokens: int = 0,
     has_sink_cols: bool = False, banded: bool = False, band_ns: int = 0,
-    nk_logical: int = 0,
+    nk_logical: int = 0, fast: bool = True,
 ):
     refs = list(refs)
     if layered:
@@ -322,16 +326,23 @@ def _decode_kernel(
         sl_ref = refs.pop(0)
     out_ref, lse_ref, m_scr, l_scr, acc_scr = refs
 
-    def kv_tile(ref):
-        return ref[0, 0, 0, :, :] if layered else ref[0, 0, :, :]
+    # ALL h_kv heads ride one grid cell (r5): tiles are (h_kv, bkv, d) and
+    # the matmuls batch over the head dim. vs the old (b, h_kv, ..) grid
+    # this cuts grid steps h_kv-fold at the same bytes/step budget (tile
+    # h_kv x larger), which is what removes the ~1.2 us/step scalar
+    # dispatch from the critical path (measured: 13.4 -> 12.0 ms serving
+    # attn at b=8 @32K x16 layers) and h_kv-folds the per-cell pipeline
+    # ramp of short banded grids.
+    def kv_tile(ref):  # -> (h_kv, bkv, d)
+        return ref[0, 0] if layered else ref[0]
 
-    def sc_tile(ref):
-        return ref[0, 0, 0, :, :] if layered else ref[0, 0, :, :]
+    def sc_tile(ref):  # -> (h_kv, 1, bkv)
+        return ref[0, 0] if layered else ref[0]
 
     ib = pl.program_id(0)
-    isp = pl.program_id(2)   # kv split (flash-decoding): independent stream
-    ik = pl.program_id(3)    # tile within this split
-    nk = pl.num_programs(3)
+    isp = pl.program_id(1)   # kv split (flash-decoding): independent stream
+    ik = pl.program_id(2)    # tile within this split
+    nk = pl.num_programs(2)
     length = len_ref[ib]
     if banded:
         # windowed decode over a long cache: the grid covers only the sink
@@ -373,7 +384,8 @@ def _decode_kernel(
 
     @pl.when(ik == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        if not fast:
+            m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -392,33 +404,39 @@ def _decode_kernel(
             # SageAttention-style s8 MXU QK: the query was row-quantized to
             # int8 on entry (scales in qs_ref), K streams int8 straight into
             # the matmul — no (bkv, d) VPU dequant cast, and the v5e MXU
-            # runs s8 x s8 -> s32 at 2x the bf16 rate.
-            q = q_ref[0, 0, :, :]                    # (g, d) int8
-            k = kv_tile(k_ref)                       # (bkv, d) int8
+            # runs s8 x s8 -> s32 at 2x the bf16 rate. softmax_scale (and
+            # log2e in fast mode) is pre-folded into the row scales by the
+            # driver, so no in-kernel scale multiply. Head-batched matmul:
+            # (h_kv, G, d) x (h_kv, bkv, d) -> (h_kv, G, bkv).
+            q = q_ref[0]                             # (h_kv, G, d) int8
+            k = kv_tile(k_ref)                       # (h_kv, bkv, d) int8
             s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
+                q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * (qs_ref[0, 0] * scale)  # (g,1) row scales
+            ).astype(jnp.float32) * qs_ref[0]        # (h_kv, G, 1) row scales
         else:
-            q = q_ref[0, 0, :, :]  # (g, d)
-            k = kv_tile(k_ref).astype(jnp.bfloat16)  # (bkv, d), dequant cast
+            q = q_ref[0]                             # (h_kv, G, d)
+            k = kv_tile(k_ref).astype(jnp.bfloat16)  # dequant cast
             s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
+                q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            ) * scale  # (g, bkv)
+            )  # (h_kv, G, bkv)
+            if not fast:
+                s = s * scale  # fast mode pre-folds scale*log2e into q
         if ks_ref is not None:
-            s = s * sc_tile(ks_ref)  # (1, bkv) broadcasts over g rows
+            s = s * sc_tile(ks_ref)  # (h_kv, 1, bkv) broadcasts over G rows
         if softcap > 0.0:
             s = softcap * jnp.tanh(s / softcap)
         cols = gt * block_kv + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1)
-        # per-row query position (n_tok == 1: every row at length - 1)
+            jnp.int32, s.shape, dimension=2)
+        # per-row query position (n_tok == 1: every row at length - 1);
+        # head-independent: broadcasts over the leading h_kv dim
         rowit = jax.lax.broadcasted_iota(
-            jnp.int32, (s.shape[0], 1), 0) % n_tok
-        qpos = length - n_tok + rowit                     # (rows, 1)
+            jnp.int32, (1, s.shape[1], 1), 1) % n_tok
+        qpos = length - n_tok + rowit                     # (1, G, 1)
         if sl_ref is not None:
-            # ALiBi: -slope * (q_pos - kv_pos)
-            sl = sl_ref[0]  # (rows, 1)
+            # ALiBi: -slope * (q_pos - kv_pos); slopes are per head
+            sl = sl_ref[...]  # (h_kv, G, 1)
             s = s - sl * (qpos - cols).astype(jnp.float32)
         invisible = cols > qpos
         if fc_ref is not None:
@@ -434,60 +452,84 @@ def _decode_kernel(
             invisible |= win_drop
         s = jnp.where(invisible, NEG_INF, s)
 
-        m_prev = m_scr[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        p = jnp.where(invisible, 0.0, p)
-        alpha = jnp.exp(m_prev - m_new)
-        l_scr[...] = l_scr[...] * alpha + jnp.broadcast_to(
-            jnp.sum(p, axis=1, keepdims=True), l_scr.shape)
+        if fast:
+            # max-free softmax (the r4 training-kernel finding, ops/flash.py
+            # _CLAMP note): no per-tile max -> subtract -> alpha-rescale
+            # dependency chain. The driver pre-folds scale*log2e into q /
+            # the q row scales; exp2(NEG_INF) == 0 covers masked entries,
+            # and fp32 absorbs the unnormalized p (<= 2^90 per element).
+            alpha = None
+            p = jnp.exp2(jnp.minimum(s, _CLAMP))
+            l_scr[...] = l_scr[...] + jnp.broadcast_to(
+                jnp.sum(p, axis=2, keepdims=True), l_scr.shape)
+        else:
+            m_prev = m_scr[:, :, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+            p = jnp.exp(s - m_new)
+            p = jnp.where(invisible, 0.0, p)
+            alpha = jnp.exp(m_prev - m_new)
+            l_scr[...] = l_scr[...] * alpha + jnp.broadcast_to(
+                jnp.sum(p, axis=2, keepdims=True), l_scr.shape)
         if vs_ref is not None:
             p = p * sc_tile(vs_ref)
         if int8_mxu:
             # int8 PV (SageAttention2-style): fold V's per-token scale into
             # P (done above), then per-row dynamic-quantize P to int8 and
             # hit the s8 MXU — the (bkv, d) V dequant cast disappears for a
-            # (G, bkv) VPU quantize, 16x less VPU work at G=8, d=128. An
-            # all-masked tile has rowmax 0 -> p/ps = 0/eps = 0 (no-op).
-            rowmax = jnp.max(p, axis=1, keepdims=True)           # (G, 1)
+            # (h_kv, G, bkv) VPU quantize. An all-masked tile has rowmax 0
+            # -> p/ps = 0/eps = 0 (no-op). (fast mode: p is unnormalized,
+            # up to 2^90 — the per-tile row scale ps keeps the int8
+            # quantization relative, and the fp32 accumulator absorbs the
+            # magnitude.)
+            rowmax = jnp.max(p, axis=2, keepdims=True)        # (h_kv, G, 1)
             ps = jnp.maximum(rowmax, 1e-20) * (1.0 / 127.0)
             p_i8 = jnp.round(p / ps).astype(jnp.int8)
-            v = kv_tile(v_ref)                                   # int8
-            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-                p_i8, v, (((1,), (0,)), ((), ())),
+            v = kv_tile(v_ref)                                # int8
+            pv = jax.lax.dot_general(
+                p_i8, v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32) * ps
+            acc_scr[...] = (acc_scr[...] + pv if fast
+                            else acc_scr[...] * alpha + pv)
         else:
             v = kv_tile(v_ref).astype(jnp.bfloat16)
-            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-                p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
-            )
-        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            acc_scr[...] = (acc_scr[...] + pv if fast
+                            else acc_scr[...] * alpha + pv)
+        if not fast:
+            m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
 
     @pl.when(ik == nk - 1)
     def _emit():
         # a split whose whole range is masked/past-length emits lse=-inf and
         # out=0 — a no-op under ops/merge.py:merge_partials
-        l = l_scr[:, :1]
-        m = m_scr[:, :1]
+        l = l_scr[:, :, :1]                                   # (h_kv, G, 1)
         dead = l == 0.0
         safe_l = jnp.where(dead, 1.0, l)
         out_ref[...] = jnp.where(
             dead, 0.0, acc_scr[...] / safe_l
         ).astype(out_ref.dtype).reshape(out_ref.shape)
+        m = jnp.zeros_like(l) if fast else m_scr[:, :, :1]
+        # (h_kv, G, 1) -> block (.., h_kv, 1, G): same element order, so a
+        # plain reshape relayouts correctly
         lse_ref[...] = jnp.where(
             dead, -jnp.inf, m + jnp.log(safe_l)
         ).reshape(lse_ref.shape)
 
 
-# scoped-VMEM working set of a multi-token run: the full fp32 (h_kv*G, d)
-# out staging + the (G, bkv) fp32 score tile, plus ~50% for kv double-
-# buffering — calibrated against observed v5e compiles (hard limit 16 MiB)
-_VMEM_BUDGET = 14 * 2 ** 20
+# scoped-VMEM working set of a decode call: double-buffered (h_kv, bkv, d)
+# k+v tiles, the fp32 (h_kv, G, bkv) score tile (x2: s and p in flight),
+# and the fp32 out staging — calibrated against observed v5e compiles
+# (hard limit 16 MiB)
+_VMEM_BUDGET = 12 * 2 ** 20
 
 
-def _multi_vmem_est(h_kv: int, G: int, d: int, bkv: int) -> int:
-    return (4 * h_kv * G * d + 4 * G * bkv) * 3 // 2
+def _vmem_est(h_kv: int, G: int, d: int, bkv: int, itemsize: int) -> int:
+    return (4 * h_kv * bkv * d * itemsize   # k+v, double-buffered
+            + 8 * h_kv * G * bkv            # score + p tiles fp32
+            + 8 * h_kv * G * d)             # acc scratch + out block
 
 
 def decode_attention(
@@ -513,6 +555,7 @@ def decode_attention(
     sink_cols: Optional[jnp.ndarray] = None,
     page_table: Optional[jnp.ndarray] = None,
     mxu_int8: bool = True,
+    safe_softmax: bool = False,
 ):
     """Single-step decode attention over a (quantized) cache.
 
@@ -523,13 +566,15 @@ def decode_attention(
     past the filled prefix may be -1/garbage — they are never fetched:
     the index map clamps to the last live page). ONLY the index maps
     change — masking math stays in logical token positions, so windows/
-    softcap/multi-token verify all compose. The kv tile size IS the page
-    size; pages must be multiples of 128 tokens and SHOULD be >= 2048:
-    the measured int8 stream rate falls 575 -> 472 -> 311 -> 101 GB/s at
-    page sizes 4096/2048/1024/256 (v5e, b=4..8 @32K), which is why a
+    softcap/multi-token verify all compose. A pool page is one h_kv-
+    batched kv tile (or several, when page x h_kv x d would blow scoped
+    VMEM — the page then spans ``spp`` grid steps); pages must be
+    multiples of 128 tokens and SHOULD be >= 2048: small tiles starve
+    the stream pipeline (measured r5, h_kv-batched tiles: 369 GB/s at
+    1024-token tiles vs 666+ at 2048+, b=8 @32K int8), which is why a
     vLLM-style 16-64-token page is the wrong design on TPU — coarse
     pages + a shared pool recover most of paging's concurrency win at
-    ~18% bandwidth cost (page 2048).
+    a small bandwidth cost.
 
     ``window_size``: (left, right) sliding window as in `ops/flash.py` —
     only ``left`` applies at decode (the query IS the newest token, nothing
@@ -557,11 +602,13 @@ def decode_attention(
     of the stacked cache (which would copy a whole layer per step in the
     serving decode loop).
 
-    ``block_kv`` defaults to 4096: at serving shapes the kv stream is
-    pipelined per tile, and 1024-sized tiles leave the int8 dequant path at
-    ~311 GB/s vs ~600 at 4096 (b=4..8 @32K measured; bf16 gains ~15%).
-    Larger tiles plateau. Caches smaller than the block down-fit
-    automatically.
+    ``block_kv`` is the per-step token count; ALL h_kv heads ride one grid
+    cell (r5), so the actual tile is (h_kv, block_kv, d) and the driver
+    shrinks block_kv until the double-buffered working set fits scoped
+    VMEM (int8 at h_kv=8, d=128: 2048 tokens = 2 MiB tiles; bf16: 1024).
+    Bigger tiles amortize the ~1.2 us/step scalar dispatch — 1024-token
+    h_kv-batched tiles measure 369 GB/s vs 666+ at 2048+ (b=8 @32K int8).
+    Caches smaller than the block down-fit automatically.
 
     ``kv_splits``: flash-decoding split-KV. The kv range becomes an extra
     grid axis of independent streams whose fp32 partials merge via
@@ -606,26 +653,39 @@ def decode_attention(
     # use the cast path (no fp8 MXU on v5e).
     int8_mxu = bool(mxu_int8) and quantized and k_cache.dtype == jnp.int8
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
+    # max-free clamped-exp2 softmax (the r4 training-kernel form) is the
+    # default; ``safe_softmax=True`` restores the online running-max chain
+    # (bit-exact vs the pre-r4 kernels, and the anchor for the exact
+    # teacher-forcing serving gates). softcap needs raw scores -> online.
+    fast = float(softcap) == 0.0 and not safe_softmax
     paged = page_table is not None
+    itemsize = jnp.dtype(k_cache.dtype).itemsize
     if paged:
-        # the pool's slot dim IS the page size; one grid step = one page
-        bkv = s_max
+        # one POOL PAGE per h_kv-batched tile run: when the page (x h_kv
+        # heads) would blow scoped VMEM, a page spans several grid steps
+        # (spp tiles per page) — only the in-page tile index changes, the
+        # physical-page lookup stays per logical page.
+        page = s_max
         n_pool = k_cache.shape[1 if layered else 0]
-        nk = page_table.shape[1]
-        assert bkv % 128 == 0, f"page_size {bkv} must be a multiple of 128"
+        assert page % 128 == 0, f"page_size {page} must be a multiple of 128"
         assert first_cols is None, "paged + sharded windows unsupported"
         assert kv_splits in (None, 1), "paged + kv_splits unsupported"
+        bkv = page
+        while bkv > 128 and _vmem_est(h_kv, G, d, bkv, itemsize) > _VMEM_BUDGET:
+            bkv //= 2
+        assert page % bkv == 0, (page, bkv)
+        spp = page // bkv                 # grid steps per pool page
+        nk = page_table.shape[1] * spp
+        s_max = page_table.shape[1] * page  # logical capacity
     else:
+        spp = 0
         bkv = min(block_kv, s_max)
-        if multi:
-            # the in-kernel score tile is (G, bkv) fp32 — long
-            # teacher-forcing runs (chunked admission prefill) must trade
-            # kv-block size for query rows to stay inside scoped VMEM
-            # (same working-set estimate the guard below enforces).
-            # n_tok == 1 (every decode step) keeps the measured 4096
-            # default; small verify windows fit untouched too.
-            while bkv > 512 and _multi_vmem_est(h_kv, G, d, bkv) > _VMEM_BUDGET:
-                bkv //= 2
+        # the working set per grid step is the double-buffered h_kv-batched
+        # (h_kv, bkv, d) k+v tiles plus the fp32 (h_kv, G, bkv) score tile
+        # — shrink the kv block until it fits scoped VMEM (long multi-token
+        # runs trade kv-block size for query rows the same way)
+        while bkv > 128 and _vmem_est(h_kv, G, d, bkv, itemsize) > _VMEM_BUDGET:
+            bkv //= 2
         while s_max % bkv:
             bkv //= 2
         assert bkv % 128 == 0 or bkv == s_max, (
@@ -639,19 +699,17 @@ def decode_attention(
     nk_s = -(-nk // splits)  # tiles per split (ragged tail gated off)
     interp = default_interpret() if interpret is None else bool(interpret)
 
-    if multi and not interp:
+    if not interp:
         # fail loudly (with the knob to turn) instead of a Mosaic scoped-
-        # VMEM stack OOM (paged runs can't shrink bkv below the page size;
-        # dense runs land here only when the fp32 out staging alone is
-        # too big for any bkv)
-        est = _multi_vmem_est(h_kv, G, d, bkv)
+        # VMEM stack OOM (dense runs land here only when the fp32 out
+        # staging alone is too big for any bkv)
+        est = _vmem_est(h_kv, G, d, bkv, itemsize)
         if est > _VMEM_BUDGET:
             raise ValueError(
-                f"multi-token decode run too large for VMEM: n_tok={n_tok} "
-                f"(G={G} query rows x kv block {bkv}) needs ~{est >> 20} "
-                f"MiB on-chip; lower the run length (prefill_chunk / "
-                f"speculative window)"
-                + (" or page_size" if paged else " or block_kv"))
+                f"decode run too large for VMEM: n_tok={n_tok} "
+                f"(G={G} query rows x kv block {bkv} x {h_kv} kv heads) "
+                f"needs ~{est >> 20} MiB on-chip; lower the run length "
+                f"(prefill_chunk / speculative window)")
 
     if multi:
         # (b, n, h, d) -> (b, h_kv, g, n, d) -> (b, h_kv, g*n, d):
@@ -663,12 +721,19 @@ def decode_attention(
     q_rowscale = None
     if int8_mxu:
         # per-query-row dynamic int8: scale = rowmax/127, fused into the
-        # caller's jit (negligible next to the cache stream)
+        # caller's jit (negligible next to the cache stream). softmax_scale
+        # (and log2e for the max-free form) folds into the row scales, so
+        # the kernel's score path is one fp32 multiply.
         q_abs = jnp.max(jnp.abs(qg.astype(jnp.float32)), axis=-1,
                         keepdims=True)
         q_rowscale = jnp.maximum(q_abs, 1e-6) * (1.0 / 127.0)
         qg = jnp.round(qg.astype(jnp.float32) / q_rowscale
                        ).astype(jnp.int8)
+        q_rowscale = q_rowscale * (scale * _LOG2E if fast else scale)
+    elif fast:
+        # fold scale*log2e into q once (bf16 q: one extra rounding — the
+        # same trade the training kernels make, ops/flash.py)
+        qg = (qg.astype(jnp.float32) * (scale * _LOG2E)).astype(qg.dtype)
 
     w_left = int(window_size[0])
     # StreamingLLM sinks: only meaningful with a left window; the sharded
@@ -735,66 +800,68 @@ def decode_attention(
         return gt
 
     def _phys(ibb, gt, rest):
-        # paged: logical kv block gt -> physical pool page (clamped so a
-        # -1/garbage entry past the filled prefix still fetches in-bounds;
-        # compute for those tiles is gated off by the length check)
-        return jnp.clip(rest[-1][ibb, gt], 0, n_pool - 1)
+        # paged: logical kv block gt (bkv units) -> physical pool page of
+        # the page owning it (clamped so a -1/garbage entry past the filled
+        # prefix still fetches in-bounds; compute for those tiles is gated
+        # off by the length check). gt % spp picks the tile WITHIN the page
+        # when a page spans several grid steps.
+        return jnp.clip(rest[-1][ibb, gt // spp], 0, n_pool - 1)
 
     if layered and paged:
-        def kv_im(ibb, ihk, isp, ik, lens, li, *rest):
+        def kv_im(ibb, isp, ik, lens, li, *rest):
             gt = _clamped_gt(ibb, isp, ik, lens, rest[:-1])
-            return (li[0], _phys(ibb, gt, rest), ihk, 0, 0)
+            return (li[0], _phys(ibb, gt, rest), 0, gt % spp, 0)
 
-        def sc_im(ibb, ihk, isp, ik, lens, li, *rest):
+        def sc_im(ibb, isp, ik, lens, li, *rest):
             gt = _clamped_gt(ibb, isp, ik, lens, rest[:-1])
-            return (li[0], _phys(ibb, gt, rest), ihk, 0, 0)
+            return (li[0], _phys(ibb, gt, rest), 0, 0, gt % spp)
 
-        kv_block = (1, 1, 1, bkv, d)
-        sc_block = (1, 1, 1, 1, bkv)
+        kv_block = (1, 1, h_kv, bkv, d)
+        sc_block = (1, 1, h_kv, 1, bkv)
     elif layered:
-        def kv_im(ibb, ihk, isp, ik, lens, li, *rest):
-            return (li[0], ibb, ihk,
+        def kv_im(ibb, isp, ik, lens, li, *rest):
+            return (li[0], ibb, 0,
                     _clamped_gt(ibb, isp, ik, lens, rest), 0)
 
-        def sc_im(ibb, ihk, isp, ik, lens, li, *rest):
-            return (li[0], ibb, ihk, 0,
+        def sc_im(ibb, isp, ik, lens, li, *rest):
+            return (li[0], ibb, 0, 0,
                     _clamped_gt(ibb, isp, ik, lens, rest))
 
-        kv_block = (1, 1, 1, bkv, d)
-        sc_block = (1, 1, 1, 1, bkv)
+        kv_block = (1, 1, h_kv, bkv, d)
+        sc_block = (1, 1, h_kv, 1, bkv)
     elif paged:
-        def kv_im(ibb, ihk, isp, ik, lens, *rest):
+        def kv_im(ibb, isp, ik, lens, *rest):
             gt = _clamped_gt(ibb, isp, ik, lens, rest[:-1])
-            return (_phys(ibb, gt, rest), ihk, 0, 0)
+            return (_phys(ibb, gt, rest), 0, gt % spp, 0)
 
-        def sc_im(ibb, ihk, isp, ik, lens, *rest):
+        def sc_im(ibb, isp, ik, lens, *rest):
             gt = _clamped_gt(ibb, isp, ik, lens, rest[:-1])
-            return (_phys(ibb, gt, rest), ihk, 0, 0)
+            return (_phys(ibb, gt, rest), 0, 0, gt % spp)
 
-        kv_block = (1, 1, bkv, d)
-        sc_block = (1, 1, 1, bkv)
+        kv_block = (1, h_kv, bkv, d)
+        sc_block = (1, h_kv, 1, bkv)
     else:
-        def kv_im(ibb, ihk, isp, ik, lens, *rest):
-            return (ibb, ihk, _clamped_gt(ibb, isp, ik, lens, rest), 0)
+        def kv_im(ibb, isp, ik, lens, *rest):
+            return (ibb, 0, _clamped_gt(ibb, isp, ik, lens, rest), 0)
 
-        def sc_im(ibb, ihk, isp, ik, lens, *rest):
-            return (ibb, ihk, 0, _clamped_gt(ibb, isp, ik, lens, rest))
+        def sc_im(ibb, isp, ik, lens, *rest):
+            return (ibb, 0, 0, _clamped_gt(ibb, isp, ik, lens, rest))
 
-        kv_block = (1, 1, bkv, d)
-        sc_block = (1, 1, 1, bkv)
+        kv_block = (1, h_kv, bkv, d)
+        sc_block = (1, h_kv, 1, bkv)
 
-    def qi(ibb, ihk, isp, ik, *_):
-        return (ibb, ihk, 0, 0)
+    def qi(ibb, isp, ik, *_):
+        return (ibb, 0, 0, 0)
 
-    def oi(ibb, ihk, isp, ik, *_):
-        return (ibb, ihk, isp, 0, 0)
+    def oi(ibb, isp, ik, *_):
+        return (ibb, isp, 0, 0, 0)
 
-    in_specs = [pl.BlockSpec((1, 1, G, d), qi)]
+    in_specs = [pl.BlockSpec((1, h_kv, G, d), qi)]
     inputs = [qg]
     if int8_mxu:
         # (b, h_kv, G, 1) fp32 row scales; block == array dims on the last
         # two axes satisfies Mosaic's tiling rule for the unit lane dim
-        in_specs.append(pl.BlockSpec((1, 1, G, 1), qi))
+        in_specs.append(pl.BlockSpec((1, h_kv, G, 1), qi))
         inputs.append(q_rowscale)
     in_specs += [
         pl.BlockSpec(kv_block, kv_im),
@@ -802,21 +869,26 @@ def decode_attention(
     ]
     inputs += [k_cache, v_cache]
     if quantized:
-        # scales ride with a unit dim before s_max so the (1, bkv) tile
-        # satisfies Mosaic's last-two-dims constraint (unit dim == array dim)
+        # scales ride with a unit dim before the slot dim so the (1, bkv)
+        # tile satisfies Mosaic's last-two-dims constraint (unit dim ==
+        # array dim); paged pools keep their own page-sized slot dim
         lead = k_cache.shape[1] if layered else k_cache.shape[0]  # b or pool
-        sc_shape = ((k_scale.shape[0], lead, h_kv, 1, s_max) if layered
-                    else (lead, h_kv, 1, s_max))
+        slot = page if paged else s_max
+        sc_shape = ((k_scale.shape[0], lead, h_kv, 1, slot) if layered
+                    else (lead, h_kv, 1, slot))
         in_specs += [pl.BlockSpec(sc_block, sc_im),
                      pl.BlockSpec(sc_block, sc_im)]
         inputs += [k_scale.reshape(sc_shape), v_scale.reshape(sc_shape)]
     if alibi_slopes is not None:
-        # (h,) -> (h_kv, g*n, 1): each grid cell reads its g heads' slopes,
-        # each repeated across the run's n_tok rows (row order (member, tok))
+        # (h,) -> (h_kv, g*n, 1): per-head slopes, each repeated across the
+        # run's n_tok rows (row order (member, tok)); the whole table rides
+        # every grid cell (block == array)
         sl = jnp.asarray(alibi_slopes, jnp.float32).reshape(h_kv, g, 1, 1)
         sl = jnp.broadcast_to(sl, (h_kv, g, n_tok, 1)).reshape(h_kv, G, 1)
-        in_specs += [pl.BlockSpec((1, G, 1),
-                                  lambda ibb, ihk, isp, ik, *_: (ihk, 0, 0))]
+        if fast:
+            sl = sl * _LOG2E  # the bias adds to exp2-unit scores
+        in_specs += [pl.BlockSpec((h_kv, G, 1),
+                                  lambda ibb, isp, ik, *_: (0, 0, 0))]
         inputs += [sl]
 
     prefetch = [jnp.asarray(lengths, jnp.int32)]
@@ -830,16 +902,16 @@ def decode_attention(
         prefetch.append(jnp.asarray(page_table, jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
-        grid=(b, h_kv, splits, nk_s),
+        grid=(b, splits, nk_s),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, 1, G, d), oi),
-            pl.BlockSpec((1, 1, 1, 1, G), oi),
+            pl.BlockSpec((1, 1, h_kv, G, d), oi),
+            pl.BlockSpec((1, 1, h_kv, 1, G), oi),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G, 128), jnp.float32),
-            pltpu.VMEM((G, 128), jnp.float32),
-            pltpu.VMEM((G, d), jnp.float32),
+            pltpu.VMEM((h_kv, G, 128), jnp.float32),
+            pltpu.VMEM((h_kv, G, 128), jnp.float32),
+            pltpu.VMEM((h_kv, G, d), jnp.float32),
         ],
     )
     out, lse = pl.pallas_call(
@@ -850,25 +922,24 @@ def decode_attention(
                           has_first_cols=has_fc, n_tok=n_tok, paged=paged,
                           int8_mxu=int8_mxu, sink_tokens=sink,
                           has_sink_cols=has_sc, banded=banded,
-                          band_ns=band_ns, nk_logical=nk),
+                          band_ns=band_ns, nk_logical=nk, fast=fast),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, h_kv, splits, G, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, h_kv, splits, 1, G), jnp.float32),
+            jax.ShapeDtypeStruct((b, splits, h_kv, G, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, splits, h_kv, 1, G), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interp,
     )(*prefetch, *inputs)
     if splits == 1:
-        out = out[:, :, 0].astype(jnp.bfloat16)
-        lse = lse[:, :, 0]
+        out = out[:, 0].astype(jnp.bfloat16)
+        lse = lse[:, 0, :, 0]
     else:
-        # (b, h_kv, S, ...) -> (S, b, h_kv, ...): one fp32 LSE-weighted merge
-        out, lse = merge_partials(jnp.moveaxis(out, 2, 0),
-                                  jnp.moveaxis(lse[:, :, :, 0], 2, 0))
+        # (b, S, h_kv, ...) -> (S, b, h_kv, ...): one fp32 LSE-weighted merge
+        out, lse = merge_partials(jnp.moveaxis(out, 1, 0),
+                                  jnp.moveaxis(lse[:, :, :, 0], 1, 0))
         out = out.astype(jnp.bfloat16)
     if multi:
         # (b, h_kv, g*n, d) -> (b, n, h, d); lse -> (b, h, n)

@@ -1786,6 +1786,7 @@ def _resolve_cfg(
     h, h_kv, s_q, s_kv, d, *, causal, softmax_scale, window_size, softcap,
     n_q_chunks, n_kv_chunks, q_stride, kv_stride, block_sizes, interpret,
     segmented=False, dropout_p=0.0, alibi=False, sink_tokens=0,
+    safe_softmax=False,
 ) -> FlashConfig:
     assert h % h_kv == 0, f"GQA requires h ({h}) % h_kv ({h_kv}) == 0"
     assert s_q % n_q_chunks == 0 and s_kv % n_kv_chunks == 0
@@ -1823,6 +1824,7 @@ def _resolve_cfg(
         dropout_p=float(dropout_p),
         alibi=bool(alibi),
         sink=int(sink_tokens),
+        safe_softmax=bool(safe_softmax),
     )
 
 
@@ -1997,6 +1999,7 @@ def flash_attention_fwd(q, k, v, **kwargs):
         segmented=q_segment_ids is not None,
         dropout_p=dropout_p, alibi=alibi_slopes is not None,
         sink_tokens=kwargs.pop("sink_tokens", 0),
+        safe_softmax=kwargs.pop("safe_softmax", False),
     )
     cfg = dataclasses.replace(cfg, kv_quantized=True)
     assert not kwargs, f"unexpected kwargs {sorted(kwargs)}"
@@ -2019,7 +2022,7 @@ def flash_attention_fwd_cache(
     k_scale=None, v_scale=None, softmax_scale=None,
     window_size=(-1, -1), softcap=0.0, q_start=0,
     kv_lengths=None, sink_tokens=0,
-    block_sizes=None, interpret=None,
+    block_sizes=None, interpret=None, safe_softmax=False,
 ):
     """fwd-only attention of q (b, s_q, h, d) against a **BHSD cache slice**
     (b, h_kv, s_kv, d), optionally quantized — the chunked-prefill building
@@ -2041,6 +2044,7 @@ def flash_attention_fwd_cache(
         softcap=softcap, n_q_chunks=1, n_kv_chunks=1, q_stride=1, kv_stride=1,
         block_sizes=block_sizes, interpret=interpret,
         segmented=kv_lengths is not None, sink_tokens=sink_tokens,
+        safe_softmax=safe_softmax,
     )
     if k_scale is not None:
         cfg = dataclasses.replace(cfg, kv_quantized=True)
@@ -2065,7 +2069,7 @@ def flash_attention_bwd(
     q_offsets=None, kv_offsets=None, q_stride=1, kv_stride=1,
     q_segment_ids=None, kv_segment_ids=None,
     dropout_p=0.0, dropout_key=None, dropout_seed=None, alibi_slopes=None,
-    sink_tokens=0, block_sizes=None, interpret=None,
+    sink_tokens=0, block_sizes=None, interpret=None, safe_softmax=False,
 ):
     """bwd-only entry (the ring backward's per-step call). BSHD in/out.
 
@@ -2090,7 +2094,7 @@ def flash_attention_bwd(
         q_stride=q_stride, kv_stride=kv_stride, block_sizes=block_sizes,
         interpret=interpret, segmented=segmented,
         dropout_p=dropout_p, alibi=alibi_slopes is not None,
-        sink_tokens=sink_tokens,
+        sink_tokens=sink_tokens, safe_softmax=safe_softmax,
     )
     q_off = _resolve_offsets(q_offsets, n_q_chunks)
     kv_off = _resolve_offsets(kv_offsets, n_kv_chunks)

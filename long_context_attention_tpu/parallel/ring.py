@@ -84,6 +84,12 @@ class RingConfig:
     # through the left sliding window. Positions are global descriptors, so
     # every ring schedule agrees with a single device.
     sink: int = 0
+    # restore the online running-max softmax in the pallas kernels (default
+    # is the max-free clamped-exp2 fast form, ops/flash.py _CLAMP note):
+    # graceful with divergent logits, and the anchor for bit-exact
+    # decode-vs-forward gates. Honored by impl="pallas"; the xla oracle is
+    # exact either way.
+    safe_softmax: bool = False
 
     def __post_init__(self):
         if self.layout not in LAYOUTS:
@@ -115,6 +121,8 @@ class RingConfig:
             kw["dropout_seed"] = seed
         if self.sink > 0:
             kw["sink_tokens"] = self.sink
+        if self.safe_softmax and self.impl == "pallas":
+            kw["safe_softmax"] = True
         if self.impl in ("pallas", "sage"):
             kw["block_sizes"] = self.block_sizes
             kw["interpret"] = self.interpret
@@ -385,6 +393,7 @@ def ring_attention_local(
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     return_lse: bool = False,
+    safe_softmax: bool = False,
 ):
     """Ring attention on device-local shards, inside ``shard_map``.
 
@@ -407,6 +416,7 @@ def ring_attention_local(
         softcap=softcap, impl=impl, block_sizes=block_sizes, interpret=interpret,
         kv_quant=kv_quant, bidirectional=bidirectional, dropout_p=float(dropout_p),
         sink=int(sink_tokens) if int(window_size[0]) >= 0 else 0,
+        safe_softmax=bool(safe_softmax),
     )
     if dropout_p > 0.0 and dropout_seed is None:
         raise ValueError("dropout_p > 0 requires dropout_seed ((2,) int32); "

@@ -63,6 +63,7 @@ def usp_attention_local(
     sink_tokens: int = 0,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
+    safe_softmax: bool = False,
 ) -> jnp.ndarray:
     """USP attention on device-local shards (b, s/(U*R), h, d) → same shape.
 
@@ -107,6 +108,7 @@ def usp_attention_local(
         dropout_p=dropout_p, dropout_seed=seed, alibi_slopes=sl_local,
         sink_tokens=sink_tokens,
         block_sizes=block_sizes, interpret=interpret,
+        safe_softmax=safe_softmax,
     )
     return gather_heads(out, ulysses_axis)
 

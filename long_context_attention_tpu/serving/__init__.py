@@ -15,7 +15,11 @@ from long_context_attention_tpu.serving.continuous import (
     ShardedSpeculativeContinuousEngine,
     SpeculativeContinuousEngine,
 )
-from long_context_attention_tpu.serving.engine import Engine, GenerationResult
+from long_context_attention_tpu.serving.engine import (
+    Engine,
+    GenerationResult,
+    SamplingParams,
+)
 from long_context_attention_tpu.serving.sharded import (
     sharded_cache_append,
     sharded_decode_attention,
@@ -28,7 +32,8 @@ from long_context_attention_tpu.serving.speculative import (
 
 __all__ = ["ContinuousEngine", "Engine", "GenerationResult",
            "PagedContinuousEngine", "PagedSpeculativeContinuousEngine", "Request",
-           "RequestResult", "ShardedContinuousEngine", "ShardedEngine",
+           "RequestResult", "SamplingParams",
+           "ShardedContinuousEngine", "ShardedEngine",
            "ShardedSpeculativeContinuousEngine",
            "SpeculativeContinuousEngine", "SpeculativeEngine",
            "SpeculativeResult",

@@ -29,6 +29,7 @@ greedy results are identical to the sequential loop).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 from collections import deque
@@ -988,16 +989,25 @@ class _PageAllocator:
     def release_pages(self, bi: int, pages: List[int]) -> None:
         """Free specific pages of a RUNNING row (they slid behind the
         window); freed in the given order to keep LIFO parity with the
-        native core. Raises ValueError on a page the row does not own
-        (double release) — both runtimes fail loudly rather than leak."""
+        native core. Raises ValueError when ANY page is not owned by the
+        row (double release) — validated against the whole list BEFORE
+        mutating, so a caller that catches the error never sees a
+        half-released allocator (both runtimes fail loudly AND atomically
+        rather than leak or diverge)."""
         if not pages:
             return
         row = self.rows.get(bi)
         if not row:
             raise ValueError(
                 f"release_pages: row {bi} owns no pages (double release?)")
+        have = collections.Counter(row)
+        for p, c in collections.Counter(pages).items():
+            if have[p] < c:
+                raise ValueError(
+                    f"release_pages: row {bi} does not own page {p} "
+                    f"(double release?)")
         for p in pages:
-            row.remove(p)  # ValueError on a page the row does not own
+            row.remove(p)
             self.free.append(p)
 
 

@@ -239,9 +239,16 @@ class Engine:
         return logits[:, -1], cache
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 5), donate_argnums=2)
-    def _decode_scan(self, params, cache: KVCache, max_new: int,
-                     first_token: jnp.ndarray,
-                     sampling: SamplingParams, key: jax.Array):
+    def decode_scan(self, params, cache: KVCache, max_new: int,
+                    first_token: jnp.ndarray,
+                    sampling: SamplingParams, key: jax.Array):
+        """PUBLIC decode chain: sample ``max_new`` tokens per row from a
+        filled cache in one on-device `lax.scan` (the serving hot loop
+        `generate` runs after prefill). ``params`` are the
+        `decode_params`-prepared weights. Returns ((b, max_new) int32
+        tokens, final cache). This is the stable entry benchmarks and
+        embedders time — bench.py's serving headline drives it directly,
+        so its signature is part of the serving API surface."""
         def step(carry, skey):
             cache, tok = carry
             logits, cache = decode_step(params, cache, tok, self.cfg,
@@ -252,6 +259,9 @@ class Engine:
         keys = jax.random.split(key, max_new)
         (cache, _), toks = lax.scan(step, (cache, first_token), keys)
         return jnp.transpose(toks), cache  # (b, max_new)
+
+    # internal spelling kept for existing callers
+    _decode_scan = decode_scan
 
     def generate(self, params, prompt: jnp.ndarray, max_new: int, *,
                  sampling: SamplingParams = SamplingParams(),

@@ -104,25 +104,29 @@ struct Allocator {
   // (they slid behind the window). Mirrors the Python structure exactly:
   // remove the first occurrence from the row list, push onto the free
   // list in the given order (LIFO parity). Returns -1 if any page is not
-  // owned by the row (the Python twin raises from row.remove — both
-  // runtimes must fail loudly on a double release, not leak silently).
+  // owned by the row (the Python twin raises — both runtimes must fail
+  // loudly on a double release, not leak silently). Validation runs on a
+  // scratch copy of the row FIRST, committed only when every page
+  // resolves, so a caller treating -1 as recoverable never observes a
+  // half-released allocator (the Python twin validates the same way).
   int32_t release_pages(int32_t bi, const int32_t* pages, int32_t n) {
+    if (n <= 0) return 0;
     auto it = rows.find(bi);
-    if (it == rows.end()) return n > 0 ? -1 : 0;
-    auto& row = it->second;
+    if (it == rows.end()) return -1;
+    std::vector<int32_t> scratch = it->second;
     for (int32_t i = 0; i < n; ++i) {
-      int32_t p = pages[i];
       bool found = false;
-      for (auto rit = row.begin(); rit != row.end(); ++rit) {
-        if (*rit == p) {
-          row.erase(rit);
-          free_list.push_back(p);
+      for (auto rit = scratch.begin(); rit != scratch.end(); ++rit) {
+        if (*rit == pages[i]) {
+          scratch.erase(rit);
           found = true;
           break;
         }
       }
       if (!found) return -1;
     }
+    it->second = std::move(scratch);
+    for (int32_t i = 0; i < n; ++i) free_list.push_back(pages[i]);
     return 0;
   }
 

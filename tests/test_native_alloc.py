@@ -194,3 +194,26 @@ def test_engine_uses_native_when_available():
         outs[native] = {r: tuple(res[r].tokens) for r in res}
         assert eng.last_alloc_kind == ("native" if native else "python")
     assert outs[False] == outs[True]
+
+
+def test_release_pages_failure_is_atomic():
+    """A release list containing ANY unowned page must fail loudly AND
+    leave the allocator untouched (ADVICE r4: a partially-applied release
+    would diverge the runtimes if the caller catches the error)."""
+    for cls in (_PageAllocator, NativePageAllocator):
+        a = cls(16)
+        owned = a.take(0, 4)
+        other = a.take(1, 2)
+        before_avail = (a.available(0), a.available(1), a.available(5))
+        # good page first, bad page second: nothing may be freed
+        with pytest.raises(ValueError):
+            a.release_pages(0, [owned[0], other[0]])
+        assert (a.available(0), a.available(1), a.available(5)) == \
+            before_avail, cls.__name__
+        # the good page is still owned: releasing it alone succeeds
+        a.release_pages(0, [owned[0]])
+        assert a.available(5) == before_avail[2] + 1, cls.__name__
+        # rows with no pages at all also raise without mutating
+        with pytest.raises(ValueError):
+            a.release_pages(3, [owned[1]])
+        assert a.available(5) == before_avail[2] + 1, cls.__name__
