@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--heads", type=int, default=32)
     ap.add_argument("--kv-heads", type=int, default=8)
     ap.add_argument("--head-dim", type=int, default=128)
-    ap.add_argument("--decode-iters", type=int, default=200)
+    ap.add_argument("--decode-iters", type=int, default=2000)
     args = ap.parse_args()
 
     import jax
@@ -50,9 +50,8 @@ def main():
     S, W, SINK, C = args.seq, args.window, args.sink, args.chunk
     H, HKV, D = args.heads, args.kv_heads, args.head_dim
     n_chunks = S // C
-    band = C + W  # kv slice covering every row's window within one chunk
     print(f"# StreamingLLM @ {S} tokens, {H}/{HKV} heads d={D}, "
-          f"window {W} + sink {SINK}, chunk {C}, band {band} "
+          f"window {W} + sink {SINK}, chunk {C} "
           f"({jax.devices()[0].device_kind})", file=sys.stderr)
 
     kk, kv = jax.random.split(jax.random.PRNGKey(0))

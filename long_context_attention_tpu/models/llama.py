@@ -84,6 +84,15 @@ class ModelConfig:
     # and the dispatch all_to_all. 0 = dense model (the default).
     n_experts: int = 0
     moe_capacity_factor: float = 2.0
+    # Restore the online running-max softmax in EVERY attention kernel
+    # (training forward, prefill, decode — single-chip and sharded). The
+    # default max-free clamped-exp2 form (ops/flash.py _CLAMP) saturates
+    # raw scores above ~62 and returns the dead-row identity when every
+    # score is below ~-87 — real models run |score| < ~30, but a model
+    # diverging mid-training can cross the clamp SILENTLY: set
+    # safe_softmax=True when diagnosing divergence (graceful online math,
+    # ~15-30% slower kernels), and for bit-exact decode-vs-forward gates.
+    safe_softmax: bool = False
     # Gradient rematerialization (jax.checkpoint) over the layer scan — the
     # long-context memory lever: "none" saves every layer's internal
     # activations for the backward; "full" saves only each layer's input
@@ -245,7 +254,7 @@ def _layer(cfg: ModelConfig, x, lp, positions, *, ulysses_axis, ring_axis,
         q, k, v,
         ulysses_axis=ulysses_axis, ring_axis=ring_axis, layout=cfg.layout,
         causal=True, window_size=(cfg.window_left, -1), softcap=cfg.softcap,
-        sink_tokens=cfg.sink_tokens,
+        sink_tokens=cfg.sink_tokens, safe_softmax=cfg.safe_softmax,
         impl=cfg.attn_impl, block_sizes=cfg.block_sizes,
         interpret=interpret,
     )
@@ -507,6 +516,7 @@ def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
                                        window_size=(cfg.window_left, -1),
                                        softcap=cfg.softcap,
                                        sink_tokens=cfg.sink_tokens,
+                                       safe_softmax=cfg.safe_softmax,
                                        softmax_scale=scale,
                                        interpret=interpret)
         if start > 0:
@@ -525,8 +535,12 @@ def prefill_chunk_step(params: Params, cache, tokens: jnp.ndarray,
             c_out, c_lse = flash_attention_fwd_cache(
                 q, kcl, vcl, k_scale=kscl, v_scale=vscl,
                 window_size=(cfg.window_left, -1), softcap=cfg.softcap,
-                sink_tokens=cfg.sink_tokens,
+                sink_tokens=cfg.sink_tokens, safe_softmax=cfg.safe_softmax,
                 q_start=start, softmax_scale=scale, interpret=interpret,
+                # the resident cache is strictly past this chunk's rows:
+                # causal is a semantic no-op that lets a sliding window
+                # engage the BANDED kv grid (TTFT ∝ window, not kv length)
+                causal=True,
             )
             acc, acc_lse = merge_attn_blocks(
                 out.astype(jnp.float32), lse, c_out, c_lse)
@@ -647,6 +661,7 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
                 axis_name=shard_axes, softmax_scale=scale,
                 interpret=interpret, layer=li, softcap=cfg.softcap,
                 window_left=cfg.window_left, sink_tokens=cfg.sink_tokens,
+                safe_softmax=cfg.safe_softmax,
             )
         else:
             res = cache_append(
@@ -660,6 +675,7 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
                 softmax_scale=scale, interpret=interpret, layer=li,
                 window_size=(cfg.window_left, -1), softcap=cfg.softcap,
                 sink_tokens=cfg.sink_tokens, page_table=pt,
+                safe_softmax=cfg.safe_softmax,
             )  # (b, h, d)
 
         x = x + qdot(attn.reshape(b, 1, cfg.q_dim), lp["wo"]).astype(x.dtype)
@@ -773,6 +789,7 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
                 axis_name=shard_axes, softmax_scale=scale,
                 interpret=interpret, layer=li, softcap=cfg.softcap,
                 window_left=cfg.window_left, sink_tokens=cfg.sink_tokens,
+                safe_softmax=cfg.safe_softmax,
             )  # (b, n, h, d)
         else:
             res = cache_append(kc_all, vc_all, kq, vq, append_pos,
@@ -787,6 +804,7 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
                 softmax_scale=scale, interpret=interpret, layer=li,
                 window_size=(cfg.window_left, -1), softcap=cfg.softcap,
                 sink_tokens=cfg.sink_tokens, page_table=pt,
+                safe_softmax=cfg.safe_softmax,
             )  # (b, n, h, d)
 
         x = x + qdot(out.reshape(b, n, cfg.q_dim), lp["wo"]).astype(x.dtype)

@@ -349,9 +349,16 @@ def _decode_kernel(
         # tiles ([0, band_ns)) plus the window BAND ([start_tile, last]) —
         # cost independent of s_max (no dead-step iteration over the middle
         # of the cache). Guards below keep clamped band steps and band-
-        # covered sink tiles from double-counting.
+        # covered sink tiles from double-counting. A sequence-sharded cache
+        # (first_cols) bands from the rank's OWN slice of the global window;
+        # its visible span is bounded by the window width, so the same
+        # static band covers every rank (interior ranks included).
         last_t = jnp.clip((length - 1) // block_kv, 0, nk_logical - 1)
-        start_t = jnp.maximum(length - n_tok - window_left, 0) // block_kv
+        if fc_ref is not None:
+            start_t = jnp.maximum(fc_ref[ib], 0) // block_kv
+        else:
+            start_t = jnp.maximum(length - n_tok - window_left,
+                                  0) // block_kv
         is_sink_step = ik < band_ns
         gt = jnp.where(is_sink_step, ik,
                        jnp.minimum(start_t + (ik - band_ns), last_t))
@@ -553,6 +560,7 @@ def decode_attention(
     sink_tokens: int = 0,
     first_cols: Optional[jnp.ndarray] = None,
     sink_cols: Optional[jnp.ndarray] = None,
+    sink_band: int = 0,
     page_table: Optional[jnp.ndarray] = None,
     mxu_int8: bool = True,
     safe_softmax: bool = False,
@@ -591,7 +599,11 @@ def decode_attention(
     ``first_cols + i`` (query positions step by one). ``sink_cols``
     (requires ``first_cols``): per-row exclusive end of this rank's slice
     of the StreamingLLM sink prefix — local columns < sink_cols stay
-    visible through the window.
+    visible through the window. ``sink_band``: static upper bound on
+    sink_cols (the global sink_tokens), used only to size the banded
+    grid's sink tiles on the first_cols path — with ``window_size`` set,
+    the sharded windowed decode grid is banded exactly like the
+    single-chip one (cost ∝ window, not per-rank cache length).
 
     Returns out (b, h, d) bf16 (+ lse (b, h) fp32 when return_lse for the
     sequence-sharded merge).
@@ -754,9 +766,16 @@ def decode_attention(
     # grid steps per call, ~6x the live work (measured; the clamped index
     # maps elide the DMA but not the steps).
     # (paged mode bands too: the banded gt is the LOGICAL kv block, which
-    # the index maps then route through the page table as usual)
-    banded = not has_fc and w_left >= 0 and splits == 1
-    band_ns = -(-sink // bkv) if sink > 0 else 0
+    # the index maps then route through the page table as usual. The
+    # sequence-sharded first_cols path ALSO bands — ADVICE r4 — from each
+    # rank's own per-row window slice; ``sink_band`` is the STATIC bound on
+    # sink_cols that sizes its sink tiles.)
+    banded = w_left >= 0 and splits == 1
+    band_ns = 0
+    if sink > 0:
+        band_ns = -(-sink // bkv)
+    elif has_fc and int(sink_band) > 0:
+        band_ns = -(-int(sink_band) // bkv)
     if banded:
         nk_band = band_ns + (w_left + n_tok) // bkv + 2
         if nk_band < nk:
@@ -773,8 +792,12 @@ def decode_attention(
         last = jnp.clip((lens[ibb] - 1) // bkv, 0, nk - 1)
         if banded:
             # sink tiles map to themselves; band steps offset from the
-            # window's start tile (mirrors the kernel's banded gt)
-            start = jnp.maximum(lens[ibb] - n_tok - w_left, 0) // bkv
+            # window's start tile (mirrors the kernel's banded gt). Sharded
+            # (first_cols): the rank's own per-row window slice.
+            if has_fc:
+                start = jnp.maximum(rest[0][ibb], 0) // bkv
+            else:
+                start = jnp.maximum(lens[ibb] - n_tok - w_left, 0) // bkv
             gt = jnp.where(ik < band_ns, ik,
                            jnp.minimum(start + (ik - band_ns), last))
             return jnp.clip(gt, 0, nk - 1)

@@ -48,6 +48,7 @@ def sharded_decode_attention(
     softcap: float = 0.0,
     window_left: int = -1,
     sink_tokens: int = 0,
+    safe_softmax: bool = False,
 ) -> jnp.ndarray:
     """Decode attention over a ring-sharded cache. Returns (b, h, d) bf16
     ((b, n_tok, h, d) for multi-token runs — the speculative verify).
@@ -94,7 +95,12 @@ def sharded_decode_attention(
         q, k_shard, v_shard, local_len, k_scale, v_scale,
         softmax_scale=softmax_scale, block_kv=block_kv, interpret=interpret,
         return_lse=True, layer=layer, softcap=softcap,
+        # window_size + sink_band are STATIC band hints: each rank's kernel
+        # grid covers only its slice of the window band + sink tiles
+        # (ADVICE r4 — previously the fc path iterated every cache tile)
+        window_size=(window_left, -1), sink_band=sink_tokens,
         first_cols=first_cols, sink_cols=sink_cols,
+        safe_softmax=safe_softmax,
     )  # (b, h, d), (b, h) — multi: (b, n_tok, h, d), (b, h, n_tok)
 
     outs = lax.all_gather(out.astype(jnp.float32), axes)

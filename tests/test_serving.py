@@ -54,6 +54,31 @@ def test_decode_logits_match_teacher_forced(setup, cache_dtype):
         tok = jnp.argmax(dl, -1).astype(jnp.int32)
 
 
+def test_decode_logits_bit_exact_with_safe_softmax(setup):
+    """ADVICE r4: with safe_softmax=True on BOTH sides (training forward
+    AND decode), the teacher-forced gate is bit-exact again (atol=0, the
+    pre-r4 guarantee) — a masking/position off-by-one of ANY logit
+    magnitude fails here, restoring the strongest regression guard next
+    to the relaxed default-path gate above."""
+    import dataclasses
+
+    from long_context_attention_tpu.models.llama import decode_step
+
+    params, prompt = setup
+    cfg = dataclasses.replace(CFG, safe_softmax=True)
+    eng = Engine(cfg=cfg, s_max=64, cache_dtype="bfloat16")
+    logits, cache = eng.prefill(params, prompt)
+    fwd = make_forward(cfg, make_usp_mesh(1, 1, 1))
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    seq = prompt
+    for _ in range(4):
+        dl, cache = decode_step(params, cache, tok, cfg)
+        seq = jnp.concatenate([seq, tok[:, None]], axis=1)
+        fl = fwd(params, seq)[:, -1]
+        np.testing.assert_array_equal(np.asarray(dl), np.asarray(fl))
+        tok = jnp.argmax(dl, -1).astype(jnp.int32)
+
+
 def test_generate_shapes_and_cache(setup):
     params, prompt = setup
     eng = Engine(cfg=CFG, s_max=64, cache_dtype="bfloat16")

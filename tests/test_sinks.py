@@ -258,3 +258,59 @@ def test_banded_windowed_prefill_matches_full_grid(rng):
     np.testing.assert_allclose(np.asarray(obs, np.float32),
                                np.asarray(refseg, np.float32),
                                atol=5e-2, rtol=0)
+
+
+def test_engine_chunked_prefill_bands_with_window(rng):
+    """VERDICT r4 #3: chunked prefill over a long RESIDENT cache must issue
+    band+sink work only — grid-step count ∝ window, independent of the
+    resident kv length. flash_attention_fwd_cache(causal=True) is the
+    Engine's chunked-prefill building block; causal is a semantic no-op
+    (the cache is strictly past) whose finite right bound engages the
+    banded kv grid."""
+    import jax as _jax
+
+    from long_context_attention_tpu.ops.flash import flash_attention_fwd_cache
+    from long_context_attention_tpu.utils.config import BlockSizes
+
+    s_q, W, SINK = 128, 160, 64
+    BS = BlockSizes(block_q=128, block_kv=128)
+
+    def kv_grid(s_kv, causal):
+        q = jnp.zeros((1, s_q, 4, 64), jnp.bfloat16)
+        k = jnp.zeros((1, 2, s_kv, 64), jnp.bfloat16)
+        kw = dict(window_size=(W, -1), sink_tokens=SINK, q_start=s_kv,
+                  block_sizes=BS, causal=causal)
+        jx = _jax.make_jaxpr(
+            lambda q, k, v: flash_attention_fwd_cache(q, k, v, **kw))(q, k, k)
+        for eq in jx.jaxpr.eqns:
+            if eq.primitive.name == "pallas_call":
+                return eq.params["grid_mapping"].grid[-1]
+        raise AssertionError("no pallas_call in jaxpr")
+
+    # banded: the kv grid stops growing with the resident cache
+    g2k, g8k = kv_grid(2048, True), kv_grid(8192, True)
+    assert g2k == g8k, (g2k, g8k)
+    assert g2k < 8  # band + sink tiles only (vs 16/64 full-grid steps)
+    # without causal the full grid comes back (documents WHY causal=True)
+    assert kv_grid(8192, False) == 64
+
+    # numerics: banded causal=True == full-grid causal=False (cache is
+    # strictly past: bit-identical), and both match the oracle
+    s_kv = 2048
+    q = jnp.asarray(rng.normal(size=(1, s_q, 4, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(1, 2, s_kv, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(1, 2, s_kv, 64)), jnp.bfloat16)
+    kw = dict(window_size=(W, -1), sink_tokens=SINK, q_start=s_kv,
+              block_sizes=BS)
+    ob, lb = flash_attention_fwd_cache(q, k, v, causal=True, **kw)
+    of, lf = flash_attention_fwd_cache(q, k, v, **kw)
+    np.testing.assert_array_equal(np.asarray(ob), np.asarray(of))
+    np.testing.assert_array_equal(np.asarray(lb), np.asarray(lf))
+    ref, rlse = xla_attention(
+        q, jnp.transpose(k, (0, 2, 1, 3)), jnp.transpose(v, (0, 2, 1, 3)),
+        window_size=(W, -1), sink_tokens=SINK,
+        q_positions=jnp.arange(s_kv, s_kv + s_q, dtype=jnp.int32),
+        kv_positions=jnp.arange(s_kv, dtype=jnp.int32))
+    np.testing.assert_allclose(np.asarray(ob, np.float32),
+                               np.asarray(ref, np.float32), atol=5e-2,
+                               rtol=0)
