@@ -619,9 +619,6 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
     # paged cache (ops/kv_cache.py:PagedKVCache): the page table rides the
     # kernels' scalar prefetch; it is constant across layers and steps
     pt = getattr(cache, "page_table", None)
-    assert not (pt is not None and shard_axes is not None), (
-        "paged + sequence-sharded decode is not supported (the 1M-context "
-        "path shards a dense cache)")
 
     # The stacked cache rides in the scan CARRY (aliased in place by XLA) and
     # the kernel indexes the layer internally — no per-step per-layer cache
@@ -652,7 +649,7 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
             res = sharded_cache_append(
                 kc_all, vc_all, kq, vq, append_pos, ksc_all, vsc_all,
                 ks1, vs1, axis_name=shard_axes, layer=li,
-                interpret=interpret)
+                interpret=interpret, page_table=pt)
             kc_all, vc_all = res[0], res[1]
             if len(res) > 2:
                 ksc_all, vsc_all = res[2], res[3]
@@ -661,7 +658,7 @@ def decode_step(params: Params, cache, tokens: jnp.ndarray, cfg: ModelConfig,
                 axis_name=shard_axes, softmax_scale=scale,
                 interpret=interpret, layer=li, softcap=cfg.softcap,
                 window_left=cfg.window_left, sink_tokens=cfg.sink_tokens,
-                safe_softmax=cfg.safe_softmax,
+                safe_softmax=cfg.safe_softmax, page_table=pt,
             )
         else:
             res = cache_append(
@@ -760,8 +757,6 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
     scale = cfg.head_dim ** -0.5
     hkv, dh = cfg.n_kv_heads, cfg.head_dim
     pt = getattr(cache, "page_table", None)
-    assert not (pt is not None and shard_axes is not None), (
-        "paged + sequence-sharded decode is not supported")
 
     def body(carry, lp):
         x, li, kc_all, vc_all, ksc_all, vsc_all = carry
@@ -780,7 +775,7 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
             res = sharded_cache_append(
                 kc_all, vc_all, kq, vq, append_pos, ksc_all, vsc_all,
                 ks1, vs1, axis_name=shard_axes, layer=li,
-                interpret=interpret)
+                interpret=interpret, page_table=pt)
             kc_all, vc_all = res[0], res[1]
             if len(res) > 2:
                 ksc_all, vsc_all = res[2], res[3]
@@ -789,7 +784,7 @@ def decode_multi_step(params: Params, cache, tokens: jnp.ndarray,
                 axis_name=shard_axes, softmax_scale=scale,
                 interpret=interpret, layer=li, softcap=cfg.softcap,
                 window_left=cfg.window_left, sink_tokens=cfg.sink_tokens,
-                safe_softmax=cfg.safe_softmax,
+                safe_softmax=cfg.safe_softmax, page_table=pt,
             )  # (b, n, h, d)
         else:
             res = cache_append(kc_all, vc_all, kq, vq, append_pos,

@@ -680,7 +680,6 @@ def decode_attention(
         page = s_max
         n_pool = k_cache.shape[1 if layered else 0]
         assert page % 128 == 0, f"page_size {page} must be a multiple of 128"
-        assert first_cols is None, "paged + sharded windows unsupported"
         assert kv_splits in (None, 1), "paged + kv_splits unsupported"
         bkv = page
         while bkv > 128 and _vmem_est(h_kv, G, d, bkv, itemsize) > _VMEM_BUDGET:

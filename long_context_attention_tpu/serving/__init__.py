@@ -15,6 +15,9 @@ from long_context_attention_tpu.serving.continuous import (
     ShardedSpeculativeContinuousEngine,
     SpeculativeContinuousEngine,
 )
+from long_context_attention_tpu.serving.paged_sharded import (
+    ShardedPagedContinuousEngine,
+)
 from long_context_attention_tpu.serving.engine import (
     Engine,
     GenerationResult,
@@ -34,6 +37,7 @@ __all__ = ["ContinuousEngine", "Engine", "GenerationResult",
            "PagedContinuousEngine", "PagedSpeculativeContinuousEngine", "Request",
            "RequestResult", "SamplingParams",
            "ShardedContinuousEngine", "ShardedEngine",
+           "ShardedPagedContinuousEngine",
            "ShardedSpeculativeContinuousEngine",
            "SpeculativeContinuousEngine", "SpeculativeEngine",
            "SpeculativeResult",

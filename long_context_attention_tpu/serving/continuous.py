@@ -1155,11 +1155,10 @@ class PagedContinuousEngine(ContinuousEngine):
             need_upto = min(-(-(L + self.step_block + 1) // psz),
                             self.n_pages)
             if need_upto > st["assigned"]:
-                extra = need_upto - st["assigned"]
                 # take_extra raises (pool-sizing guidance) on a dry free
                 # list — unreachable when pool_pages >= max_batch *
                 # _rolling_pages() + 1, which the admission gate enforces
-                pages = self._alloc.take_extra(bi, extra)
+                pages = self._take_growth(bi, st["assigned"], need_upto)
                 for j, pg in zip(range(st["assigned"], need_upto), pages):
                     st["pt"][j] = pg
                     upd_b.append(bi)
@@ -1173,6 +1172,13 @@ class PagedContinuousEngine(ContinuousEngine):
                 jnp.asarray(upd_p, jnp.int32))
             cache = dataclasses.replace(cache, page_table=table)
         return cache
+
+    def _take_growth(self, bi: int, lo: int, hi: int) -> List[int]:
+        """Growth hook: physical pages for row ``bi``'s logical pages
+        [lo, hi). The sharded-paged engine routes each logical index to
+        its owner partition's allocator; single-host pools ignore the
+        indices."""
+        return self._alloc.take_extra(bi, hi - lo)
 
     def _pages_needed(self, req: Request) -> int:
         pad = _bucket(len(req.tokens))
@@ -1212,12 +1218,17 @@ class PagedContinuousEngine(ContinuousEngine):
 
     # --- allocator lifecycle (per serve call) ------------------------------
 
+    def _check_request_fits(self, r: Request) -> None:
+        """Raise when ``r`` can never be admitted (pool too small). The
+        sharded-paged engine overrides with per-partition capacities."""
+        if self._pages_needed(r) > self.pool_pages - 1:
+            raise ValueError(
+                f"request {r.id} needs {self._pages_needed(r)} pages; "
+                f"pool has {self.pool_pages - 1} allocatable")
+
     def serve(self, params, requests, **kw):
         for r in requests:
-            if self._pages_needed(r) > self.pool_pages - 1:
-                raise ValueError(
-                    f"request {r.id} needs {self._pages_needed(r)} pages; "
-                    f"pool has {self.pool_pages - 1} allocatable")
+            self._check_request_fits(r)
         alloc = self._make_alloc()
         object.__setattr__(self, "_alloc", alloc)
         object.__setattr__(self, "_rowwin", {})

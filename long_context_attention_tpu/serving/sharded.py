@@ -49,9 +49,21 @@ def sharded_decode_attention(
     window_left: int = -1,
     sink_tokens: int = 0,
     safe_softmax: bool = False,
+    page_table: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Decode attention over a ring-sharded cache. Returns (b, h, d) bf16
     ((b, n_tok, h, d) for multi-token runs — the speculative verify).
+
+    ``page_table`` ((b, n_pages) int32, replicated; entries are GLOBAL
+    physical page ids) switches on the PAGED sharded cache: k/v are each
+    rank's partition of the page pool ((P/n, h_kv, page, d), stacked
+    (L, ...) with ``layer``), and the blocked layout assigns logical page
+    j of a row to rank ``j // (n_pages/n)`` — exactly the dense sharded
+    slot split, so lengths/windows/sinks use the same per-rank slicing.
+    Each rank slices its own (b, n_pages/n) window of the table and
+    rebases the ids into its partition (unallocated -1 entries rebase
+    negative and clamp to the rank's LOCAL scratch page 0 — allocators
+    reserve local page 0 of every partition).
 
     Rank r's filled prefix is ``clip(L - r*slots, 0, slots)``; empty shards
     contribute lse=-inf partials that merge to a no-op. ``softcap`` is
@@ -76,7 +88,11 @@ def sharded_decode_attention(
     n = 1
     for a in axes:
         n *= lax.axis_size(a)
-    slots = k_shard.shape[3 if layer is not None else 2]
+    local_pt = None
+    if page_table is not None:
+        local_pt, slots = _local_pages(page_table, k_shard, layer, r, n)
+    else:
+        slots = k_shard.shape[3 if layer is not None else 2]
     first_cols = sink_cols = None
     if multi:
         local_len = global_lengths - r * slots  # unclipped, see docstring
@@ -100,7 +116,7 @@ def sharded_decode_attention(
         # (ADVICE r4 — previously the fc path iterated every cache tile)
         window_size=(window_left, -1), sink_band=sink_tokens,
         first_cols=first_cols, sink_cols=sink_cols,
-        safe_softmax=safe_softmax,
+        safe_softmax=safe_softmax, page_table=local_pt,
     )  # (b, h, d), (b, h) — multi: (b, n_tok, h, d), (b, h, n_tok)
 
     outs = lax.all_gather(out.astype(jnp.float32), axes)
@@ -124,6 +140,23 @@ def sharded_decode_attention(
     return merged.astype(jnp.bfloat16)
 
 
+def _local_pages(page_table, pool_shard, layer, r, n):
+    """(this rank's rebased (b, ppr) page table, its slot capacity).
+
+    Blocked layout: logical page j of a row lives on rank j // ppr with
+    ppr = n_pages // n; physical ids are global, rank r's partition being
+    [r * P_local, (r+1) * P_local). Unallocated entries (-1) rebase to
+    negatives that the kernels clamp to the rank's local scratch page 0."""
+    layered = layer is not None
+    n_pages = page_table.shape[1]
+    page = pool_shard.shape[3 if layered else 2]
+    p_local = pool_shard.shape[1 if layered else 0]
+    assert n_pages % n == 0, (n_pages, n)
+    ppr = n_pages // n
+    lt = lax.dynamic_slice_in_dim(page_table, r * ppr, ppr, axis=1)
+    return lt - r * p_local, ppr * page
+
+
 def sharded_cache_append(
     k_shard: jnp.ndarray,     # (b, h_kv, slots, d) this rank's block — or
     v_shard: jnp.ndarray,     # stacked (L, b, h_kv, slots, d) with `layer`
@@ -139,6 +172,7 @@ def sharded_cache_append(
     axis_name: str,
     layer: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
+    page_table: Optional[jnp.ndarray] = None,
 ):
     """Write each row's new token run into its owner ranks' shards, IN
     PLACE.
@@ -149,10 +183,19 @@ def sharded_cache_append(
     run (speculative verify) straddling a shard boundary splits itself
     between the two owners. The in-place aliasing matters: a scatter/DUS
     append on a scan-carried cache makes XLA double-buffer the whole cache
-    (see ops/decode.py:cache_append)."""
+    (see ops/decode.py:cache_append). ``page_table``: PAGED sharded mode
+    (see `sharded_decode_attention`) — the same local rebase, then the
+    paged append kernel routes slots through the rank's partition."""
     axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
-    slots = k_shard.shape[3 if layer is not None else 2]
     r = lax.axis_index(axes)
+    n = 1
+    for a in axes:
+        n *= lax.axis_size(a)
+    local_pt = None
+    if page_table is not None:
+        local_pt, slots = _local_pages(page_table, k_shard, layer, r, n)
+    else:
+        slots = k_shard.shape[3 if layer is not None else 2]
     n_tok = k_new.shape[2]
     # inactive rows (global_pos <= -n) must stay fully out of range on
     # EVERY rank, including rank 0 where the raw offset would be unchanged
@@ -160,4 +203,5 @@ def sharded_cache_append(
                            global_pos - r * slots).astype(jnp.int32)
     return cache_append(
         k_shard, v_shard, k_new, v_new, append_pos, k_scale, v_scale,
-        ks_new, vs_new, layer=layer, interpret=interpret)
+        ks_new, vs_new, layer=layer, interpret=interpret,
+        page_table=local_pt)
