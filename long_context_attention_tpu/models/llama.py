@@ -97,10 +97,13 @@ class ModelConfig:
     # long-context memory lever: "none" saves every layer's internal
     # activations for the backward; "full" saves only each layer's input
     # residual stream (b, s, dim) and recomputes the rest (attention
-    # internals, FFN hidden) in the backward pass; "dots" saves matmul
-    # outputs but recomputes elementwise work (a FLOPs/memory midpoint).
-    # Trades ~1 extra forward of FLOPs for O(layers x s x (hidden+heads*d))
-    # of activation HBM — what makes 128K+ training steps fit on a chip.
+    # internals, FFN hidden) in the backward pass; "attn" is "full" plus
+    # the ring attention's (out, lse) saved (r5: the backward recomputes
+    # the cheap projections but skips the attention KERNEL — the dominant
+    # recompute at long sequence — for O(s x h x (2d+4)) extra bytes per
+    # layer); "dots" saves matmul outputs but recomputes elementwise work.
+    # Trades recompute FLOPs for O(layers x s x (hidden+heads*d)) of
+    # activation HBM — what makes 128K+ training steps fit on a chip.
     remat: str = "none"
 
     @property
@@ -286,11 +289,22 @@ def _maybe_remat(body, cfg: ModelConfig):
         return body
     if cfg.remat == "full":
         return jax.checkpoint(body, prevent_cse=False)
+    if cfg.remat == "attn":
+        # full remat EXCEPT the ring attention's (out, lse) residuals
+        # (named in parallel/ring.py:_ring_vjp_fwd): the backward recomputes
+        # the cheap per-layer projections but NOT the attention kernel loop
+        # — O(s·h·(2d+4)) bytes saved per layer buys back the single most
+        # expensive recompute (attention is ~all the FLOPs at long seq).
+        return jax.checkpoint(
+            body, prevent_cse=False,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "ring_attn_out", "ring_attn_lse"))
     if cfg.remat == "dots":
         return jax.checkpoint(
             body, prevent_cse=False,
             policy=jax.checkpoint_policies.checkpoint_dots)
-    raise ValueError(f"remat must be none|full|dots, got {cfg.remat!r}")
+    raise ValueError(
+        f"remat must be none|full|attn|dots, got {cfg.remat!r}")
 
 
 def forward_local(params: Params, tokens: jnp.ndarray, cfg: ModelConfig, *,

@@ -67,6 +67,7 @@ __all__ = [
     "sage_attention",
     "sage_attention_fwd",
     "sage_attention_full",
+    "sage_attention_fwd_prequant",
     "sage_quantize_kv",
 ]
 
@@ -640,6 +641,72 @@ def sage_attention_fwd(q, k, v, **kw):
         block_sizes=kw.get("block_sizes"),
         interpret=kw.get("interpret"),
         return_lse=True)
+
+
+def sage_attention_fwd_prequant(
+    q: jnp.ndarray,          # (b, s_q, h, d) bf16/fp32
+    k8: jnp.ndarray,         # (b, s_kv, h_kv, d) int8 — PRE-quantized
+    v8: jnp.ndarray,         # (ops/kv_cache.quantize_kv per-token scheme)
+    k_scale: jnp.ndarray,    # (b, h_kv, s_kv) fp32
+    v_scale: jnp.ndarray,
+    *,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    pv_int8: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    sink_tokens: int = 0,
+    q_offsets=None,
+    kv_offsets=None,
+    q_stride: int = 1,
+    kv_stride: int = 1,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+):
+    """Sage forward over PRE-quantized K/V (r5: the ring x sage direct-int8
+    path). A ``kv_quant="int8"`` ring rotates int8 values + per-token
+    scales over ICI (half the bytes); this entry feeds them STRAIGHT to the
+    s8-MXU QK/PV kernels — no dequantize-then-requantize per ring step.
+    The quantization scheme is `ops/kv_cache.quantize_kv`'s per-token
+    absmax — identical math to `_quant_per_token`, minus the optional
+    K mean-centering (an accuracy refinement, not a requirement; the LSE
+    therefore needs no centering-shift correction and merges directly).
+    Returns (out (b, s_q, h, d), lse (b, h, s_q) fp32)."""
+    b, s_q, h, d = q.shape
+    _, s_kv, h_kv, _ = k8.shape
+    assert k8.dtype == jnp.int8, k8.dtype
+    bs = block_sizes or BlockSizes()
+    interpret = default_interpret() if interpret is None else bool(interpret)
+    scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(d)
+
+    qb = _to_bhsd(q)
+    q8, qs = _quant_per_token(qb)
+    qs = qs * (scale * _LOG2E)  # scores land in exp2 units (max-free)
+    k8b, v8b = _to_bhsd(k8), _to_bhsd(v8)
+    ks = jnp.asarray(k_scale, jnp.float32)
+    vs = jnp.asarray(v_scale, jnp.float32)
+
+    from long_context_attention_tpu.ops.flash import (
+        FlashConfig, _resolve_offsets)
+
+    if q_offsets is None and kv_offsets is None and s_q != s_kv:
+        q_offsets = jnp.array([s_kv - s_q], jnp.int32)
+    n_q_chunks = 1 if q_offsets is None else len(q_offsets)
+    n_kv_chunks = 1 if kv_offsets is None else len(kv_offsets)
+    bq = _fit(bs.block_q, s_q // n_q_chunks)
+    bkv = _fit(bs.block_kv, s_kv // n_kv_chunks)
+    mcfg = FlashConfig(
+        causal=causal, scale=float(scale),
+        window=(int(window_size[0]), int(window_size[1])), softcap=0.0,
+        q_stride=int(q_stride), kv_stride=int(kv_stride),
+        n_q_chunks=n_q_chunks, n_kv_chunks=n_kv_chunks,
+        block_q=bq, block_kv=bkv, block_q_bwd=bq, block_kv_bwd=bkv,
+        interpret=interpret, sink=int(sink_tokens))
+    out, lse = _sage_fwd_pos_bhsd(
+        q8, qs, k8b, ks, v8b, vs,
+        _resolve_offsets(q_offsets, n_q_chunks),
+        _resolve_offsets(kv_offsets, n_kv_chunks),
+        mcfg=mcfg, pv_int8=pv_int8, out_dtype=q.dtype, interpret=interpret)
+    return _to_bhsd(out), lse
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

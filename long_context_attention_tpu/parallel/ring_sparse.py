@@ -74,67 +74,48 @@ def _rank_tile_firsts(layout: str, r: int, W: int, local_len: int, blk: int):
 
 @functools.lru_cache(maxsize=None)
 def _ring_step_tables(mask_key, mask_shape, causal, W, layout,
-                      s_local_q, s_local_kv, bq, bkv, g):
+                      s_local_q, s_local_kv, bq, bkv, g, n_hs=1):
     """Per ring step t: rank-flattened row (fwd/dq) and column (dk/dv)
     tables over each rank's local tile grid, tile liveness read off the
-    *global* block mask at the tiles' global positions."""
+    *global* block mask at the tiles' global positions. 3-D masks
+    (h, n_q, n_kv) enumerate per-head live tiles (r5: the SPARSE_SAGE
+    per-head role through ANY ring schedule, matching
+    `kernels/__init__.py:244-268` dispatched from `ring_flash_attn.py:36`)
+    — the same ops/sparse.py enumerators the single-device and ulysses
+    paths use, fed the ring shards' global tile positions."""
     mask = np.frombuffer(mask_key, dtype=np.bool_).reshape(mask_shape)
-    nq_l, nk_l = s_local_q // bq, s_local_kv // bkv
+    per_head = mask.ndim == 3
+    mh = mask if per_head else mask[None]
+    h_loc = mh.shape[0] // n_hs   # heads per ulysses shard (n_hs = 1: all)
     qf = [_rank_tile_firsts(layout, r, W, s_local_q, bq) for r in range(W)]
     kf = [_rank_tile_firsts(layout, r, W, s_local_kv, bkv) for r in range(W)]
+    from long_context_attention_tpu.ops.sparse import (
+        _col_tables,
+        _row_tables,
+    )
 
     steps = []
     for t in range(W):
+        # combined rank index u * W + r: under USP each ulysses shard u
+        # enumerates only ITS head block's live tiles (the a2a hands rank
+        # u the u-th contiguous global head block)
         row_ranks, col_ranks = [], []
-        for r in range(W):
-            src = (r - t) % W
-            qfr, kfs = qf[r], kf[src]
-            live = mask[qfr[:, None] // bq, kfs[None, :] // bkv]
-            if causal:
-                reach = kfs[None, :] <= qfr[:, None] + bq - 1
-                straddle = reach & (kfs[None, :] + bkv - 1 > qfr[:, None])
-                live = live & reach
-            else:
-                straddle = np.zeros_like(live)
-
-            rows = ([], [], [], [], [], [])  # ih, iq, ik, fl, qf, kf
-
-            def emit_row(iq, ik, fl):
-                for lst, val in zip(rows, (0, iq, int(ik), fl,
-                                           int(qfr[iq]), int(kfs[ik]))):
-                    lst.append(val)
-
-            for lq in range(nq_l):
-                idxs = np.flatnonzero(live[lq])
-                if idxs.size == 0:
-                    emit_row(lq, 0, _F_FIRST | _F_LAST | _F_DEAD)
-                    continue
-                for pos, lk in enumerate(idxs):
-                    fl = ((_F_FIRST if pos == 0 else 0)
-                          | (_F_LAST if pos == idxs.size - 1 else 0)
-                          | (_F_MASKED if straddle[lq, lk] else 0))
-                    emit_row(lq, lk, fl)
-            row_ranks.append(tuple(np.asarray(x, np.int32) for x in rows))
-
-            cols = ([], [], [], [], [], [], [])  # ihk, ig, iq, ik, fl, qf, kf
-
-            def emit_col(ig, iq, ik, fl):
-                for lst, val in zip(cols, (0, ig, iq, int(ik), fl,
-                                           int(qfr[iq]), int(kfs[ik]))):
-                    lst.append(val)
-
-            for lk in range(nk_l):
-                idxs = np.flatnonzero(live[:, lk])
-                if idxs.size == 0:
-                    emit_col(0, 0, lk, _F_FIRST | _F_LAST | _F_DEAD)
-                    continue
-                pairs = [(ig, int(lq)) for ig in range(g) for lq in idxs]
-                for pos, (ig, lq) in enumerate(pairs):
-                    fl = ((_F_FIRST if pos == 0 else 0)
-                          | (_F_LAST if pos == len(pairs) - 1 else 0)
-                          | (_F_MASKED if straddle[lq, lk] else 0))
-                    emit_col(ig, lq, lk, fl)
-            col_ranks.append(tuple(np.asarray(x, np.int32) for x in cols))
+        for u in range(n_hs):
+            mu = mh[u * h_loc:(u + 1) * h_loc]
+            for r in range(W):
+                src = (r - t) % W
+                qfr, kfs = qf[r], kf[src]
+                sub = mu[:, qfr[:, None] // bq, kfs[None, :] // bkv]
+                if causal:
+                    reach = kfs[None, :] <= qfr[:, None] + bq - 1
+                    straddle = reach & (kfs[None, :] + bkv - 1 > qfr[:, None])
+                    sub = sub & reach[None]
+                else:
+                    straddle = np.zeros(sub.shape[1:], dtype=bool)
+                row_ranks.append(_row_tables(sub, straddle, per_head,
+                                             q_first=qfr, kv_first=kfs))
+                col_ranks.append(_col_tables(sub, straddle, per_head, g,
+                                             q_first=qfr, kv_first=kfs))
 
         row_tabs, _ = _pad_rank_tables(row_ranks, flag_col=3)
         col_tabs, _ = _pad_rank_tables(col_ranks, flag_col=4)
@@ -154,7 +135,7 @@ def _bhsd(x):
 
 
 def _ring_sparse_fwd(q, k, v, rank, steps, *, axis_name, W, scale, bq, bkv,
-                     interpret):
+                     interpret, per_head=False, n_ranks=None):
     b, s_q, h, d = q.shape
     qb = _bhsd(q)
     k_cur, v_cur = _bhsd(k), _bhsd(v)
@@ -163,9 +144,9 @@ def _ring_sparse_fwd(q, k, v, rank, steps, *, axis_name, W, scale, bq, bkv,
     for t in range(W):
         row_tabs, _ = steps[t]
         out_t, lse_t = _sparse_fwd_bhsd(
-            qb, k_cur, v_cur, row_tabs, False,
+            qb, k_cur, v_cur, row_tabs, per_head,
             scale=scale, bq=bq, bkv=bkv, interpret=interpret,
-            rank=rank, n_ranks=W)
+            rank=rank, n_ranks=n_ranks or W)
         acc_out, acc_lse = merge_attn_blocks(acc_out, acc_lse,
                                              _bhsd(out_t), lse_t)
         if t < W - 1:
@@ -177,12 +158,13 @@ def _ring_sparse_fwd(q, k, v, rank, steps, *, axis_name, W, scale, bq, bkv,
 @functools.lru_cache(maxsize=None)
 def _make_ring_sparse_op(mask_key, mask_shape, causal, W, layout,
                          s_local_q, s_local_kv, h, h_kv, bq, bkv,
-                         scale, interpret, axis_name):
+                         scale, interpret, axis_name, n_hs=1):
     g = h // h_kv
     steps = _ring_step_tables(mask_key, mask_shape, causal, W, layout,
-                              s_local_q, s_local_kv, bq, bkv, g)
+                              s_local_q, s_local_kv, bq, bkv, g, n_hs)
+    per_head = len(mask_shape) == 3
     kw = dict(axis_name=axis_name, W=W, scale=scale, bq=bq, bkv=bkv,
-              interpret=interpret)
+              interpret=interpret, per_head=per_head, n_ranks=n_hs * W)
 
     @jax.custom_vjp
     def op(q, k, v, rank):
@@ -204,9 +186,9 @@ def _make_ring_sparse_op(mask_key, mask_shape, causal, W, layout,
         for t in range(W):
             row_tabs, col_tabs = steps[t]
             dq_p, dk_p, dv_p = _sparse_bwd_bhsd(
-                qb, k_cur, v_cur, outb, lse, doutb, row_tabs, col_tabs, False,
-                scale=scale, bq=bq, bkv=bkv, interpret=interpret,
-                rank=rank, n_ranks=W)
+                qb, k_cur, v_cur, outb, lse, doutb, row_tabs, col_tabs,
+                per_head, scale=scale, bq=bq, bkv=bkv, interpret=interpret,
+                rank=rank, n_ranks=kw["n_ranks"])
             dq = dq + dq_p
             # dk/dv ride the ring every step (W total hops) so each partial
             # sum lands back on its KV's owner; the KV ring skips the final
@@ -238,6 +220,7 @@ def ring_sparse_attention_local(
     block_kv: int = 512,
     interpret: Optional[bool] = None,
     return_lse: bool = False,
+    head_shard=None,
 ):
     """Ring attention over a static *global* block mask, inside ``shard_map``.
 
@@ -247,8 +230,14 @@ def ring_sparse_attention_local(
     ``block_sparse_attention``, so results match the single-device kernel at
     the oracle tolerance. ``causal=True`` intersects it with the causal
     triangle against global positions. Differentiable (sparse backward).
-    Shared (2-D) masks only: per-head tables under a ring would multiply the
-    SMEM table budget by W x H — use the ulysses axis for per-head patterns.
+    PER-HEAD masks ((h, n_q, n_kv), r5) enumerate each head's live tiles in
+    the rank-and-step-indexed tables — the SMEM budget scales with the
+    TOTAL live-tile count across heads (`_check_smem` guards), so sparse
+    per-head patterns (the SPARSE_SAGE tuned-per-head role) fit where a
+    dense per-head mask would not. Under USP, ``head_shard=(uly_index,
+    n_uly)`` makes the tables COMBINED (ulysses x ring)-rank-indexed: the
+    3-D mask covers the GLOBAL heads and each ulysses shard's tables
+    enumerate only its contiguous head block.
     """
     if hasattr(block_mask, "aval"):
         raise TypeError("block_mask must be a static host array")
@@ -256,24 +245,30 @@ def ring_sparse_attention_local(
     b, s_q, h, d = q.shape
     s_kv, h_kv = k.shape[1], k.shape[2]
     mask = np.ascontiguousarray(np.asarray(block_mask, dtype=np.bool_))
-    if mask.ndim != 2:
-        raise NotImplementedError(
-            "ring-sparse takes shared (2-D) global masks; per-head patterns "
-            "compose with the ulysses axis instead")
+    if mask.ndim not in (2, 3):
+        raise ValueError(
+            "block_mask must be (n_q, n_kv) or per-head (h, n_q, n_kv)")
+    n_hs = 1
+    if mask.ndim == 3 and head_shard is not None:
+        n_hs = int(head_shard[1])
     blk_q = min(block_q, s_q)
     blk_kv = min(block_kv, s_kv)
     S_q, S_kv = s_q * W, s_kv * W
-    if mask.shape != (S_q // blk_q, S_kv // blk_kv):
+    want = (S_q // blk_q, S_kv // blk_kv)
+    if mask.ndim == 3:
+        want = (h * n_hs,) + want  # global heads (local heads x uly shards)
+    if mask.shape != want:
         raise ValueError(
-            f"global block_mask shape {mask.shape} != "
-            f"({S_q // blk_q}, {S_kv // blk_kv}) for global seq {S_q} at "
-            f"block ({blk_q}, {blk_kv})")
+            f"global block_mask shape {mask.shape} != {want} for global "
+            f"seq {S_q} at block ({blk_q}, {blk_kv})")
     scale = (softmax_scale if softmax_scale is not None
              else 1.0 / float(np.sqrt(d)))
     interpret = default_interpret() if interpret is None else bool(interpret)
     op = _make_ring_sparse_op(
         mask.tobytes(), mask.shape, bool(causal), W, layout, s_q, s_kv,
-        h, h_kv, blk_q, blk_kv, float(scale), interpret, axis_name)
+        h, h_kv, blk_q, blk_kv, float(scale), interpret, axis_name, n_hs)
     rank = lax.axis_index(axis_name)
+    if n_hs > 1:
+        rank = head_shard[0] * W + rank  # combined (ulysses, ring) index
     out, lse = op(q, k, v, rank)
     return (out, lse) if return_lse else out

@@ -174,18 +174,26 @@ def usp_ring_sparse_attention_local(
     schedule (parallel/ring_sparse.py) over the ring axis — the full
     ``a2a ∘ ring ∘ a2a⁻¹`` composition with a static global tile mask, the
     reference's SPARSE_SAGE-through-USP dispatch (`ring/ring_flash_attn.py:36`,
-    `kernels/__init__.py:244-268`). Shared (2-D) global masks; layouts
+    `kernels/__init__.py:244-268`). 2-D shared or per-head 3-D global
+    masks (r5: combined (ulysses x ring)-rank-indexed tables); layouts
     basic/zigzag. Differentiable (sparse ring backward)."""
+    import numpy as _np
+
     from long_context_attention_tpu.parallel.ring_sparse import (
         ring_sparse_attention_local)
 
+    uly = lax.axis_size(ulysses_axis)
     q = scatter_heads(q, ulysses_axis)
     k = scatter_heads(k, ulysses_axis)
     v = scatter_heads(v, ulysses_axis)
+    head_shard = None
+    if _np.asarray(block_mask).ndim == 3 and uly > 1:
+        head_shard = (lax.axis_index(ulysses_axis), uly)
     out = ring_sparse_attention_local(
         q, k, v, block_mask, axis_name=ring_axis, layout=layout,
         causal=causal, softmax_scale=softmax_scale,
-        block_q=block_q, block_kv=block_kv, interpret=interpret)
+        block_q=block_q, block_kv=block_kv, interpret=interpret,
+        head_shard=head_shard)
     return gather_heads(out, ulysses_axis)
 
 

@@ -28,7 +28,7 @@ def _data(key, b=2, s=64):
     return tok, lab, msk
 
 
-@pytest.mark.parametrize("policy", ["full", "dots"])
+@pytest.mark.parametrize("policy", ["full", "attn", "dots"])
 def test_remat_trajectory_matches_baseline(policy):
     mesh = make_usp_mesh(dp=2, ulysses=2, ring=2)
     opt = optax.adamw(1e-3)

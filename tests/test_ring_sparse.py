@@ -199,3 +199,69 @@ def test_usp_layer_block_mask(rng):
                            bias=dense_bias(mask, S, S, H))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-5, rtol=0)
+
+
+@pytest.mark.parametrize("layout", ["basic", "zigzag"])
+def test_per_head_mask_through_ring(rng, layout):
+    """3-D (per-head) masks through the RING schedules at ring=4 (VERDICT
+    r4 missing #2 / SPARSE_SAGE per-head through ring dispatch,
+    `kernels/__init__.py:244-268` + `ring/ring_flash_attn.py:36`): each
+    (rank, step) table enumerates every head's live tiles."""
+    q, k, v = make_qkv(rng)
+    n = S // BQ
+    rs = np.random.RandomState(5)
+    mask = np.stack([rs.rand(n, n) < 0.4 for _ in range(H)])
+    mask |= np.eye(n, dtype=bool)[None]
+    out = run_ring_sparse(q, k, v, mask, layout, True)
+    ref, _ = xla_attention(q, k, v, causal=True,
+                           bias=dense_bias(mask, S, S, H))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=0)
+    # gradients flow through the per-head ring tables too
+    dout = jnp.asarray(rng.standard_normal((B, S, H, D)), np.float32)
+    gq, gk, gv = run_ring_sparse(q, k, v, mask, layout, True,
+                                 grad_dout=dout)
+
+    def loss(q, k, v):
+        o, _ = xla_attention(q, k, v, causal=True,
+                             bias=dense_bias(mask, S, S, H))
+        return jnp.sum(o.astype(jnp.float32) * dout)
+
+    rq, rk, rv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g, r in ((gq, rq), (gk, rk), (gv, rv)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-4, rtol=0)
+
+
+def test_per_head_mask_through_usp(rng):
+    """Per-head masks through the FULL USP composition (ulysses 2 x ring
+    2): combined (ulysses x ring)-rank-indexed tables — every global head
+    keeps its own pattern across both parallel axes."""
+    from long_context_attention_tpu.parallel.usp import (
+        usp_ring_sparse_attention_local)
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, axis_names=("ring", "ulysses"))
+    q, k, v = make_qkv(rng)
+    n = S // BQ
+    rs = np.random.RandomState(7)
+    mask = np.stack([rs.rand(n, n) < 0.4 for _ in range(H)])
+    mask |= np.eye(n, dtype=bool)[None]
+
+    fn = functools.partial(
+        usp_ring_sparse_attention_local, block_mask=mask,
+        ulysses_axis="ulysses", ring_axis="ring", layout="zigzag",
+        causal=True, block_q=BQ, block_kv=BKV)
+    W = 2
+    qp = permute_for_layout(q, "zigzag", W)
+    kp = permute_for_layout(k, "zigzag", W)
+    vp = permute_for_layout(v, "zigzag", W)
+    spec = P(None, ("ring", "ulysses"), None, None)
+    out = jax.jit(jax.shard_map(lambda q, k, v: fn(q, k, v), mesh=mesh,
+                                in_specs=(spec,) * 3, out_specs=spec,
+                                check_vma=False))(qp, kp, vp)
+    out = unpermute_from_layout(out, "zigzag", W)
+    ref, _ = xla_attention(q, k, v, causal=True,
+                           bias=dense_bias(mask, S, S, H))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=0)
