@@ -83,20 +83,52 @@ def bench_ring_step(seq_local, iters, *, heads=32, kv_heads=8, head_dim=128,
     v = jax.random.normal(kv, (b, seq_local, kv_heads, head_dim), jnp.bfloat16)
     q0 = jnp.asarray([seq_local if not diagonal else 0], jnp.int32)
     kv0 = jnp.asarray([0], jnp.int32)
-    fn = sage_attention_fwd if impl == "sage" else flash_attention_fwd
 
-    @jax.jit
-    def chained(q, k, v, q0, kv0):
-        def body(_, qq):
-            out, _ = fn(qq, k, v, causal=True, q_offsets=q0, kv_offsets=kv0)
-            return out.astype(q.dtype)
-        return jnp.sum(lax.fori_loop(0, iters, body, q).astype(jnp.float32))
+    if impl == "sage_prequant":
+        # r5 direct-int8 ring step: KV arrives PRE-quantized (rotated int8 +
+        # per-token scales) and feeds the s8 MXU straight — the per-step
+        # quantization VPU sweep of plain impl="sage" disappears
+        from long_context_attention_tpu.ops.kv_cache import quantize_kv
+        from long_context_attention_tpu.ops.sage import (
+            sage_attention_fwd_prequant)
 
-    float(chained(q, k, v, q0, kv0))
+        k8, ks = quantize_kv(k, "int8")
+        v8, vs = quantize_kv(v, "int8")
+        ks = jnp.transpose(ks, (0, 2, 1))
+        vs = jnp.transpose(vs, (0, 2, 1))
+
+        @jax.jit
+        def chained(q, k8, v8, ks, vs, q0, kv0):
+            def body(_, qq):
+                out, _ = sage_attention_fwd_prequant(
+                    qq, k8, v8, ks, vs, causal=True,
+                    q_offsets=q0, kv_offsets=kv0)
+                return out.astype(q.dtype)
+            return jnp.sum(lax.fori_loop(0, iters, body, q
+                                         ).astype(jnp.float32))
+
+        def run():
+            return float(chained(q, k8, v8, ks, vs, q0, kv0))
+    else:
+        fn = sage_attention_fwd if impl == "sage" else flash_attention_fwd
+
+        @jax.jit
+        def chained(q, k, v, q0, kv0):
+            def body(_, qq):
+                out, _ = fn(qq, k, v, causal=True, q_offsets=q0,
+                            kv_offsets=kv0)
+                return out.astype(q.dtype)
+            return jnp.sum(lax.fori_loop(0, iters, body, q
+                                         ).astype(jnp.float32))
+
+        def run():
+            return float(chained(q, k, v, q0, kv0))
+
+    run()
     best = float("inf")
     for _ in range(best_of):
         t0 = time.perf_counter()
-        float(chained(q, k, v, q0, kv0))
+        run()
         best = min(best, time.perf_counter() - t0)
     dt = best / iters
     frac = 0.5 if diagonal else 1.0
@@ -121,15 +153,19 @@ def main():
             kind = "diagonal" if diag else "interior"
             tf_s, dt_s = bench_ring_step(args.seq, args.iters, impl="sage",
                                          diagonal=diag)
+            tf_p, dt_p = bench_ring_step(args.seq, args.iters,
+                                         impl="sage_prequant", diagonal=diag)
             tf_f, dt_f = bench_ring_step(args.seq, args.iters, impl="pallas",
                                          diagonal=diag)
             print(f"ring step {kind:9s} ({args.seq} local): "
                   f"sage {tf_s:6.1f} eff-TFLOP/s ({dt_s*1e3:.1f} ms)  "
+                  f"sage-direct-int8 {tf_p:6.1f} ({dt_p*1e3:.1f} ms)  "
                   f"bf16 {tf_f:6.1f} ({dt_f*1e3:.1f} ms)  "
-                  f"speedup {dt_f/dt_s:.2f}x", file=sys.stderr)
+                  f"direct vs bf16 {dt_f/dt_p:.2f}x, vs sage "
+                  f"{dt_s/dt_p:.2f}x", file=sys.stderr)
         print(json.dumps({"metric": f"sage_ring_step_{args.seq//1024}k",
-                          "value": round(tf_s, 2), "unit": "TFLOP/s",
-                          "vs_baseline": round(dt_f / dt_s, 3)}))
+                          "value": round(tf_p, 2), "unit": "TFLOP/s",
+                          "vs_baseline": round(dt_f / dt_p, 3)}))
         return
 
     rows = []

@@ -62,7 +62,14 @@ def bench_ring(args):
     s_local = S // W
     blk = args.block
     n = S // blk
-    mask = global_local_block_mask(n, n, 8, sink_tiles=1)
+    if args.per_head:
+        # SPARSE_SAGE-style per-head tuning: each head its own window width
+        widths = [4 + 2 * (i % 5) for i in range(h)]
+        mask = np.stack([global_local_block_mask(n, n, w, sink_tiles=1)
+                         for w in widths])
+    else:
+        mask = global_local_block_mask(n, n, 8, sink_tiles=1)
+    per_head = mask.ndim == 3
     g = h // hkv
     steps = _ring_step_tables(
         np.ascontiguousarray(mask).tobytes(), mask.shape, True, W, "zigzag",
@@ -83,7 +90,7 @@ def bench_ring(args):
             def chained(qb, kb, vb, r):
                 def body(_, qq):
                     out, _ = _sparse_fwd_bhsd(
-                        qq, kb, vb, row_tabs, False, scale=scale,
+                        qq, kb, vb, row_tabs, per_head, scale=scale,
                         bq=blk, bkv=blk, interpret=False, rank=r, n_ranks=W)
                     return out.astype(qq.dtype)
                 return jnp.sum(lax.fori_loop(0, args.iters, body, qb
@@ -129,7 +136,8 @@ def bench_ring(args):
           f"{total_sparse*1e3:.2f} ms vs dense ring ~{dense_total*1e3:.2f} "
           f"ms -> {dense_total/total_sparse:.2f}x", file=sys.stderr)
     print(json.dumps({
-        "metric": f"ring_sparse_prefill_speedup_{args.seq//1024}k_r{W}",
+        "metric": (f"ring_sparse{'_perhead' if args.per_head else ''}"
+                   f"_prefill_speedup_{args.seq//1024}k_r{W}"),
         "value": round(dense_total / total_sparse, 2),
         "unit": "x dense ring",
     }))
@@ -144,6 +152,8 @@ def main():
     ap.add_argument("--kv-heads", type=int, default=8)
     ap.add_argument("--head-dim", type=int, default=128)
     ap.add_argument("--ring", type=int, default=0,
+    ap.add_argument("--per-head", action="store_true",
+                    help="per-head (3-D) mask: varied window per head")
                     help="measure the ring x sparse per-step kernels at "
                          "--seq global tokens over N ranks (real chip)")
     args = ap.parse_args()
