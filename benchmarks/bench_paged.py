@@ -187,6 +187,27 @@ def main():
         print(f"e2e {name}: {wall:6.1f} s  {got/wall:6.0f} tok/s "
               f"({got} tokens)", flush=True)
 
+    # sharded-paged machinery on real hardware (r5): a 1-device mesh runs
+    # the partitioned pool + shard_map paths with degenerate collectives —
+    # proves the multi-chip paged engine's device programs compile and
+    # stream on a real chip (multi-chip hardware absent on this image)
+    from long_context_attention_tpu.parallel.mesh import make_usp_mesh
+    from long_context_attention_tpu.serving import (
+        ShardedPagedContinuousEngine,
+    )
+
+    mesh1 = make_usp_mesh(1, 1, 1, devices=jax.devices()[:1])
+    sp_eng = ShardedPagedContinuousEngine(
+        cfg, s_max=s_cap, max_batch=32, cache_dtype="int8", step_block=8,
+        mesh=mesh1, page_size=args.page, pool_pages=pool)
+    sp_eng.serve(params, reqs[:2])
+    t0 = time.perf_counter()
+    res = sp_eng.serve(params, reqs)
+    wall = time.perf_counter() - t0
+    got = sum(len(r.tokens) for r in res.values())
+    print(f"e2e sharded-paged (1-chip mesh) b=32: {wall:6.1f} s  "
+          f"{got/wall:6.0f} tok/s ({got} tokens)", flush=True)
+
 
 if __name__ == "__main__":
     main()

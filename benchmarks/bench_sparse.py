@@ -152,10 +152,10 @@ def main():
     ap.add_argument("--kv-heads", type=int, default=8)
     ap.add_argument("--head-dim", type=int, default=128)
     ap.add_argument("--ring", type=int, default=0,
-    ap.add_argument("--per-head", action="store_true",
-                    help="per-head (3-D) mask: varied window per head")
                     help="measure the ring x sparse per-step kernels at "
                          "--seq global tokens over N ranks (real chip)")
+    ap.add_argument("--per-head", action="store_true",
+                    help="per-head (3-D) mask: varied window per head")
     args = ap.parse_args()
     if args.ring:
         bench_ring(args)

@@ -416,7 +416,9 @@ def _decode_kernel(
             # driver, so no in-kernel scale multiply. Head-batched matmul:
             # (h_kv, G, d) x (h_kv, bkv, d) -> (h_kv, G, bkv).
             q = q_ref[0]                             # (h_kv, G, d) int8
-            k = kv_tile(k_ref)                       # (h_kv, bkv, d) int8
+            k = kv_tile(k_ref)                       # (h_kv, bkv, d) int8/s4
+            if k.dtype != jnp.int8:
+                k = k.astype(jnp.int8)  # hardware-assisted s4 unpack
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32,
@@ -491,7 +493,9 @@ def _decode_kernel(
             rowmax = jnp.max(p, axis=2, keepdims=True)        # (h_kv, G, 1)
             ps = jnp.maximum(rowmax, 1e-20) * (1.0 / 127.0)
             p_i8 = jnp.round(p / ps).astype(jnp.int8)
-            v = kv_tile(v_ref)                                # int8
+            v = kv_tile(v_ref)                                # int8/s4
+            if v.dtype != jnp.int8:
+                v = v.astype(jnp.int8)
             pv = jax.lax.dot_general(
                 p_i8, v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32,
@@ -542,7 +546,7 @@ def _vmem_est(h_kv: int, G: int, d: int, bkv: int, itemsize: int) -> int:
 def decode_attention(
     q: jnp.ndarray,          # (b, h, d) current-token queries — or
                              # (b, n, h, d) for a multi-token run (verify)
-    k_cache: jnp.ndarray,    # (b, h_kv, s_max, d) bf16 / int8 / fp8
+    k_cache: jnp.ndarray,    # (b, h_kv, s_max, d) bf16 / int8 / int4 / fp8
     v_cache: jnp.ndarray,
     lengths: jnp.ndarray,    # (b,) int32 filled prefix per row
     k_scale: Optional[jnp.ndarray] = None,  # (b, h_kv, s_max) fp32
@@ -663,7 +667,8 @@ def decode_attention(
     # well inside the int8 cache's own quantization noise; set
     # ``mxu_int8=False`` to keep the dequant-cast path. fp8 caches always
     # use the cast path (no fp8 MXU on v5e).
-    int8_mxu = bool(mxu_int8) and quantized and k_cache.dtype == jnp.int8
+    int8_mxu = (bool(mxu_int8) and quantized
+                and k_cache.dtype in (jnp.int8, jnp.int4))
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
     # max-free clamped-exp2 softmax (the r4 training-kernel form) is the
     # default; ``safe_softmax=True`` restores the online running-max chain

@@ -5,8 +5,11 @@ Beyond the reference (its Sage INT8/FP8 support is an *external* backend,
 the north star, BASELINE.json). Design:
 
 * Values quantized per (batch, kv-head, token) with an absmax scale, stored as
-  int8 or float8_e4m3fn plus an fp32 scale array — decode attention is HBM-
-  bandwidth-bound, so halving/quartering cache bytes multiplies decode speed.
+  int8, int4 (native XLA s4 — two values per HBM byte) or float8_e4m3fn plus
+  an fp32 scale array — decode attention is HBM-bandwidth-bound, so
+  halving/quartering cache bytes multiplies decode speed. int4 is the
+  aggressive serving option (KIVI-class): per-token absmax over 15 levels
+  costs visibly more accuracy than int8 — gate on your task's tolerance.
 * Dequantization happens inside the decode kernel's VMEM tiles
   (ops/decode.py): HBM only ever sees quantized bytes.
 * Storage layout is **BHSD** — (n_layers, b, h_kv, s_max, d) — the layout the
@@ -27,12 +30,16 @@ import jax.numpy as jnp
 __all__ = ["KVCache", "PagedKVCache", "quantize_kv", "dequantize_kv",
            "CACHE_DTYPES"]
 
-CACHE_DTYPES = ("bfloat16", "int8", "float8_e4m3fn")
+CACHE_DTYPES = ("bfloat16", "int8", "int4", "float8_e4m3fn")
 
 
 def _qparams(dtype: str):
     if dtype == "int8":
         return jnp.int8, 127.0
+    if dtype == "int4":
+        # native XLA s4: HBM stores two values per byte (the decode stream
+        # QUARTERS vs bf16), kernels get hardware-assisted s4->s8 converts
+        return jnp.int4, 7.0
     if dtype == "float8_e4m3fn":
         return jnp.float8_e4m3fn, 448.0
     raise ValueError(f"not a quantized cache dtype: {dtype}")
@@ -49,7 +56,7 @@ def quantize_kv(x: jnp.ndarray, dtype: str) -> Tuple[jnp.ndarray, Optional[jnp.n
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     scale = jnp.maximum(absmax, 1e-6) / qmax
     q = x.astype(jnp.float32) / scale[..., None]
-    if dtype == "int8":
+    if dtype in ("int8", "int4"):
         q = jnp.round(q)
     q = jnp.clip(q, -qmax, qmax).astype(qdt)
     return q, scale

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from long_context_attention_tpu.ops.decode import decode_attention
+from long_context_attention_tpu.ops.decode import cache_append, decode_attention
 from long_context_attention_tpu.ops.kv_cache import (
     KVCache,
     dequantize_kv,
@@ -359,3 +359,44 @@ def test_decode_banded_window_grid(rng):
         np.testing.assert_allclose(np.asarray(outm[:, it], np.float32),
                                    np.asarray(oi, np.float32),
                                    atol=2e-2, rtol=0, err_msg=f"tok={it}")
+
+
+def test_int4_cache_decode_and_append():
+    """int4 (s4) KV cache: packed storage, in-kernel s4->s8 convert onto
+    the int8-MXU path. Functional option (capacity: quarter bf16 bytes at
+    rest); per-token 4-bit absmax costs visibly more accuracy than int8 —
+    the gate here is the int4 quantization noise bound, not the int8 one.
+    NOTE r5: on the axon image the S4 fast path is toolchain-blocked
+    (docs/PERF.md §int4), so this exercises the CPU interpret path."""
+    rng = np.random.default_rng(11)
+    b, h, hkv, d, s = 2, 8, 4, 64, 512
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.bfloat16)
+    lengths = jnp.array([300, 512], jnp.int32)
+    kq, ks = quantize_kv(k, "int4")
+    vq, vs = quantize_kv(v, "int4")
+    assert str(kq.dtype) == "int4"
+    got = decode_attention(q, kq, vq, lengths, ks, vs, interpret=True)
+    # oracle on the DEQUANTIZED values: isolates kernel correctness from
+    # quantization noise
+    kd = dequantize_kv(kq, ks, jnp.float32)
+    vd = dequantize_kv(vq, vs, jnp.float32)
+    want = decode_attention(q, kd.astype(jnp.bfloat16),
+                            vd.astype(jnp.bfloat16), lengths,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=5e-2, rtol=0)
+
+    # append a quantized token run into the int4 cache
+    kn = jnp.asarray(rng.standard_normal((b, hkv, 1, d)), jnp.bfloat16)
+    knq, kns = quantize_kv(kn, "int4")
+    vnq, vns = quantize_kv(kn, "int4")
+    k2, v2, _, _ = cache_append(
+        kq, vq, knq, vnq, lengths - 1,
+        ks.reshape(b, hkv, 1, s), vs.reshape(b, hkv, 1, s),
+        kns[..., 0], vns[..., 0], interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(k2[0, :, 299].astype(jnp.int8)),
+        np.asarray(knq[0, :, 0].astype(jnp.int8)))
