@@ -17,6 +17,7 @@ from long_context_attention_tpu.serving.continuous import (
 )
 from long_context_attention_tpu.serving.paged_sharded import (
     ShardedPagedContinuousEngine,
+    ShardedPagedSpeculativeContinuousEngine,
 )
 from long_context_attention_tpu.serving.engine import (
     Engine,
@@ -38,6 +39,7 @@ __all__ = ["ContinuousEngine", "Engine", "GenerationResult",
            "RequestResult", "SamplingParams",
            "ShardedContinuousEngine", "ShardedEngine",
            "ShardedPagedContinuousEngine",
+           "ShardedPagedSpeculativeContinuousEngine",
            "ShardedSpeculativeContinuousEngine",
            "SpeculativeContinuousEngine", "SpeculativeEngine",
            "SpeculativeResult",

@@ -1661,10 +1661,7 @@ class PagedSpeculativeContinuousEngine(SpeculativeContinuousEngine,
               **kw) -> Dict[int, RequestResult]:
         # the paged allocator lifecycle around the speculative round loop
         for r in requests:
-            if self._pages_needed(r) > self.pool_pages - 1:
-                raise ValueError(
-                    f"request {r.id} needs {self._pages_needed(r)} pages; "
-                    f"pool has {self.pool_pages - 1} allocatable")
+            self._check_request_fits(r)
         alloc = self._make_alloc()
         object.__setattr__(self, "_alloc", alloc)
         object.__setattr__(self, "_rowwin", {})

@@ -48,12 +48,16 @@ from long_context_attention_tpu.models.llama import decode_multi_step, decode_st
 from long_context_attention_tpu.ops.kv_cache import PagedKVCache
 from long_context_attention_tpu.serving.continuous import (
     PagedContinuousEngine,
+    PagedSpeculativeContinuousEngine,
     Request,
     ShardedContinuousEngine,
+    ShardedSpeculativeContinuousEngine,
+    SpeculativeContinuousEngine,
     _bucket,
 )
 
-__all__ = ["ShardedPagedContinuousEngine"]
+__all__ = ["ShardedPagedContinuousEngine",
+           "ShardedPagedSpeculativeContinuousEngine"]
 
 
 class _PartitionedPageAllocator:
@@ -443,3 +447,70 @@ class ShardedPagedContinuousEngine(PagedContinuousEngine,
             out_specs=(P(), specs),
             check_vma=False,
         )(params, cache, tokens, active)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedPagedSpeculativeContinuousEngine(
+        PagedSpeculativeContinuousEngine,
+        ShardedSpeculativeContinuousEngine,
+        ShardedPagedContinuousEngine):
+    """The full serving matrix point: iteration-level scheduling (Orca) x
+    paged pool partitions over the MESH (vLLM, multi-chip) x draft/verify
+    speculative rounds — per-partition page allocators + prefix caching
+    from `ShardedPagedContinuousEngine`, sharded draft scans from
+    `ShardedSpeculativeContinuousEngine`, the gamma-overhang page budget
+    and round loop from `PagedSpeculativeContinuousEngine`. Only the
+    verify rounds need overriding here: they run `decode_multi_step`
+    against the PAGED sharded pool (each rank's rebased table window)
+    instead of the dense sharded cache. The draft keeps a dense sharded
+    cache (drafts are small by construction)."""
+
+    def __post_init__(self):
+        ShardedPagedContinuousEngine.__post_init__(self)
+        SpeculativeContinuousEngine.__post_init__(self)
+        if self.host_overlap:
+            raise ValueError(
+                "speculative rounds already amortize the host sync; "
+                "host_overlap does not compose here")
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
+    def _verify_round(self, params, tcache, run_toks, active):
+        specs = self._paged_specs()
+        seq_axes = self._sub.seq_axes
+
+        def vf(p, c, r, act):
+            logits, c = decode_multi_step(p, c, r, self.cfg,
+                                          interpret=self.interpret,
+                                          shard_axes=seq_axes, active=act)
+            return jnp.argmax(logits, -1).astype(jnp.int32), c
+
+        return jax.shard_map(
+            vf, mesh=self.mesh,
+            in_specs=(P(), specs, P(), P()),
+            out_specs=(P(), specs),
+            check_vma=False,
+        )(params, tcache, run_toks, active)
+
+    @functools.partial(jax.jit, static_argnums=(0, 6), donate_argnums=2)
+    def _verify_round_sampled(self, params, tcache, run_toks, drafts, qdist,
+                              sampling, key, active):
+        from long_context_attention_tpu.serving.speculative import (
+            leviathan_accept,
+        )
+
+        specs = self._paged_specs()
+        seq_axes = self._sub.seq_axes
+
+        def vf(p, c, r, d, q, k, act):
+            logits, c = decode_multi_step(p, c, r, self.cfg,
+                                          interpret=self.interpret,
+                                          shard_axes=seq_axes, active=act)
+            accept, fallback = leviathan_accept(logits, d, q, sampling, k)
+            return accept, fallback, c
+
+        return jax.shard_map(
+            vf, mesh=self.mesh,
+            in_specs=(P(), specs, P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), specs),
+            check_vma=False,
+        )(params, tcache, run_toks, drafts, qdist, key, active)

@@ -124,3 +124,51 @@ def test_sharded_paged_backpressure_and_capacity(params):
     rd = dense.serve(params, reqs)
     for i in rd:
         assert rp[i].tokens == rd[i].tokens, i
+
+
+def test_sharded_paged_speculative_matches_plain(params):
+    """The full serving matrix point — sharded x paged x speculative:
+    greedy self-draft rounds over the partitioned pool must emit exactly
+    the dense sharded continuous engine's tokens (speculative greedy ==
+    target-greedy; paging == dense; sharding == single device — all three
+    invariances at once)."""
+    from long_context_attention_tpu.serving import (
+        ShardedPagedSpeculativeContinuousEngine,
+    )
+
+    mesh = make_usp_mesh(1, 2, 4)
+    reqs = [Request(id=i, tokens=_prompt(80 + i, n), max_new=m)
+            for i, (n, m) in enumerate([(24, 6), (60, 5), (100, 7)])]
+    dense = ShardedContinuousEngine(CFG, s_max=S_MAX, max_batch=2,
+                                    cache_dtype="int8", mesh=mesh)
+    spec = ShardedPagedSpeculativeContinuousEngine(
+        CFG, s_max=S_MAX, max_batch=2, cache_dtype="int8", mesh=mesh,
+        page_size=PAGE, pool_pages=8 * 4, gamma=3, draft_cfg=CFG)
+    rd = dense.serve(params, reqs)
+    rs = spec.serve(params, params, reqs)  # self-draft: greedy == target
+    for i in rd:
+        assert rs[i].tokens == rd[i].tokens, (i, rs[i].tokens, rd[i].tokens)
+
+
+def test_sharded_paged_speculative_prefix_cache(params):
+    """Prefix caching composes with the sharded paged speculative engine:
+    the shared system prompt's pages hit across partitions."""
+    from long_context_attention_tpu.serving import (
+        ShardedPagedSpeculativeContinuousEngine,
+    )
+
+    mesh = make_usp_mesh(1, 2, 4)
+    system = _prompt(321, PAGE)
+    reqs = [Request(id=0, tokens=system + _prompt(1, 20), max_new=4),
+            Request(id=1, tokens=system + _prompt(2, 35), max_new=4)]
+    dense = ShardedContinuousEngine(CFG, s_max=S_MAX, max_batch=2,
+                                    cache_dtype="int8", mesh=mesh)
+    spec = ShardedPagedSpeculativeContinuousEngine(
+        CFG, s_max=S_MAX, max_batch=2, cache_dtype="int8", mesh=mesh,
+        page_size=PAGE, pool_pages=8 * 5, gamma=2, draft_cfg=CFG,
+        prefix_cache=True)
+    rd = dense.serve(params, reqs)
+    rs = spec.serve(params, params, reqs)
+    for i in rd:
+        assert rs[i].tokens == rd[i].tokens, (i, rs[i].tokens, rd[i].tokens)
+    assert spec.stats["prefix_hit_tokens"] == PAGE, spec.stats
