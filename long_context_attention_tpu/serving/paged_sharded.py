@@ -227,9 +227,10 @@ class ShardedPagedContinuousEngine(PagedContinuousEngine,
       (b, ppr) window of the replicated page table
       (`serving/sharded.py:_local_pages`).
 
-    Constraints: ``s_max``, ``n_pages`` and ``pool_pages`` divisible by the
-    sequence-shard count; ``interleave_admission`` is not supported on the
-    sharded path yet.
+    Constraints: ``s_max``, ``n_pages`` and ``pool_pages`` divisible by
+    the sequence-shard count. ``interleave_admission`` composes (r5): the
+    chunked admission advances through the sharded pool view — the same
+    `_suffix_chunk` path prefix-hit suffixes use.
     """
 
     def __post_init__(self):
@@ -245,9 +246,6 @@ class ShardedPagedContinuousEngine(PagedContinuousEngine,
         assert (self.s_max // n) % self.page_size == 0, (
             "per-rank slots must be whole pages", self.s_max, n,
             self.page_size)
-        if self.interleave_admission:
-            raise NotImplementedError(
-                "interleave_admission on the sharded paged engine")
 
     # --- layout helpers ----------------------------------------------------
 

@@ -172,3 +172,27 @@ def test_sharded_paged_speculative_prefix_cache(params):
     for i in rd:
         assert rs[i].tokens == rd[i].tokens, (i, rs[i].tokens, rd[i].tokens)
     assert spec.stats["prefix_hit_tokens"] == PAGE, spec.stats
+
+
+def test_sharded_paged_interleaved_admission(params):
+    """Decode-interleaved chunked admission on the SHARDED paged engine:
+    prompts prefill chunk-by-chunk through the sharded pool view (owner-
+    routed appends) with decode blocks between chunks. fp32 model: the
+    chunked path teacher-forces through the multi-token decode kernel
+    while batch admission uses the flash prefill kernel — equal math,
+    different bf16 accumulation order (see tests/test_paged.py CFG32
+    note), so the cross-scheduler trajectory gate runs in fp32."""
+    cfg32 = dataclasses.replace(CFG, dtype=jnp.float32)
+    params32 = init_params(jax.random.PRNGKey(0), cfg32)
+    mesh = make_usp_mesh(1, 2, 4)
+    reqs = [Request(id=i, tokens=_prompt(90 + i, n), max_new=m)
+            for i, (n, m) in enumerate([(150, 6), (40, 4), (200, 5)])]
+    kw = dict(s_max=S_MAX, max_batch=2, cache_dtype="int8", mesh=mesh,
+              page_size=PAGE, pool_pages=8 * 4)
+    plain = ShardedPagedContinuousEngine(cfg32, **kw)
+    inter = ShardedPagedContinuousEngine(cfg32, interleave_admission=True,
+                                         prefill_chunk=64, **kw)
+    rp = plain.serve(params32, reqs)
+    ri = inter.serve(params32, reqs)
+    for i in rp:
+        assert ri[i].tokens == rp[i].tokens, (i, ri[i].tokens, rp[i].tokens)
