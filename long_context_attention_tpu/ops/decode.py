@@ -686,10 +686,15 @@ def decode_attention(
         n_pool = k_cache.shape[1 if layered else 0]
         assert page % 128 == 0, f"page_size {page} must be a multiple of 128"
         assert kv_splits in (None, 1), "paged + kv_splits unsupported"
+        # shrink through the page's 128-multiple DIVISORS (plain halving
+        # of e.g. a 3200-token page lands on 1600 — divisible into the
+        # page but not 128-aligned, an illegal Mosaic scale tile)
         bkv = page
         while bkv > 128 and _vmem_est(h_kv, G, d, bkv, itemsize) > _VMEM_BUDGET:
-            bkv //= 2
-        assert page % bkv == 0, (page, bkv)
+            nxt = next((c for c in range(bkv - 128, 127, -128)
+                        if page % c == 0), 128)
+            bkv = nxt
+        assert page % bkv == 0 and bkv % 128 == 0, (page, bkv)
         spp = page // bkv                 # grid steps per pool page
         nk = page_table.shape[1] * spp
         s_max = page_table.shape[1] * page  # logical capacity

@@ -106,6 +106,12 @@ class RingConfig:
             raise ValueError(
                 "ring x sage direct-int8 does not compose with the "
                 "bidirectional ring yet")
+        if (self.impl == "sage" and self.kv_quant is not None
+                and self.softcap != 0.0):
+            raise NotImplementedError(
+                "ring x sage direct-int8 does not implement softcap — "
+                "failing loudly instead of silently dropping it (the FA3-"
+                "adapter failure mode, kernels/attention.py:283-284)")
         if self.dropout_p > 0.0 and self.impl != "pallas":
             raise ValueError("dropout requires the pallas impl")
 
@@ -305,6 +311,11 @@ def _ring_fwd_impl(cfg: RingConfig, q, k, v, q_seg, kv_seg, alibi_sl=None,
             from long_context_attention_tpu.ops.sage import (
                 sage_attention_fwd_prequant)
 
+            if q_seg is not None or alibi_sl is not None or seed is not None:
+                raise NotImplementedError(
+                    "ring x sage direct-int8 does not implement "
+                    "segment_ids / alibi / dropout — failing loudly "
+                    "instead of silently dropping them")
             blk_out, blk_lse = sage_attention_fwd_prequant(
                 q, k_cur, v_cur, sc_cur[0], sc_cur[1],
                 causal=cfg.causal, softmax_scale=cfg.softmax_scale,

@@ -60,6 +60,21 @@ __all__ = ["ShardedPagedContinuousEngine",
            "ShardedPagedSpeculativeContinuousEngine"]
 
 
+def _split_range(lo: int, hi: int, ppr: int) -> List[Tuple[int, int, int]]:
+    """[(partition, local lo, local hi)] covering logical pages [lo, hi)
+    under the blocked layout (partition = logical // ppr) — the ONE place
+    the blocked-range arithmetic lives (allocators and the engine's
+    capacity gate must never disagree)."""
+    out = []
+    j = lo
+    while j < hi:
+        r = j // ppr
+        e = min(hi, (r + 1) * ppr)
+        out.append((r, j - r * ppr, e - r * ppr))
+        j = e
+    return out
+
+
 class _PartitionedPageAllocator:
     """n per-partition free lists behind the single-host allocator API.
 
@@ -76,21 +91,20 @@ class _PartitionedPageAllocator:
         self.ppr = ppr
         self.p_local = pool_pages // n
         self.parts = [make_one(self.p_local) for _ in range(n)]
+        # mirror of each row's GLOBAL pages: release_pages validates the
+        # whole list here BEFORE dispatching, so a bad page cannot leave
+        # one partition released and another untouched (the per-partition
+        # allocators are atomic individually, not jointly)
+        self._rows: dict = {}
 
     def _split(self, lo: int, hi: int) -> List[Tuple[int, int, int]]:
-        """[(partition, local lo, local hi)] covering logical [lo, hi)."""
-        out = []
-        j = lo
-        while j < hi:
-            r = j // self.ppr
-            e = min(hi, (r + 1) * self.ppr)
-            out.append((r, j - r * self.ppr, e - r * self.ppr))
-            j = e
-        return out
+        return _split_range(lo, hi, self.ppr)
 
     def available_for(self, bi: int, need: int) -> bool:
         """Can pages [0, need) be taken for ``bi`` (counting its own
         reclaimable pages per partition)?"""
+        if need > self.n * self.ppr:
+            return False  # beyond the row's logical capacity
         for r, lo, hi in self._split(0, need):
             if self.parts[r].available(bi) < hi - lo:
                 return False
@@ -109,6 +123,7 @@ class _PartitionedPageAllocator:
         for r in range(self.n):
             if r not in touched:
                 self.parts[r].take(bi, 0)  # free old pages, take none
+        self._rows[bi] = list(pages)
         return pages
 
     def take_extra_range(self, bi: int, lo: int, hi: int) -> List[int]:
@@ -117,18 +132,32 @@ class _PartitionedPageAllocator:
         for r, llo, lhi in self._split(lo, hi):
             got = self.parts[r].take_extra(bi, lhi - llo)
             pages.extend(p + r * self.p_local for p in got)
+        self._rows.setdefault(bi, []).extend(pages)
         return pages
 
     def release_pages(self, bi: int, pages: List[int]) -> None:
         """Free specific (global) pages — routed to the owning partition
-        by id. Validates each partition's batch atomically (the underlying
-        allocators validate-before-mutate)."""
+        by id. The WHOLE list validates against the row mirror first: the
+        per-partition allocators are individually atomic, but a bad page
+        in partition k must not leave partitions < k already released."""
+        if not pages:
+            return
+        import collections as _c
+        have = _c.Counter(self._rows.get(bi, []))
+        for p, c in _c.Counter(pages).items():
+            if have[p] < c:
+                raise ValueError(
+                    f"release_pages: row {bi} does not own page {p} "
+                    f"(double release?)")
         by_part = {}
         for p in pages:
             by_part.setdefault(p // self.p_local, []).append(
                 p % self.p_local)
         for r, local in sorted(by_part.items()):
             self.parts[r].release_pages(bi, local)
+        row = self._rows[bi]
+        for p in pages:
+            row.remove(p)
 
 
 class _PartitionedPrefixAllocator:
@@ -246,6 +275,25 @@ class ShardedPagedContinuousEngine(PagedContinuousEngine,
         assert (self.s_max // n) % self.page_size == 0, (
             "per-rank slots must be whole pages", self.s_max, n,
             self.page_size)
+        if self._windowed_paging:
+            # the rolling window band MOVES across partitions as rows
+            # advance: reclamation frees pages on the partition BEHIND the
+            # window while growth takes from the partition AHEAD — so the
+            # single-host sizing rule (pool >= max_batch x rolling + 1)
+            # must hold PER PARTITION against each partition's worst-case
+            # share of a row's working set, or take_extra can exhaust one
+            # partition mid-serve at pool sizes the single-host engine
+            # survives (r5 review finding, empirically reproduced)
+            per_row = min(self.ppr, self._rolling_pages())
+            need = self.max_batch * per_row
+            if self.p_local - 1 < need:
+                raise ValueError(
+                    f"windowed dynamic paging needs every pool partition "
+                    f"to hold max_batch x min(ppr, rolling working set) = "
+                    f"{self.max_batch} x {per_row} = {need} allocatable "
+                    f"pages; partitions have {self.p_local - 1} "
+                    f"(pool_pages {self.pool_pages} over {n} shards). "
+                    f"Raise pool_pages to >= {n * (need + 1)}.")
 
     # --- layout helpers ----------------------------------------------------
 
@@ -282,13 +330,7 @@ class ShardedPagedContinuousEngine(PagedContinuousEngine,
                     f"{part}; each has {self.p_local - 1} allocatable")
 
     def _alloc_split(self, need: int):
-        out, j = [], 0
-        while j < need:
-            part = j // self.ppr
-            e = min(need, (part + 1) * self.ppr)
-            out.append((part, j - part * self.ppr, e - part * self.ppr))
-            j = e
-        return out
+        return _split_range(0, need, self.ppr)
 
     def _can_admit(self, req: Request, bi: int) -> bool:
         if not self.prefix_cache:
@@ -466,10 +508,10 @@ class ShardedPagedSpeculativeContinuousEngine(
     def __post_init__(self):
         ShardedPagedContinuousEngine.__post_init__(self)
         SpeculativeContinuousEngine.__post_init__(self)
-        if self.host_overlap:
+        if self.interleave_admission or self.host_overlap:
             raise ValueError(
                 "speculative rounds already amortize the host sync; "
-                "host_overlap does not compose here")
+                "interleave_admission/host_overlap do not compose here")
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
     def _verify_round(self, params, tcache, run_toks, active):

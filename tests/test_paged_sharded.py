@@ -196,3 +196,71 @@ def test_sharded_paged_interleaved_admission(params):
     ri = inter.serve(params32, reqs)
     for i in rp:
         assert ri[i].tokens == rp[i].tokens, (i, ri[i].tokens, rp[i].tokens)
+
+
+def test_partitioned_release_is_atomic_and_guards_exist():
+    """r5 review fixes: (a) _PartitionedPageAllocator.release_pages with
+    any unowned page mutates NOTHING (partitions are individually atomic
+    but must also be jointly atomic); (b) windowed dynamic paging with an
+    under-provisioned partition is rejected at CONSTRUCTION (the rolling
+    band moves across partitions — growth must never exhaust one
+    mid-serve); (c) the speculative sharded paged engine rejects
+    interleave_admission like its single-host twin."""
+    from long_context_attention_tpu.serving.continuous import _PageAllocator
+    from long_context_attention_tpu.serving.paged_sharded import (
+        _PartitionedPageAllocator,
+        ShardedPagedSpeculativeContinuousEngine,
+    )
+
+    a = _PartitionedPageAllocator(16, 2, 2, _PageAllocator)
+    owned = a.take(0, 4)          # spans both partitions (ppr=2)
+    assert len({p // 8 for p in owned}) == 2
+    before = [list(part.free) for part in a.parts]
+    with pytest.raises(ValueError):
+        a.release_pages(0, [owned[0], 999])   # good page first, bad second
+    assert [list(part.free) for part in a.parts] == before
+    a.release_pages(0, [owned[0], owned[2]])  # cross-partition release ok
+    assert not a.available_for(0, 99)
+
+    wcfg = dataclasses.replace(CFG, window_left=100)
+    mesh = make_usp_mesh(1, 2, 2)
+    with pytest.raises(ValueError, match="partition"):
+        ShardedPagedContinuousEngine(
+            wcfg, s_max=S_MAX, max_batch=2, mesh=mesh, page_size=PAGE,
+            pool_pages=4 * 3)  # 2 allocatable/partition < 2 rows x 2 pages
+
+    with pytest.raises(ValueError, match="interleave"):
+        ShardedPagedSpeculativeContinuousEngine(
+            CFG, s_max=S_MAX, max_batch=2, mesh=make_usp_mesh(1, 2, 4),
+            page_size=PAGE, pool_pages=8 * 4, gamma=2, draft_cfg=CFG,
+            interleave_admission=True)
+
+
+def test_ring_sage_direct_rejects_unsupported(rng=None):
+    """r5 review fix: the direct-int8 sage ring fails LOUDLY on softcap /
+    segment_ids instead of silently dropping them (the FA3-adapter
+    failure mode the codebase is designed to avoid)."""
+    import functools
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from long_context_attention_tpu.parallel.ring import ring_attention_local
+
+    q = jnp.zeros((1, 64, 4, 32), jnp.bfloat16)
+    k = jnp.zeros((1, 64, 2, 32), jnp.bfloat16)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("ring",))
+    spec = P(None, "ring", None, None)
+
+    def run(**kw):
+        fn = functools.partial(ring_attention_local, axis_name="ring",
+                               impl="sage", kv_quant="int8", causal=True,
+                               **kw)
+        return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=(spec,) * 3,
+                                     out_specs=spec, check_vma=False))(
+            q, k, k)
+
+    with pytest.raises(NotImplementedError, match="softcap"):
+        run(softcap=30.0)
+    seg = jnp.zeros((1, 64), jnp.int32)
+    with pytest.raises(NotImplementedError, match="segment"):
+        run(segment_ids=seg)
