@@ -84,8 +84,10 @@ class ModelConfig:
     # and the dispatch all_to_all. 0 = dense model (the default).
     n_experts: int = 0
     moe_capacity_factor: float = 2.0
-    # Restore the online running-max softmax in EVERY attention kernel
-    # (training forward, prefill, decode — single-chip and sharded). The
+    # Restore the online running-max softmax in every PALLAS attention
+    # kernel (training forward, prefill, decode — single-chip and sharded;
+    # the xla oracle computes the exact softmax either way, and
+    # attn_impl="sage" raises rather than silently ignore it). The
     # default max-free clamped-exp2 form (ops/flash.py _CLAMP) saturates
     # raw scores above ~62 and returns the dead-row identity when every
     # score is below ~-87 — real models run |score| < ~30, but a model

@@ -540,7 +540,17 @@ _VMEM_BUDGET = 12 * 2 ** 20
 def _vmem_est(h_kv: int, G: int, d: int, bkv: int, itemsize: int) -> int:
     return (4 * h_kv * bkv * d * itemsize   # k+v, double-buffered
             + 8 * h_kv * G * bkv            # score + p tiles fp32
-            + 8 * h_kv * G * d)             # acc scratch + out block
+            + 8 * h_kv * G * d              # acc scratch + out block
+            + 8 * h_kv * G * 128)           # l (+ m when online) scratches
+
+
+def _fit_run_tokens(h_kv: int, g: int, d: int, bkv: int,
+                    itemsize: int) -> int:
+    """Largest multi-token run length whose h_kv-batched working set fits
+    scoped VMEM at kv block ``bkv`` (from _vmem_est solved for G)."""
+    kv = 4 * h_kv * bkv * d * itemsize
+    per_g = 8 * h_kv * (bkv + d + 128)
+    return max(1, (_VMEM_BUDGET - kv) // per_g // g)
 
 
 def decode_attention(
@@ -677,6 +687,39 @@ def decode_attention(
     fast = float(softcap) == 0.0 and not safe_softmax
     paged = page_table is not None
     itemsize = jnp.dtype(k_cache.dtype).itemsize
+    if multi and n_tok > 1:
+        # Run-splitting (r5): token i of a run sees cache[0 : L - n + i]
+        # purely positionally, so slicing a too-long teacher-forced run
+        # into sub-calls is EXACT. Long runs are MXU-bound (G query rows
+        # amortize every KV byte), so small kv tiles are fine there — the
+        # threshold uses a 256-token tile so bkv-shrinking absorbs most of
+        # the pressure and splitting only kicks in when G = g * n_tok
+        # genuinely blows scoped VMEM (admission prefill chunks at large
+        # head counts, very long speculative verifies). Each sub-call then
+        # picks its own bkv via the normal VMEM autosizing.
+        fit = _fit_run_tokens(h_kv, g, d, min(256, s_max), itemsize)
+        if fit < n_tok:
+            outs, lses = [], []
+            for i in range(0, n_tok, fit):
+                e = min(i + fit, n_tok)
+                res = decode_attention(
+                    q[:, i:e], k_cache, v_cache,
+                    jnp.asarray(lengths, jnp.int32) - (n_tok - e),
+                    k_scale, v_scale, softmax_scale=softmax_scale,
+                    block_kv=block_kv, interpret=interpret,
+                    return_lse=True, layer=layer, kv_splits=kv_splits,
+                    window_size=window_size, softcap=softcap,
+                    alibi_slopes=alibi_slopes, sink_tokens=sink_tokens,
+                    first_cols=(None if first_cols is None
+                                else jnp.asarray(first_cols, jnp.int32) + i),
+                    sink_cols=sink_cols, sink_band=sink_band,
+                    page_table=page_table, mxu_int8=mxu_int8,
+                    safe_softmax=safe_softmax)
+                outs.append(res[0])
+                lses.append(res[1])
+            out = jnp.concatenate(outs, axis=1)
+            lse = jnp.concatenate(lses, axis=2)
+            return (out, lse) if return_lse else out
     if paged:
         # one POOL PAGE per h_kv-batched tile run: when the page (x h_kv
         # heads) would blow scoped VMEM, a page spans several grid steps
@@ -791,6 +834,14 @@ def decode_attention(
             nk_s = nk_band
         else:
             banded = False
+    if banded and has_sc and band_ns == 0:
+        # without the static bound the grid would cover ONLY the window
+        # band — the per-row sink slice would silently contribute nothing
+        raise ValueError(
+            "banded windowed decode with sink_cols needs sink_band (the "
+            "static global sink_tokens bound) to size the grid's sink "
+            "tiles; without it the sink attention would be silently "
+            "dropped")
 
     def _clamped_gt(ibb, isp, ik, lens, rest):
         # clamp the global kv tile index into the live range: tiles past the
@@ -941,7 +992,10 @@ def decode_attention(
             pl.BlockSpec((1, 1, h_kv, 1, G), oi),
         ],
         scratch_shapes=[
-            pltpu.VMEM((h_kv, G, 128), jnp.float32),
+            # m: the online running max — dead in fast (max-free) mode, so
+            # only a placeholder byte-count is reserved there
+            pltpu.VMEM((h_kv, G, 128) if not fast else (1, 1, 128),
+                       jnp.float32),
             pltpu.VMEM((h_kv, G, 128), jnp.float32),
             pltpu.VMEM((h_kv, G, d), jnp.float32),
         ],

@@ -114,6 +114,12 @@ class RingConfig:
                 "adapter failure mode, kernels/attention.py:283-284)")
         if self.dropout_p > 0.0 and self.impl != "pallas":
             raise ValueError("dropout requires the pallas impl")
+        if self.safe_softmax and self.impl == "sage":
+            raise ValueError(
+                "safe_softmax is a pallas-kernel knob (the sage kernels "
+                "are max-free by construction; the xla oracle computes "
+                "the exact softmax either way) — failing loudly instead "
+                "of silently ignoring the diagnostic")
 
     def attn_kwargs(self, q_off, kv_off, q_stride, kv_stride,
                     q_seg=None, kv_seg=None, alibi_sl=None, seed=None):
@@ -305,8 +311,6 @@ def _ring_fwd_impl(cfg: RingConfig, q, k, v, q_seg, kv_seg, alibi_sl=None,
     for step in range(n):
         src = jax.lax.rem(rank - step + n, n)  # whose KV we hold this step
         kv_off, kv_stride = position_descriptor(cfg.layout, src, n, s_kv)
-        kw = cfg.attn_kwargs(q_off, kv_off, q_stride, kv_stride, q_seg,
-                             kseg_cur, alibi_sl=alibi_sl, seed=seed)
         if sage_direct:
             from long_context_attention_tpu.ops.sage import (
                 sage_attention_fwd_prequant)
@@ -324,6 +328,8 @@ def _ring_fwd_impl(cfg: RingConfig, q, k, v, q_seg, kv_seg, alibi_sl=None,
                 q_stride=q_stride, kv_stride=kv_stride,
                 block_sizes=cfg.block_sizes, interpret=cfg.interpret)
         else:
+            kw = cfg.attn_kwargs(q_off, kv_off, q_stride, kv_stride, q_seg,
+                                 kseg_cur, alibi_sl=alibi_sl, seed=seed)
             if sc_cur is not None:
                 kw["k_scale"], kw["v_scale"] = sc_cur
             blk_out, blk_lse = impl.fwd(q, k_cur, v_cur, **kw)

@@ -949,6 +949,19 @@ class _Admission:
     cached: int               # prefix-hit tokens already in shared pages
 
 
+def _validate_release(owned, pages, bi: int) -> None:
+    """Whole-list ownership check BEFORE any mutation — shared by the
+    single-host allocator and the partitioned wrapper so the
+    fail-loudly-AND-atomically contract (mirrored by the native core,
+    native/lca_host.cc release_pages) has one Python home."""
+    have = collections.Counter(owned)
+    for p, c in collections.Counter(pages).items():
+        if have[p] < c:
+            raise ValueError(
+                f"release_pages: row {bi} does not own page {p} "
+                f"(double release?)")
+
+
 class _PageAllocator:
     """Host-side free-list over the physical page pool. Page 0 is the
     reserved scratch page (see `ops/kv_cache.py:PagedKVCache`). Pages are
@@ -1000,12 +1013,7 @@ class _PageAllocator:
         if not row:
             raise ValueError(
                 f"release_pages: row {bi} owns no pages (double release?)")
-        have = collections.Counter(row)
-        for p, c in collections.Counter(pages).items():
-            if have[p] < c:
-                raise ValueError(
-                    f"release_pages: row {bi} does not own page {p} "
-                    f"(double release?)")
+        _validate_release(row, pages, bi)
         for p in pages:
             row.remove(p)
             self.free.append(p)

@@ -48,6 +48,7 @@ from long_context_attention_tpu.models.llama import decode_multi_step, decode_st
 from long_context_attention_tpu.ops.kv_cache import PagedKVCache
 from long_context_attention_tpu.serving.continuous import (
     PagedContinuousEngine,
+    _validate_release,
     PagedSpeculativeContinuousEngine,
     Request,
     ShardedContinuousEngine,
@@ -142,13 +143,7 @@ class _PartitionedPageAllocator:
         in partition k must not leave partitions < k already released."""
         if not pages:
             return
-        import collections as _c
-        have = _c.Counter(self._rows.get(bi, []))
-        for p, c in _c.Counter(pages).items():
-            if have[p] < c:
-                raise ValueError(
-                    f"release_pages: row {bi} does not own page {p} "
-                    f"(double release?)")
+        _validate_release(self._rows.get(bi, []), pages, bi)
         by_part = {}
         for p in pages:
             by_part.setdefault(p // self.p_local, []).append(

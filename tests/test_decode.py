@@ -400,3 +400,30 @@ def test_int4_cache_decode_and_append():
     np.testing.assert_array_equal(
         np.asarray(k2[0, :, 299].astype(jnp.int8)),
         np.asarray(knq[0, :, 0].astype(jnp.int8)))
+
+
+def test_long_multi_token_run_splits_and_matches():
+    """r5 review fix: a teacher-forced run whose h_kv-batched working set
+    exceeds scoped VMEM SPLITS into positionally-exact sub-runs instead
+    of raising (the r4 per-head kernel served these shapes — e.g. the
+    paged engines' prefill_chunk=256 at llama-7B head counts). Gate: the
+    long-run result equals per-token sequential decode."""
+    from long_context_attention_tpu.ops.decode import _fit_run_tokens
+
+    rng = np.random.default_rng(3)
+    b, h, hkv, d, s = 1, 32, 8, 128, 1024
+    n = 96
+    assert _fit_run_tokens(hkv, h // hkv, d, 256, 2) < n  # split engages
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.bfloat16)
+    qm = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.bfloat16)
+    lengths = jnp.array([800], jnp.int32)
+    out, lse = decode_attention(qm, k, v, lengths, interpret=True,
+                                return_lse=True)
+    assert out.shape == (b, n, h, d) and lse.shape == (b, h, n)
+    for i in range(0, n, 7):
+        want = decode_attention(qm[:, i], k, v, lengths - n + 1 + i,
+                                interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out[:, i], np.float32),
+            np.asarray(want, np.float32), atol=2e-2, rtol=0)
