@@ -98,6 +98,35 @@ def _serving_tokens():
     return [res[i].tokens for i in range(2)]
 
 
+def _paged_serving_tokens():
+    """Sharded x paged x prefix across the process boundary: partitioned
+    pool allocators run identically on every process (deterministic host
+    scheduler), pages scatter into each process's pool partitions."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from long_context_attention_tpu.models.llama import init_params
+    from long_context_attention_tpu.parallel import make_usp_mesh
+    from long_context_attention_tpu.serving import (
+        Request, ShardedPagedContinuousEngine,
+    )
+
+    cfg, params, tok, _, _ = _cfg_and_data()
+    cfg = dataclasses.replace(cfg, layout="basic")
+    params = init_params(jax.random.PRNGKey(SEED), cfg)
+    mesh = make_usp_mesh(dp=1, ulysses=2, ring=4)
+    eng = ShardedPagedContinuousEngine(
+        cfg, s_max=1024, max_batch=2, cache_dtype="int8", mesh=mesh,
+        page_size=128, pool_pages=8 * 3, prefix_cache=True)
+    sysp = list(np.asarray(tok[0][:40])) * 4  # >= one shared page
+    reqs = [Request(id=i, tokens=sysp[:128] + list(np.asarray(tok[i][:20])),
+                    max_new=3) for i in range(2)]
+    res = eng.serve(params, reqs)
+    return [res[i].tokens for i in range(2)], eng.stats["prefix_hit_tokens"]
+
+
 def worker(pid: int, port: int) -> None:
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     import jax
@@ -117,6 +146,9 @@ def worker(pid: int, port: int) -> None:
 
     toks = _serving_tokens()
     print(f"TWO_PROC serving tokens={toks}", flush=True)
+
+    ptoks, hits = _paged_serving_tokens()
+    print(f"TWO_PROC paged-serving tokens={ptoks} hits={hits}", flush=True)
     jax.distributed.shutdown()
 
 
@@ -144,7 +176,8 @@ def launcher() -> int:
         assert m, (name, out[-2000:])
         return m.group(1)
 
-    for name in ("usp-train", "ring-edge-train", "serving"):
+    for name in ("usp-train", "ring-edge-train", "serving",
+                 "paged-serving"):
         a, b = grab(name, outs[0]), grab(name, outs[1])
         assert a == b, (name, a, b)
         print(f"TWO_PROC {name} ok: both processes agree ({a})")
