@@ -324,7 +324,13 @@ def _decode_kernel(
     sl_ref = None
     if alibi:
         sl_ref = refs.pop(0)
-    out_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+    if fast:
+        # max-free mode has no running max — no m scratch in the list
+        # (the same conditional-scratch pattern as ops/flash.py _tri_body)
+        out_ref, lse_ref, l_scr, acc_scr = refs
+        m_scr = None
+    else:
+        out_ref, lse_ref, m_scr, l_scr, acc_scr = refs
 
     # ALL h_kv heads ride one grid cell (r5): tiles are (h_kv, bkv, d) and
     # the matmuls batch over the head dim. vs the old (b, h_kv, ..) grid
@@ -991,14 +997,14 @@ def decode_attention(
             pl.BlockSpec((1, 1, h_kv, G, d), oi),
             pl.BlockSpec((1, 1, h_kv, 1, G), oi),
         ],
-        scratch_shapes=[
-            # m: the online running max — dead in fast (max-free) mode, so
-            # only a placeholder byte-count is reserved there
-            pltpu.VMEM((h_kv, G, 128) if not fast else (1, 1, 128),
-                       jnp.float32),
-            pltpu.VMEM((h_kv, G, 128), jnp.float32),
-            pltpu.VMEM((h_kv, G, d), jnp.float32),
-        ],
+        scratch_shapes=(
+            # m (the online running max) exists only on the safe/softcap
+            # path — fast (max-free) mode drops it from the list entirely
+            # (the conditional-scratch pattern of ops/flash.py _tri_body)
+            ([] if fast else [pltpu.VMEM((h_kv, G, 128), jnp.float32)])
+            + [pltpu.VMEM((h_kv, G, 128), jnp.float32),
+               pltpu.VMEM((h_kv, G, d), jnp.float32)]
+        ),
     )
     out, lse = pl.pallas_call(
         functools.partial(_decode_kernel, scale=float(scale), block_kv=bkv,
