@@ -445,3 +445,15 @@ def test_sharded_multi_token_run_straddles_boundary(rng):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(want, np.float32),
                                atol=5e-2, rtol=0)
+
+
+def test_int4_cache_generates(setup):
+    """int4 (s4) cache through the full Engine: prefill quantizes/packs,
+    decode streams with in-kernel s4->s8 converts. Capacity option —
+    accuracy gate is NaN-freedom + shape (4-bit per-token noise is large
+    by design; kernel-level parity is gated in test_decode.py)."""
+    params, prompt = setup
+    eng = Engine(cfg=CFG, s_max=64, cache_dtype="int4")
+    res = eng.generate(params, prompt, 4)
+    assert res.tokens.shape == (B, 4)
+    assert not bool(jnp.any(jnp.isnan(res.prefill_logits)))
