@@ -81,8 +81,14 @@ def main():
                       f"= {flops / best / peak * 100:4.1f}% MFU",
                       flush=True)
             except Exception as e:
+                msg = str(e)
+                hint = ("  [HTTP 500 from the remote-compile helper is "
+                        "usually a MASKED HBM OOM — the 'Used X of 15.75G "
+                        "hbm' detail only appears on the raw stderr ERROR "
+                        "stream when the jit runs outside a try/except]"
+                        if "HTTP 500" in msg else "")
                 print(f"remat={remat:<5} seq={s:>6}: FAILED "
-                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                      f"{type(e).__name__}: {msg[:120]}{hint}", flush=True)
             del params, state
 
 
